@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with graft's standard tuning.
+  *
+  * Design target is a multi-executor cluster at ~100 TB; local[N] is only
+  * the test harness. All knobs below are cluster-safe: AQE re-plans
+  * shuffles at runtime (partition coalescing + skew-join splitting),
+  * broadcast threshold covers the dimension tables (`nation`, `region`,
+  * `supplier`, `part` — all tiny relative to the fact tables at any SF).
+  */
+object Engine {
+
+  /** Common tuning applied to every session graft creates. */
+  def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Dim tables are KBs..MBs even at sf100; let Catalyst broadcast them.
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.sql.parquet.filterPushdown", "true")
+    // events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark has no
+    // native type for; read as LongType nanos, converted in Sources.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests/tools. One JVM, `cores` executor threads. */
+  def local(cores: Int = math.min(Runtime.getRuntime.availableProcessors, 32),
+            appName: String = "graft"): SparkSession = {
+    val s = tuned(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = math.max(cores, 4)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,265 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops._
+import graft.streaming.StreamPipeline
+import graft.ml.ScoringPipeline
+
+/** Driver contract — see /root/repo/SURVEY.md §2.4 for the query
+  * inventory and the determinism rules every entry follows:
+  * total ORDER BY over the output key, double aggregates made
+  * order-independent via DECIMAL(18,4) addends (graft.out.Canonical),
+  * derived ratios rounded to 4 dp at the output edge, times emitted as
+  * epoch-second BIGINTs, integral outputs as BIGINT.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q12PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter" -> (Relational.q01ScanFilter _),
+    "q02_cast_projection" -> (Relational.q02CastProjection _),
+    "q03_class_share" -> (Relational.q03ClassShare _),
+    "q04_weighted_share" -> (Relational.q04WeightedShare _),
+    "q05_topk_other" -> (Relational.q05TopkOther _),
+    "q06_two_dim_pct" -> (Relational.q06TwoDimPct _),
+    "q07_tumbling_window" -> (Windowed.q07Tumbling _),
+    "q08_sliding_window" -> (Windowed.q08Sliding _),
+    "q09_session_window" -> (Windowed.q09Sessions _),
+    "q10_dedup_events" -> (Windowed.q10Dedup _),
+    "q11_join_3way" -> (Relational.q11Join3Way _),
+    "q12_pricing_summary" -> (Relational.q12PricingSummary _),
+    "q13_semi_anti" -> (Relational.q13SemiAnti _),
+    "q14_rank_in_group" -> (Relational.q14RankInGroup _),
+    "q15_running_agg" -> (Relational.q15RunningAgg _),
+    "q16_rollup" -> (Relational.q16Rollup _),
+    "q17_distinct_exact" -> (Relational.q17DistinctExact _),
+    "q18_set_ops" -> (Relational.q18SetOps _),
+    "q19_scalar_suite" -> (Relational.q19ScalarSuite _),
+    "q20_text_dedup" -> (TextOps.q20TextDedup _),
+    "q21_token_stats" -> (TextOps.q21TokenStats _),
+    "q22_knn_cosine" -> (SimilarityOps.q22KnnCosine _),
+    "q23_json_props" -> (Relational.q23JsonProps _),
+    "q24_stream_score" -> (StreamPipeline.q24StreamScore _),
+    "d1_dedup_exact" -> (DedupOps.d1Exact _),
+    "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
+    "d3_dedup_minhash_lsh" -> (DedupOps.d3MinhashLsh _),
+    "d4_simhash" -> (DedupOps.d4Simhash _),
+    "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
+    "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
+    "t1_lang_id" -> (TextOps.t1LangId _),
+    "t2_text_quality" -> (TextOps.t2Quality _),
+    "t3_token_count" -> (TextOps.t3TokenCount _),
+    "t4_fingerprint" -> (TextOps.t4Fingerprint _),
+    "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
+    "x2_ml_score" -> (ScoringPipeline.x2MlScore _)
+  )
+
+  // ---- oracle SQL (DuckDB dialect) ----------------------------------
+
+  /** Shared CTE prefix: tokenized documents → distinct word-3-gram
+    * shingles per doc (mirror of DedupOps.shingles). */
+  private val shingleCte =
+    """tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(ts) - 2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS s FROM tok WHERE len(ts) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Mirror of DedupOps.signatures + banding, generated to stay in sync. */
+  private def minhashSql: String = {
+    val k = DedupOps.MinhashK; val bands = DedupOps.Bands; val rows = k / bands
+    val sigCols = (0 until k).map(j => s"min(md5('$j|' || s)) AS h$j").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val h = (b * rows until (b + 1) * rows).map(j => s"h$j").mkString(" || ")
+      s"SELECT doc_id, $b AS bi, md5($h) AS bv FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |band AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM band x JOIN band y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |pr AS (SELECT c.a_id, c.b_id, count(*) AS i FROM cand c JOIN sh s1 ON s1.doc_id = c.a_id JOIN sh s2 ON s2.doc_id = c.b_id AND s2.s = s1.s GROUP BY 1, 2)
+       |SELECT a_id, b_id, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+       |FROM pr JOIN sz x ON x.doc_id = a_id JOIN sz y ON y.doc_id = b_id
+       |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.7 ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Mirror of DedupOps.d4Simhash (md5-nibble bit extraction). */
+  private def simhashSql: String = {
+    val n = DedupOps.SimhashBits
+    val bitCols = (0 until n).map { i =>
+      s"sum((((strpos('0123456789abcdef', substr(h, ${1 + i / 4}, 1)) - 1) >> ${3 - i % 4}) & 1) * 2 - 1) AS s$i"
+    }.mkString(", ")
+    val fp = (0 until n).map(i => s"CASE WHEN s$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t FROM documents),
+       |hh AS (SELECT doc_id, md5(t) AS h FROM tok),
+       |s AS (SELECT doc_id, $bitCols FROM hh GROUP BY doc_id)
+       |SELECT doc_id, $fp AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirror of SimilarityOps.signBucket. */
+  private val bucketSql: String =
+    (0 until 8).map(i => s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+
+  private val embCte =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      |n AS (SELECT vec_id, v, label, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for x2_ml_score (model training is
+    * not SQL-expressible → rows-only check). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'click' AND value > 10 ORDER BY event_id",
+    "q02_cast_projection" ->
+      "SELECT event_id, CAST(FLOOR(value) AS BIGINT) AS v, UPPER(event_type) AS t FROM events ORDER BY event_id",
+    "q03_class_share" ->
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, round(CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE), 4) AS share FROM events GROUP BY event_type ORDER BY event_type",
+    "q04_weighted_share" ->
+      """WITH s AS (SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value FROM events GROUP BY event_type)
+        |SELECT event_type, total_value, round(total_value / sum(total_value) OVER (), 4) AS share FROM s ORDER BY event_type""".stripMargin,
+    "q05_topk_other" ->
+      """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+        |r AS (SELECT event_type, n, row_number() OVER (ORDER BY n DESC, event_type) AS rn FROM c)
+        |SELECT CASE WHEN rn <= 3 THEN event_type ELSE 'Other' END AS bucket, CAST(sum(n) AS BIGINT) AS cnt FROM r GROUP BY 1 ORDER BY cnt DESC, bucket""".stripMargin,
+    "q06_two_dim_pct" ->
+      """WITH c AS (SELECT event_type, CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS vclass, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT event_type, vclass, CAST(n AS BIGINT) AS cnt, round(CAST(n AS DOUBLE) * 100.0 / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4) AS pct FROM c ORDER BY event_type, vclass""".stripMargin,
+    "q07_tumbling_window" ->
+      "SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS w_start, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value FROM events GROUP BY 1 ORDER BY 1",
+    "q08_sliding_window" ->
+      """WITH e AS (SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS s0, event_type FROM events),
+        |u AS (SELECT s0 AS w_start, event_type FROM e UNION ALL SELECT s0 - 300, event_type FROM e)
+        |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q09_session_window" ->
+      """WITH x AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk FROM events),
+        |y AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM x)
+        |SELECT user_id, CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS s_start, CAST(FLOOR(epoch(max(ts))) AS BIGINT) + 600 AS s_end, CAST(count(*) AS BIGINT) AS cnt FROM y GROUP BY user_id, sess ORDER BY user_id, s_start""".stripMargin,
+    "q10_dedup_events" ->
+      """WITH r AS (SELECT user_id, event_type, event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events)
+        |SELECT user_id, event_type, event_id FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q11_join_3way" ->
+      "SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue, CAST(count(*) AS BIGINT) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "q12_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+        |CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q13_semi_anti" ->
+      """SELECT * FROM (
+        |SELECT 'with_orders' AS k, CAST(count(*) AS BIGINT) AS cnt FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'without_orders' AS k, CAST(count(*) AS BIGINT) AS cnt FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |) ORDER BY k""".stripMargin,
+    "q14_rank_in_group" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q15_running_agg" ->
+      "SELECT o_custkey, o_orderkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum FROM orders ORDER BY o_custkey, o_orderkey",
+    "q16_rollup" ->
+      """SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region_name,
+        |CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation_name,
+        |CAST(count(*) AS BIGINT) AS cnt,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY region_name, nation_name""".stripMargin,
+    "q17_distinct_exact" ->
+      "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS dusers FROM events GROUP BY event_type ORDER BY event_type",
+    "q18_set_ops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT * FROM (
+        |SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        |UNION ALL SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        |UNION ALL SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)
+        |) ORDER BY op""".stripMargin,
+    "q19_scalar_suite" ->
+      """SELECT o_orderkey, substr(o_orderpriority, 1, 3) AS pri3, strftime(o_orderdate, '%Y-%m') AS order_month,
+        |CAST(year(o_orderdate) AS BIGINT) AS order_year, CAST(length(o_orderstatus) AS BIGINT) AS status_len,
+        |CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor, concat_ws('-', o_orderstatus, o_orderpriority) AS status_pri,
+        |coalesce(o_orderstatus, '?') AS status_nn FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q20_text_dedup" ->
+      "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT) AS n_uniq FROM documents GROUP BY lang, source ORDER BY lang, source",
+    "q21_token_stats" ->
+      """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q22_knn_cosine" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE label = 1),
+         |p AS (SELECT q_id, vec_id AS n_id, list_inner_product(qv, v) / (qn * nrm) AS c FROM q JOIN n ON vec_id <> q_id),
+         |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q23_json_props" ->
+      "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY k ORDER BY k",
+    "q24_stream_score" ->
+      "SELECT CASE WHEN value > 100 THEN 'flagged' ELSE 'normal' END AS label, event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2 ORDER BY label, event_type",
+    "d1_dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",
+    "d2_dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT a_id, b_id, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+         |FROM pr JOIN sz x ON x.doc_id = a_id JOIN sz y ON y.doc_id = b_id
+         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    "d3_dedup_minhash_lsh" -> minhashSql,
+    "d4_simhash" -> simhashSql,
+    "d5_embed_near_dup" ->
+      s"""WITH $embCte
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    "s2_ann_bucket" ->
+      s"""WITH $embCte,
+         |bkt AS (SELECT vec_id, v, nrm, label, $bucketSql AS bucket FROM n),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM bkt WHERE label = 1),
+         |p AS (SELECT q_id, b.vec_id AS n_id, list_inner_product(qv, b.v) / (qn * b.nrm) AS c FROM q JOIN bkt b USING (bucket) WHERE b.vec_id <> q_id),
+         |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "t1_lang_id" -> {
+      val scores = TextOps.langPatterns.map { case (l, p) =>
+        s"len(regexp_extract_all(lower(text), '$p')) AS s_$l"
+      }.mkString(", ")
+      s"""WITH s AS (SELECT doc_id, $scores FROM documents)
+         |SELECT doc_id, CASE
+         |WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         |WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |WHEN s_fr > 0 THEN 'fr'
+         |ELSE 'und' END AS pred_lang FROM s ORDER BY doc_id""".stripMargin
+    },
+    "t2_text_quality" ->
+      """WITH b AS (SELECT doc_id, text,
+        |list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+        |len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+        |len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is)\b')) AS n_stop FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS sum_len,
+        |CAST(n_punct AS DOUBLE) AS n_punct, CAST(n_stop AS DOUBLE) AS n_stop,
+        |CAST(length(text) AS DOUBLE) AS n_chars FROM b)
+        |SELECT doc_id, n_tok, round(sum_len / n_tok, 4) AS avg_tok_len,
+        |round(n_punct / n_chars, 4) AS punct_ratio,
+        |round(n_stop / n_tok, 4) AS stop_ratio,
+        |round(least(CAST(n_tok AS DOUBLE) / 200.0, 1.0) * 0.5 + (n_stop / n_tok) * 0.3 + (1.0 - n_punct / n_chars) * 0.2, 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "t3_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents)
+        |SELECT doc_id, CASE WHEN len(ts) >= 5
+        |THEN list_min(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))
+        |ELSE md5(list_aggregate(ts, 'string_agg', ' ')) END AS fp
+        |FROM tok ORDER BY doc_id""".stripMargin,
+    "m1_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |lower(hex(encode(substr(text, 1, 8)))) AS head_hex, md5(text) AS content_md5
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+import graft.out.Canonical._
+
+/** Deduplication operators over `documents` (LLM-pipeline suite):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: all variants are shuffle-on-key DataFrame plans.
+  *  - exact: one hash aggregation on the normalized text (map-side
+  *    partial dedup first).
+  *  - n-gram Jaccard: inverted index on shingles (shuffle key = shingle),
+  *    so only docs *sharing* a shingle ever meet — no O(n²) cross join.
+  *  - MinHash+LSH: constant-size signature per doc (16 hashes → 4 bands),
+  *    candidate pairs meet on band values; exact Jaccard verification only
+  *    runs on candidates. At 100 TB this is the textbook near-dup plan.
+  *  - SimHash: constant-size fingerprint per doc via one explode+agg.
+  *
+  * Determinism: hash functions are md5 hex strings (identical in every
+  * engine); MinHash minima are *lexicographic string* minima so the DuckDB
+  * oracle can replay the exact same signatures.
+  */
+object DedupOps {
+
+  /** Distinct (doc_id, shingle) pairs: word 3-grams of normalized tokens. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+      )).as("shingle"))
+      .distinct()
+
+  /** Exact Jaccard for given candidate pairs (a_id < b_id). */
+  private def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val s1 = sh.select(col("doc_id").as("a_id"), col("shingle"))
+    val s2 = sh.select(col("doc_id").as("b_id"), col("shingle"))
+    pairs
+      .join(s1, "a_id").join(s2, Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+  }
+
+  /** d1 exact dedup: group on normalized text, keep the smallest doc_id. */
+  def d1Exact(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "documents")
+      .groupBy(TextOps.normText(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select("keep_id", "dup_cnt")
+      .orderBy("keep_id")
+
+  /** d2 n-gram Jaccard near-dup: all pairs with J ≥ 0.5 via the shingle
+    * inverted index (exact — no LSH approximation). */
+  def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Sources.table(spark, dir, "documents"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    jaccard(pairs, sh)
+      .filter(col("jac") >= 0.5)
+      .select(col("a_id"), col("b_id"), r4(col("jac")).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val MinhashK = 16
+  val Bands = 4 // 4 rows per band
+
+  /** MinHash signature: h_j = lexicographic min of md5("<j>|<shingle>"). */
+  private def signatures(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(
+      min(md5(concat_ws("|", lit(0), col("shingle")))).as("h0"),
+      (1 until MinhashK).map(j =>
+        min(md5(concat_ws("|", lit(j), col("shingle")))).as(s"h$j")): _*)
+
+  /** d3 MinHash+LSH near-dup: banded candidate generation + exact verify
+    * at J ≥ 0.7. Output = LSH candidates that verify (the oracle replays
+    * the identical signature/band construction, so approximation error is
+    * itself deterministic). */
+  def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Sources.table(spark, dir, "documents"))
+    val sig = signatures(sh)
+    val rows = MinhashK / Bands
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("bi"),
+        md5(concat((b * rows until (b + 1) * rows).map(j => col(s"h$j")): _*)).as("bv"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.bi"), col("band.bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    jaccard(cand, sh)
+      .filter(col("jac") >= 0.7)
+      .select(col("a_id"), col("b_id"), r4(col("jac")).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val SimhashBits = 32
+
+  /** d4 SimHash fingerprint: 32-bit signature from md5 nibbles of each
+    * token occurrence (bit i weight: +1/-1 by hash bit, summed per doc). */
+  def d4Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .withColumn("h", md5(col("t")))
+    val bitSums: Seq[Column] = (0 until SimhashBits).map { i =>
+      val v = conv(substring(col("h"), 1 + i / 4, 1), 16, 10).cast("int")
+      val bit = shiftright(v, 3 - i % 4).bitwiseAND(lit(1))
+      sum(bit * 2 - 1).as(s"s$i")
+    }
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until SimhashBits).map(i =>
+          when(col(s"s$i") >= 0, "1").otherwise("0")): _*).as("simhash"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Sources
+
+/** Multimodal-column plumbing: media payloads travel as opaque `binary`
+  * columns with a typed metadata struct; decode / feature-extraction runs
+  * batched per partition.
+  *
+  * The container ships no image/audio codecs, so `fakeDecode` stands in
+  * for the real decoder — a deterministic byte-level featurizer with the
+  * same Spark-side contract (binary in, fixed-width feature vector +
+  * metadata out). Swapping in a real codec changes ONE function; the
+  * schema, batching, and partitioning stay as tested here.
+  */
+object MultimodalOps {
+
+  /** Media row schema: payload + typed metadata, the shape a 100 TB
+    * multimodal lake would carry (payload possibly a pointer). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("byte_len", LongType))))))
+
+  /** Wrap documents as a media table (text bytes standing in for blobs). */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        octet_length(col("text").cast("binary")).cast("long").as("byte_len")).as("meta"))
+
+  /** Deterministic stand-in for a media decoder: 8-bin byte histogram,
+    * normalized. Real pipelines put the codec here, still batched
+    * per-partition so codec init cost amortizes (cf. the per-partition
+    * producer pattern at reference ProducerFinal.scala:66). */
+  def fakeDecode(payload: Array[Byte]): Array[Double] = {
+    val bins = new Array[Double](8)
+    payload.foreach(b => bins((b & 0xff) / 32) += 1.0)
+    val n = math.max(payload.length, 1)
+    bins.map(_ / n)
+  }
+
+  /** Batched per-partition "decode" producing feature vectors. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("mime", StringType),
+      StructField("byte_len", LongType),
+      StructField("features", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    media.mapPartitions { rows =>
+      // codec/session init would happen once per partition here
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val meta = r.getAs[Row]("meta")
+        Row(r.getLong(0), meta.getString(0), meta.getLong(1), fakeDecode(payload))
+      }
+    }(enc)
+  }
+
+  /** m1: metadata + content-hash projection over the media table —
+    * the oracle-checkable slice of the multimodal path. */
+  def m1MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    asMedia(Sources.table(spark, dir, "documents"))
+      .select(
+        col("media_id"),
+        col("meta.mime").as("mime"),
+        col("meta.byte_len").as("byte_len"),
+        lower(hex(substring(col("payload"), 1, 8))).as("head_hex"),
+        md5(col("payload")).as("content_md5"))
+      .orderBy("media_id")
+}

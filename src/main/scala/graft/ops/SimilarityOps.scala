@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.io.Sources
+import graft.out.Canonical._
+
+/** Similarity search over the `embeddings` table (LLM-pipeline suite).
+  *
+  * Cosine is computed with a sequential left-fold over double-promoted
+  * arrays — both Spark's `aggregate` and DuckDB's `list_inner_product`
+  * accumulate left-to-right in doubles, so scores are bit-identical and
+  * rankings agree without tolerance.
+  *
+  * Scale path: q22 brute force broadcasts the (small) query set against a
+  * partitioned corpus — linear scan, embarrassingly parallel, the right
+  * baseline. s2 is the bucketed variant: a deterministic sign-LSH
+  * (axis-aligned hyperplanes) shrinks each query's candidate set to its
+  * bucket, turning the scan into a co-partitioned hash join on bucket id —
+  * the IVF-style plan you'd run at 100 TB (trade recall for fan-out).
+  */
+object SimilarityOps {
+
+  /** dot(a, b) with left-fold accumulation in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def normed(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** Q22 knn-cosine: exact top-5 neighbours for each query vector
+    * (label = 1), brute force. */
+  def q22KnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    val q = all.filter(col("label") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("cos_sim"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Deterministic sign-LSH bucket: 8 sign bits of the leading dims. */
+  def signBucket(v: Column): Column =
+    (0 until 8).map(i => when(element_at(v, i + 1) >= 0, 1 << i).otherwise(0))
+      .reduce(_ + _).cast("long")
+
+  /** s2 bucketed ANN: top-3 within the query's sign-LSH bucket.
+    * Same shape as an IVF probe: partition corpus by bucket, join queries
+    * to their bucket only. */
+  def s2AnnBucket(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir).withColumn("bucket", signBucket(col("v")))
+    val q = all.filter(col("label") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val pairs = all.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("cos_sim"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** d5 embedding near-dup: all pairs with cosine ≥ 0.4 (a < b).
+    * Brute self-join here; at scale the s2 bucketing (or MinHash over
+    * quantized dims) prunes candidates first. */
+  def d5EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    val a = all.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+    val b = all.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("c", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("c") >= 0.4)
+      .select(col("a_id"), col("b_id"), r4(col("c")).as("cos_sim"))
+      .orderBy("a_id", "b_id")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+import graft.out.Canonical._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.4
+  * Q20–Q21 + the LLM-pipeline text suite: language-ID, quality scoring,
+  * token counting, fingerprinting).
+  *
+  * Everything is built from codegen'd `functions._` expressions — no UDFs
+  * — so the scan stays inside whole-stage codegen and scales linearly:
+  * each query is a narrow map over documents followed by (at most) one
+  * aggregation exchange.
+  */
+object TextOps {
+
+  /** Lower-cased alphanumeric tokens; shared by text + dedup ops. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** Whitespace-squeezed, lower-cased canonical text for exact dedup. */
+  def normText(c: Column): Column =
+    trim(lower(regexp_replace(c, "\\s+", " ")))
+
+  /** Q20 text-dedup: docs per (lang, source) before/after normalization. */
+  def q20TextDedup(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "documents")
+      .withColumn("norm", normText(col("text")))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("norm")).as("n_uniq"))
+      .orderBy("lang", "source")
+
+  /** Q21 token-stats: top-20 tokens across the corpus.
+    * explode→partial-count→final-count: the heavy dedup happens map-side. */
+  def q21TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  // Language-ID stopword patterns (tiny n-gram heuristic; deterministic).
+  val langPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in)\\b",
+    "es" -> "\\b(el|la|de|que|y)\\b",
+    "de" -> "\\b(der|die|und|das|ist)\\b",
+    "fr" -> "\\b(le|la|et|les|des)\\b")
+
+  private def stopHits(c: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(c), lit(pattern), lit(0)))
+
+  /** t1 language-ID: stopword-hit voting with a fixed priority order. */
+  def t1LangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    val scored = langPatterns.foldLeft(docs) { case (df, (l, p)) =>
+      df.withColumn(s"s_$l", stopHits(col("text"), p))
+    }
+    scored.select(
+      col("doc_id"),
+      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+           col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") &&
+              col("s_es") > 0, "es")
+        .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+        .when(col("s_fr") > 0, "fr")
+        .otherwise("und").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** t2 quality scoring: length / punctuation / stopword signals. */
+  def t2Quality(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("sum_len",
+        aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x))
+      .withColumn("n_punct",
+        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))))
+      .withColumn("n_stop", stopHits(col("text"), "\\b(the|and|of|to|in|a|is)\\b"))
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        r4(col("sum_len").cast("double") / col("n_tok").cast("double")).as("avg_tok_len"),
+        r4(col("n_punct").cast("double") / length(col("text")).cast("double")).as("punct_ratio"),
+        r4(col("n_stop").cast("double") / col("n_tok").cast("double")).as("stop_ratio"),
+        r4(least(col("n_tok").cast("double") / 200.0, lit(1.0)) * 0.5
+          + (col("n_stop").cast("double") / col("n_tok").cast("double")) * 0.3
+          + (lit(1.0) - col("n_punct").cast("double") / length(col("text")).cast("double")) * 0.2
+        ).as("quality"))
+      .orderBy("doc_id")
+
+  /** t3 token counting: whitespace tokens + a BPE-ish regex tokenizer. */
+  def t3TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= lit("")))
+          .cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** t4 document fingerprint: min-hash over word 5-grams (winnowing-style
+    * content signature; robust to reordering of distant parts). */
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("fp",
+        when(size(col("toks")) >= 5,
+          array_min(transform(
+            sequence(lit(0), size(col("toks")) - 5),
+            i => md5(concat_ws(" ",
+              col("toks")(i), col("toks")(i + 1), col("toks")(i + 2),
+              col("toks")(i + 3), col("toks")(i + 4))))))
+          .otherwise(md5(concat_ws(" ", col("toks")))))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.io.Sources
+
+/** Deterministic streaming replay harness: run any batch-compatible
+  * `DataFrame => DataFrame` transform as a Structured Streaming query over
+  * a fixture table, drain it with AvailableNow, and hand back the result
+  * as a batch DataFrame (memory sink).
+  *
+  * This is the engine's batch≡stream equivalence tool (SURVEY.md §5.2#3):
+  * the same transform object runs in both modes, so streaming semantics
+  * are tested, not trusted. Replaces the reference's DStream wiring
+  * (ConsumerESFinal.scala:36-47) with Structured Streaming + checkpoint.
+  */
+object Replay {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run `transform` over a streaming read of `table`, complete-mode. */
+  def complete(spark: SparkSession, dir: String, table: String)
+              (transform: DataFrame => DataFrame): DataFrame =
+    run(spark, dir, table, "complete")(transform)
+
+  /** Run `transform` over a streaming read of `table`, append-mode
+    * (requires a watermark upstream for stateful ops). */
+  def append(spark: SparkSession, dir: String, table: String)
+            (transform: DataFrame => DataFrame): DataFrame =
+    run(spark, dir, table, "append")(transform)
+
+  private def run(spark: SparkSession, dir: String, table: String, mode: String)
+                 (transform: DataFrame => DataFrame): DataFrame = {
+    val name = s"graft_replay_${counter.incrementAndGet()}"
+    val checkpoint = Files.createTempDirectory("graft_ckpt_").toString
+    val q = transform(Sources.stream(spark, dir, table))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
