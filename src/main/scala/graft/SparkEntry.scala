@@ -103,6 +103,12 @@ object SparkEntry {
   private val bucketSql: String =
     (0 until 8).map(i => s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
+  /** Mirror of SimilarityOps.bandValue for band b. */
+  private def bandSql(b: Int): String =
+    (0 until SimilarityOps.BandBits).map(i =>
+      s"(CASE WHEN v[${b * SimilarityOps.BandBits + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)"
+    ).mkString(" + ")
+
   private val embCte =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
       |n AS (SELECT vec_id, v, label, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
@@ -202,17 +208,25 @@ object SparkEntry {
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",
     "d2_dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
-         |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= ${DedupOps.MaxShingleDf}),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM rare f JOIN sh a ON a.s = f.s JOIN sh b ON b.s = f.s AND a.doc_id < b.doc_id),
+         |pr AS (SELECT c.a_id, c.b_id, count(*) AS i FROM cand c JOIN sh s1 ON s1.doc_id = c.a_id JOIN sh s2 ON s2.doc_id = c.b_id AND s2.s = s1.s GROUP BY 1, 2)
          |SELECT a_id, b_id, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
          |FROM pr JOIN sz x ON x.doc_id = a_id JOIN sz y ON y.doc_id = b_id
          |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
     "d3_dedup_minhash_lsh" -> minhashSql,
     "d4_simhash" -> simhashSql,
-    "d5_embed_near_dup" ->
-      s"""WITH $embCte
-         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    "d5_embed_near_dup" -> {
+      val bandSelects = (0 until SimilarityOps.SignBands)
+        .map(b => s"SELECT vec_id, $b AS bi, ${bandSql(b)} AS bv FROM n")
+        .mkString(" UNION ALL ")
+      s"""WITH $embCte,
+         |band AS ($bandSelects),
+         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id FROM band x JOIN band y ON x.bi = y.bi AND x.bv = y.bv AND x.vec_id < y.vec_id)
+         |SELECT c.a_id, c.b_id, round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+         |FROM cand c JOIN n a ON a.vec_id = c.a_id JOIN n b ON b.vec_id = c.b_id
+         |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4 ORDER BY a_id, b_id""".stripMargin
+    },
     "s2_ann_bucket" ->
       s"""WITH $embCte,
          |bkt AS (SELECT vec_id, v, nrm, label, $bucketSql AS bucket FROM n),
@@ -245,7 +259,7 @@ object SparkEntry {
         |round(n_punct / n_chars, 4) AS punct_ratio,
         |round(n_stop / n_tok, 4) AS stop_ratio,
         |round(least(CAST(n_tok AS DOUBLE) / 200.0, 1.0) * 0.5 + (n_stop / n_tok) * 0.3 + (1.0 - n_punct / n_chars) * 0.2, 4) AS quality
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |FROM m WHERE n_tok > 0 ORDER BY doc_id""".stripMargin,
     "t3_token_count" ->
       """SELECT doc_id,
         |CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
@@ -255,11 +269,11 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents)
         |SELECT doc_id, CASE WHEN len(ts) >= 5
         |THEN list_min(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))
-        |ELSE md5(list_aggregate(ts, 'string_agg', ' ')) END AS fp
+        |ELSE md5(coalesce(list_aggregate(ts, 'string_agg', ' '), '')) END AS fp
         |FROM tok ORDER BY doc_id""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |lower(hex(encode(substr(text, 1, 8)))) AS head_hex, md5(text) AS content_md5
+        |lower(substring(hex(encode(text)), 1, 16)) AS head_hex, md5(text) AS content_md5
         |FROM documents ORDER BY media_id""".stripMargin
   )
 }

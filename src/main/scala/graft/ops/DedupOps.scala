@@ -48,19 +48,36 @@ object DedupOps {
       .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
   }
 
-  /** d1 exact dedup: group on normalized text, keep the smallest doc_id. */
+  /** d1 exact dedup: group on the md5 of the normalized text, keep the
+    * smallest doc_id. Hashing the key means the shuffle moves 32-byte
+    * digests instead of full document bodies — at 100 TB the group-by key
+    * traffic is constant per row, not corpus-sized. (Grouping by a hash is
+    * equivalent to grouping by the text itself up to md5 collisions.) */
   def d1Exact(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "documents")
-      .groupBy(TextOps.normText(col("text")).as("norm"))
+      .groupBy(md5(TextOps.normText(col("text"))).as("norm_key"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .select("keep_id", "dup_cnt")
       .orderBy("keep_id")
 
-  /** d2 n-gram Jaccard near-dup: all pairs with J ≥ 0.5 via the shingle
-    * inverted index (exact — no LSH approximation). */
+  /** Candidate generation ignores shingles shared by more than this many
+    * documents: a boilerplate 3-gram appearing in k docs would alone
+    * create k²/2 candidate pairs. True near-dups (J ≥ 0.5) share many
+    * shingles, so dropping the frequent ones from *candidate generation
+    * only* (verification still uses every shingle) loses a pair only if
+    * ALL of its shared shingles are corpus-frequent. */
+  val MaxShingleDf = 100
+
+  /** d2 n-gram Jaccard near-dup: pairs with J ≥ 0.5 via the shingle
+    * inverted index, document-frequency-capped (the oracle mirrors the
+    * same cap, so the output is exactly reproducible). */
   def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(Sources.table(spark, dir, "documents"))
-    val pairs = sh.as("x").join(sh.as("y"),
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select("shingle")
+    val keyed = sh.join(rare, "shingle")
+    val pairs = keyed.as("x").join(keyed.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()

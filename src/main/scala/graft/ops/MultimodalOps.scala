@@ -54,7 +54,7 @@ object MultimodalOps {
       StructField("mime", StringType),
       StructField("byte_len", LongType),
       StructField("features", ArrayType(DoubleType))))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    val enc = org.apache.spark.sql.Encoders.row(out)
     media.mapPartitions { rows =>
       // codec/session init would happen once per partition here
       rows.map { r =>

@@ -143,22 +143,30 @@ object Relational {
   }
 
   /** Q16 rollup over region→nation with grouping() decoded to 'ALL'
-    * (avoids NULL-ordering divergence between engines). */
+    * (avoids NULL-ordering divergence between engines).
+    *
+    * Expressed through the SQL surface: the Dataset API's `rollup` after a
+    * multi-table join trips Spark 4.1's ambiguous-self-join detector (the
+    * rollup Expand duplicates the grouping attributes) even when inputs
+    * are aliased and pre-projected; `GROUP BY ROLLUP` in SQL resolves
+    * cleanly and plans identically (Expand + partial/final hash agg,
+    * dims broadcast). */
   def q16Rollup(spark: SparkSession, dir: String): DataFrame = {
-    val customer = Sources.table(spark, dir, "customer")
-    val nation = Sources.table(spark, dir, "nation")
-    val region = Sources.table(spark, dir, "region")
-    customer
-      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-      .rollup("r_name", "n_name")
-      .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("sum_bal"),
-        grouping(col("r_name")).as("gr"), grouping(col("n_name")).as("gn"))
-      .select(
-        when(col("gr") === 1, "ALL").otherwise(col("r_name")).as("region_name"),
-        when(col("gn") === 1, "ALL").otherwise(col("n_name")).as("nation_name"),
-        col("cnt"), col("sum_bal"))
-      .orderBy("region_name", "nation_name")
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    Seq("customer", "nation", "region").foreach { t =>
+      Sources.table(spark, dir, t).createOrReplaceTempView(s"q16_${t}_$id")
+    }
+    spark.sql(s"""
+      SELECT /*+ BROADCAST(n), BROADCAST(r) */
+        CASE WHEN grouping(r_name) = 1 THEN 'ALL' ELSE r_name END AS region_name,
+        CASE WHEN grouping(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation_name,
+        count(*) AS cnt,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      FROM q16_customer_$id c
+      JOIN q16_nation_$id n ON c_nationkey = n_nationkey
+      JOIN q16_region_$id r ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY region_name, nation_name""")
   }
 
   /** Q17 exact distinct count per group. */
@@ -168,18 +176,24 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("dusers"))
       .orderBy("event_type")
 
-  /** Q18 set ops over per-type user sets. */
+  /** Q18 set ops over per-type user sets, in ONE pass: a single
+    * groupBy(user_id) computes per-user click/purchase flags, then a tiny
+    * final aggregate derives except/intersect/union cardinalities. One
+    * shuffle over events instead of six (the naive except/intersect/union
+    * plan scans the fact table three times). */
   def q18SetOps(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Sources.table(spark, dir, "events")
-    def users(t: String) = ev.filter(col("event_type") === t)
-      .select("user_id").distinct()
-    val click = users("click"); val purchase = users("purchase")
-    def counted(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("cnt")).withColumn("op", lit(name))
-    counted("except", click.except(purchase))
-      .unionByName(counted("intersect", click.intersect(purchase)))
-      .unionByName(counted("union", click.union(purchase).distinct()))
-      .select("op", "cnt")
+    val flags = Sources.table(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+    flags.agg(
+        sum(when(col("c") === 1 && col("p") === 0, 1L).otherwise(0L)).as("n_except"),
+        sum(when(col("c") === 1 && col("p") === 1, 1L).otherwise(0L)).as("n_intersect"),
+        sum(when(col("c") === 1 || col("p") === 1, 1L).otherwise(0L)).as("n_union"))
+      .selectExpr(
+        "stack(3, 'except', n_except, 'intersect', n_intersect, 'union', n_union) AS (op, cnt)")
       .orderBy("op")
   }
 

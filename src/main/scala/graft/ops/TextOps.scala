@@ -70,11 +70,14 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** t2 quality scoring: length / punctuation / stopword signals. */
+  /** t2 quality scoring: length / punctuation / stopword signals.
+    * Zero-token docs are excluded (identically in the oracle) — every
+    * ratio here divides by the token count. */
   def t2Quality(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "documents")
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") > 0)
       .withColumn("sum_len",
         aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x))
       .withColumn("n_punct",
