@@ -56,7 +56,9 @@ object SparkEntry {
     "t3_token_count" -> (TextOps.t3TokenCount _),
     "t4_fingerprint" -> (TextOps.t4Fingerprint _),
     "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
-    "x2_ml_score" -> (ScoringPipeline.x2MlScore _)
+    "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
+    "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
+    "x3_ml_eval" -> (ScoringPipeline.x3MlEval _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -274,6 +276,20 @@ object SparkEntry {
     "m1_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |lower(substring(hex(encode(text)), 1, 16)) AS head_hex, md5(text) AS content_md5
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "m2_decode_histogram" -> {
+      // Mirror of MultimodalOps.fakeDecode: 8-bin byte histogram over the
+      // UTF-8 payload, normalized, 4 dp. Bytes are recovered from the hex
+      // encoding (DuckDB's substring cannot slice BLOBs directly).
+      val bins = (0 until 8).map(i =>
+        s"round(coalesce(max(CASE WHEN bin = $i THEN cnt END), 0) / CAST(n AS DOUBLE), 4) AS b$i"
+      ).mkString(", ")
+      s"""WITH bt AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents),
+         |ix AS (SELECT doc_id, n, h, unnest(range(n)) AS i FROM bt),
+         |b AS (SELECT doc_id, n, ((strpos('0123456789ABCDEF', substring(h, 2*i+1, 1)) - 1) * 16 + strpos('0123456789ABCDEF', substring(h, 2*i+2, 1)) - 1) // 32 AS bin FROM ix),
+         |c AS (SELECT doc_id, n, bin, count(*) AS cnt FROM b GROUP BY 1, 2, 3)
+         |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS byte_len, $bins
+         |FROM c GROUP BY doc_id, n ORDER BY media_id""".stripMargin
+    }
   )
 }

@@ -25,11 +25,40 @@ object Sources {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     normalizeTs(spark.read.parquet(path(dir, name)))
 
-  /** Streaming replay of a fixture table (deterministic: file source). */
+  /** Streaming replay of a fixture table (deterministic: file source).
+    * The streaming file source requires a directory-like path: for a
+    * non-glob path FileStreamSource force-overrides `basePath` to the
+    * path itself, which fails for a single file. Wrapping the file name
+    * in `{...}` makes it a (single-alternative) glob, so the explicit
+    * `basePath` = SF dir survives and the one-file fixture replays. */
   def stream(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(path(dir, name)).schema
-    normalizeTs(spark.readStream.schema(raw).parquet(path(dir, name)))
+    normalizeTs(
+      spark.readStream.schema(raw)
+        .option("basePath", dir)
+        .parquet(s"$dir/{$name.parquet}"))
   }
+
+  /** Kafka consumer options (reference ConsumerESFinal.scala:40-45:
+    * subscribe-by-topic, earliest offsets; deserialization is the
+    * `cast("string")` in [[kafkaStream]] — the connector hands bytes). */
+  def kafkaSourceOptions(bootstrapServers: String, topic: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> "earliest")
+
+  /** Streaming Kafka source (O7 parity) producing the same (key, value)
+    * string shape the file-replay path feeds downstream — so every
+    * transform runs unchanged against Kafka or replay. Requires the
+    * spark-sql-kafka connector jar (absent in this zero-egress image;
+    * the file source is the test default). */
+  def kafkaStream(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .options(kafkaSourceOptions(bootstrapServers, topic))
+      .load()
+      .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
 
   /** `events.ts` arrives as INT64 nanos (TIMESTAMP(NANOS) parquet has no
     * Spark type; `spark.sql.legacy.parquet.nanosAsLong=true`). Convert to

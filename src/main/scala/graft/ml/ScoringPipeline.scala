@@ -41,6 +41,25 @@ object ScoringPipeline {
     * event_type) with the reference's label decode (Bolt / Not bolt →
     * flagged / normal). Deterministic (fixed seed, count-based impurity)
     * but not SQL-expressible → rows-only correctness check. */
+  /** x3: 70/30 randomSplit train/holdout evaluation (O15 — the analog of
+    * reference DecisionTreeTest.scala:37-46, which eyeballed predictions;
+    * here accuracy is computed and golden-tested). Deterministic: fixed
+    * split seed over a deterministic parquet read, fixed tree seed. */
+  def x3MlEval(spark: SparkSession, dir: String): DataFrame = {
+    val feats = featurize(Sources.table(spark, dir, "events")).cache()
+    val Array(train, holdout) = feats.randomSplit(Array(0.7, 0.3), seed = 42L)
+    val model = fit(train)
+    model.transform(holdout)
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("prediction") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(
+        lit("decision_tree_holdout").as("metric"),
+        col("n_test"),
+        col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_test").cast("double"), 4).as("accuracy"))
+  }
+
   def x2MlScore(spark: SparkSession, dir: String): DataFrame = {
     val feats = featurize(Sources.table(spark, dir, "events")).cache()
     val model = fit(feats)

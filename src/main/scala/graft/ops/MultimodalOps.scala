@@ -65,6 +65,21 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** m2: the decode path end-to-end, oracle-checkable — runs the
+    * per-partition batched "decoder" (`decodeFeatures`/`fakeDecode`) and
+    * projects the 8-bin normalized byte histogram to columns. The DuckDB
+    * oracle recomputes the same histogram from the UTF-8 bytes, so the
+    * whole mapPartitions plumbing (schema, encoder, batching) is
+    * hash-checked, not just the metadata slice. */
+  def m2DecodeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val feats = decodeFeatures(spark,
+      asMedia(Sources.table(spark, dir, "documents")))
+    val bins = (0 until 8).map(i =>
+      round(element_at(col("features"), i + 1), 4).as(s"b$i"))
+    feats.select((col("media_id") +: col("byte_len") +: bins): _*)
+      .orderBy("media_id")
+  }
+
   /** m1: metadata + content-hash projection over the media table —
     * the oracle-checkable slice of the multimodal path. */
   def m1MultimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -67,4 +67,23 @@ object Windowed {
       .select("user_id", "event_type", "event_id")
       .orderBy("user_id", "event_type")
   }
+
+  /** Streaming dedup with *bounded* state: duplicates arriving within the
+    * watermark horizon are dropped, state older than the watermark is
+    * evicted (`dropDuplicatesWithinWatermark`). At 100 TB/day this is the
+    * only dedup that survives — unbounded `dropDuplicates` state grows
+    * with key cardinality forever. Semantics: a key re-appearing after
+    * the horizon is re-emitted, so the output is a superset of the batch
+    * distinct (asserted in tests). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type", "event_id")
+
+  /** Streaming first-arrival dedup (unbounded state; exact). */
+  def dedupExactStream(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type", "event_id")
 }

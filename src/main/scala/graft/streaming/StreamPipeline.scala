@@ -43,8 +43,18 @@ object StreamPipeline {
       .groupBy("label", "event_type")
       .agg(count(lit(1)).as("cnt"))
 
-  /** Q24 batch entry for the correctness gate. */
+  /** Q24 gate entry — runs through Structured Streaming for real: the
+    * events fixture is replayed as a file stream, the score transform and
+    * aggregation execute incrementally (complete mode), and the memory
+    * sink's final state is the result. The aggregate is 10 rows, so the
+    * driver-side sink is fine at any corpus scale; batch≡stream equality
+    * is separately asserted in StreamEquivSpec. */
   def q24StreamScore(spark: SparkSession, dir: String): DataFrame =
+    Replay.complete(spark, dir, "events")(scoreCounts)
+      .orderBy("label", "event_type")
+
+  /** Batch-mode twin of the gate entry (used by the equivalence test). */
+  def q24Batch(spark: SparkSession, dir: String): DataFrame =
     scoreCounts(Sources.table(spark, dir, "events"))
       .orderBy("label", "event_type")
 }

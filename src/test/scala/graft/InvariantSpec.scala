@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Sources
+import graft.ops._
+
+/** Cross-query invariants (SURVEY.md §5.2#4): structural laws that must
+  * hold for any input, checked over the sf0.001 fixture. */
+class InvariantSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val nEvents = Sources.table(spark, sf, "events").count()
+  private lazy val nDocs = Sources.table(spark, sf, "documents").count()
+  private lazy val nCustomers = Sources.table(spark, sf, "customer").count()
+
+  test("q05 topk-other buckets partition all events") {
+    val total = Relational.q05TopkOther(spark, sf)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total == nEvents)
+  }
+
+  test("q03 class shares sum to 1") {
+    val s = Relational.q03ClassShare(spark, sf)
+      .agg(sum("share")).collect()(0).getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-3)
+  }
+
+  test("q06 percentages sum to 100 within each event_type") {
+    val bad = Relational.q06TwoDimPct(spark, sf)
+      .groupBy("event_type").agg(sum("pct").as("s"))
+      .filter(abs(col("s") - 100.0) > 0.01)
+    assert(bad.count() == 0)
+  }
+
+  test("q07 tumbling windows partition all events") {
+    val total = Windowed.q07Tumbling(spark, sf)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total == nEvents)
+  }
+
+  test("q09 session event counts partition all events") {
+    val total = Windowed.q09Sessions(spark, sf)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total == nEvents)
+  }
+
+  test("q13 semi + anti partitions the customer table") {
+    val total = Relational.q13SemiAnti(spark, sf)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total == nCustomers)
+  }
+
+  test("q14 emits at most 2 ranks per customer, ranks in {1,2}") {
+    val df = Relational.q14RankInGroup(spark, sf)
+    assert(df.filter(!col("rn").isin(1L, 2L)).count() == 0)
+    assert(df.groupBy("o_custkey").count().filter(col("count") > 2).count() == 0)
+  }
+
+  test("d1 dedup groups partition the documents table (idempotence)") {
+    val d1 = DedupOps.d1Exact(spark, sf)
+    assert(d1.agg(sum("dup_cnt")).collect()(0).getLong(0) == nDocs)
+    // idempotent: dedup of the survivors finds no further duplicates
+    assert(d1.filter(col("dup_cnt") < 1).count() == 0)
+  }
+
+  test("d3 candidates verify within the declared Jaccard band") {
+    val bad = DedupOps.d3MinhashLsh(spark, sf)
+      .filter(col("jaccard") < 0.7 || col("jaccard") > 1.0)
+    assert(bad.count() == 0)
+  }
+
+  test("d5 pairs are ordered and above the cosine floor") {
+    val df = graft.ops.SimilarityOps.d5EmbedNearDup(spark, sf)
+    assert(df.filter(col("a_id") >= col("b_id")).count() == 0)
+    assert(df.filter(col("cos_sim") < 0.4).count() == 0)
+  }
+
+  test("q22 returns exactly 5 ranked neighbours per query vector") {
+    val df = SimilarityOps.q22KnnCosine(spark, sf)
+    val perQ = df.groupBy("q_id").agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+    assert(perQ.filter(col("n") =!= 5 || col("mx") =!= 5).count() == 0)
+  }
+
+  test("t3 BPE-ish tokens are at least as many as whitespace tokens") {
+    val bad = TextOps.t3TokenCount(spark, sf)
+      .filter(col("bpe_tokens") < col("ws_tokens"))
+    assert(bad.count() == 0)
+  }
+
+  test("q18 set-op cardinality laws: |A| = except + intersect") {
+    val m = Relational.q18SetOps(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val clickUsers = Sources.table(spark, sf, "events")
+      .filter(col("event_type") === "click")
+      .select("user_id").distinct().count()
+    assert(m("except") + m("intersect") == clickUsers)
+    assert(m("union") >= m("intersect"))
+  }
+
+  test("m2 histograms are normalized (bins sum to ~1)") {
+    val df = MultimodalOps.m2DecodeHistogram(spark, sf)
+    val s = (0 until 8).map(i => col(s"b$i")).reduce(_ + _)
+    assert(df.filter(abs(s - 1.0) > 0.01).count() == 0)
+  }
+}

@@ -48,7 +48,7 @@ def main():
             print(f"FAIL {name}: " + "; ".join(problems)); n_bad += 1
         else:
             print(f"OK   {name} ({len(mine)} rows)"); n_ok += 1
-    missing = [q for q in ("x2_ml_score",) if q not in oracle]
+    missing = [q for q in ("x2_ml_score", "x3_ml_eval") if q not in oracle]
     print(f"\n{n_ok} ok, {n_bad} fail; rows-only (no oracle): {missing}")
     sys.exit(1 if n_bad else 0)
 
