@@ -14,6 +14,7 @@ object Engine {
 
   /** Common tuning applied to every session graft creates. */
   def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
+    .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     .config("spark.sql.adaptive.enabled", "true")

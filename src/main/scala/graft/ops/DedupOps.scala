@@ -70,18 +70,36 @@ object DedupOps {
 
   /** d2 n-gram Jaccard near-dup: pairs with J ≥ 0.5 via the shingle
     * inverted index, document-frequency-capped (the oracle mirrors the
-    * same cap, so the output is exactly reproducible). */
+    * same cap, so the output is exactly reproducible).
+    *
+    * Plan notes for scale: a pair is a candidate iff it shares a *rare*
+    * (df ≤ cap) shingle, and its intersection decomposes as
+    * i = i_rare + i_freq, each computed as a groupBy over its own bounded
+    * self-join — the naive candidates⋈shingles⋈shingles verify would
+    * explode to |pairs| × |shingles/doc| rows (~50 M at sf0.1). The rare
+    * side is bounded by the df cap (≤ cap·df per shingle), the frequent
+    * side by the frequent-shingle count (a tiny tail by definition).
+    * The shingle subtree is referenced five times and deliberately NOT
+    * persisted: recomputing a narrow scan+explode is cheaper than the
+    * cache, and a persisted subtree here gets substituted (by canonical-
+    * plan matching) into d3's plans, wrecking their join selection. */
   def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(Sources.table(spark, dir, "documents"))
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-      .select("shingle")
-    val keyed = sh.join(rare, "shingle")
-    val pairs = keyed.as("x").join(keyed.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    jaccard(pairs, sh)
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfs.filter(col("df") <= MaxShingleDf).select("shingle"), "shingle")
+    val freq = sh.join(dfs.filter(col("df") > MaxShingleDf).select("shingle"), "shingle")
+    def sharedCounts(side: DataFrame, as: String): DataFrame =
+      side.as("x").join(side.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as(as))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sharedCounts(rare, "i_rare")
+      .join(sharedCounts(freq, "i_freq"), Seq("a_id", "b_id"), "left")
+      .withColumn("i", col("i_rare") + coalesce(col("i_freq"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jac") >= 0.5)
       .select(col("a_id"), col("b_id"), r4(col("jac")).as("jaccard"))
       .orderBy("a_id", "b_id")

@@ -23,9 +23,13 @@ import graft.out.Canonical._
   */
 object SimilarityOps {
 
-  /** dot(a, b) with left-fold accumulation in double. */
+  /** dot(a, b) with left-fold accumulation in double — the native
+    * codegen'd expression (graft.functions.DotProduct), registered by
+    * GraftExtensions. Same fold order as the HOF formulation it replaced
+    * and as DuckDB's list_inner_product, so oracle scores stay
+    * bit-identical. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   private def normed(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "embeddings")
