@@ -44,6 +44,8 @@ object SparkEntry {
     "q21_token_stats" -> (TextOps.q21TokenStats _),
     "q22_knn_cosine" -> (SimilarityOps.q22KnnCosine _),
     "q23_json_props" -> (Relational.q23JsonProps _),
+    "q25_asof_join" -> (Relational.q25AsofJoin _),
+    "q26_range_join" -> (Relational.q26RangeJoin _),
     "q24_stream_score" -> (StreamPipeline.q24StreamScore _),
     "d1_dedup_exact" -> (DedupOps.d1Exact _),
     "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
@@ -206,6 +208,22 @@ object SparkEntry {
       "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY k ORDER BY k",
     "q24_stream_score" ->
       "SELECT CASE WHEN value > 100 THEN 'flagged' ELSE 'normal' END AS label, event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2 ORDER BY label, event_type",
+    "q25_asof_join" ->
+      """WITH e AS (SELECT user_id, ts, event_id, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT user_id, ts, event_id, tag,
+        |last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS) OVER win AS click_id,
+        |last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER win AS click_ts
+        |FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_p, click_id,
+        |CAST(FLOOR(epoch(click_ts)) AS BIGINT) AS ts_c,
+        |CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(click_ts)) AS BIGINT) AS lag_sec
+        |FROM w WHERE tag = 1 ORDER BY purchase_id""".stripMargin,
+    "q26_range_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",
     "d2_dedup_ngram_jaccard" ->

@@ -211,6 +211,54 @@ object Relational {
         coalesce(col("o_orderstatus"), lit("?")).as("status_nn"))
       .orderBy("o_orderkey")
 
+  /** Q25 as-of join: each purchase matched to the user's most recent
+    * click at-or-before it (classic attribution as-of).
+    *
+    * Spark has no native as-of join; the scalable formulation is the
+    * union-tag window pattern: one shuffle on user_id, one ordered window
+    * scan carrying the last click forward (`last(..., ignoreNulls)`), no
+    * join at all. An equality join + filter formulation would need a
+    * per-pair candidate explosion; this is O(n log n) per user partition
+    * and exactly the plan you'd run at 100 TB. Clicks sort before
+    * purchases at equal timestamps (tag 0 < 1), event_id breaks ties. */
+  def q25AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.table(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("click_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("ts").cast("long").as("ts_p"),
+        col("click_id"),
+        col("click_ts").cast("long").as("ts_c"),
+        (col("ts").cast("long") - col("click_ts").cast("long")).as("lag_sec"))
+      .orderBy("purchase_id")
+  }
+
+  /** Q26 range-predicate join: lineitems shipped within 30 days of their
+    * order's date, revenue per priority. Equi key (orderkey) carries the
+    * join; the range predicate rides along as a post-join filter inside
+    * the same SMJ — no nested-loop fallback. */
+  def q26RangeJoin(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "lineitem")
+      .join(Sources.table(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+
   /** Q23 JSON property extraction + group-by. */
   def q23JsonProps(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "events")

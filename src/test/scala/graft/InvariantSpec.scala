@@ -99,6 +99,21 @@ class InvariantSpec extends AnyFunSuite {
     assert(m("union") >= m("intersect"))
   }
 
+  test("q25 as-of: matched click precedes its purchase, same user") {
+    val df = Relational.q25AsofJoin(spark, sf).filter(col("click_id").isNotNull)
+    assert(df.filter(col("ts_c") > col("ts_p")).count() == 0)
+    assert(df.filter(col("lag_sec") < 0).count() == 0)
+  }
+
+  test("q26 range join never exceeds the plain equi-join row count") {
+    val ranged = Relational.q26RangeJoin(spark, sf)
+      .agg(sum("n_items")).collect()(0).getLong(0)
+    val full = Sources.table(spark, sf, "lineitem")
+      .join(Sources.table(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(ranged <= full && ranged > 0)
+  }
+
   test("m2 histograms are normalized (bins sum to ~1)") {
     val df = MultimodalOps.m2DecodeHistogram(spark, sf)
     val s = (0 until 8).map(i => col(s"b$i")).reduce(_ + _)
