@@ -114,6 +114,19 @@ class InvariantSpec extends AnyFunSuite {
     assert(ranged <= full && ranged > 0)
   }
 
+  test("q17 approx_count_distinct variant tracks the exact counts within 5%") {
+    val exact = Relational.q17DistinctExact(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sources.table(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("dusers"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex <= 0.05,
+        s"$k: approx ${approx(k)} vs exact $ex")
+    }
+  }
+
   test("m2 histograms are normalized (bins sum to ~1)") {
     val df = MultimodalOps.m2DecodeHistogram(spark, sf)
     val s = (0 until 8).map(i => col(s"b$i")).reduce(_ + _)
