@@ -46,6 +46,7 @@ object SparkEntry {
     "q23_json_props" -> (Relational.q23JsonProps _),
     "q25_asof_join" -> (Relational.q25AsofJoin _),
     "q26_range_join" -> (Relational.q26RangeJoin _),
+    "q27_cube" -> (Relational.q27Cube _),
     "q24_stream_score" -> (StreamPipeline.q24StreamScore _),
     "d1_dedup_exact" -> (DedupOps.d1Exact _),
     "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
@@ -224,6 +225,13 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 30 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_cube" ->
+      """WITH e AS (SELECT event_type, CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS vclass, value FROM events)
+        |SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS etype,
+        |CASE WHEN GROUPING(vclass) = 1 THEN 'ALL' ELSE vclass END AS vclass,
+        |CAST(count(*) AS BIGINT) AS cnt,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY CUBE(event_type, vclass) ORDER BY etype, vclass""".stripMargin,
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",
     "d2_dedup_ngram_jaccard" ->

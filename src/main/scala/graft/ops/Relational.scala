@@ -259,6 +259,23 @@ object Relational {
       .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
       .orderBy("o_orderpriority")
 
+  /** Q27 cube over (event_type × value class): all four grouping
+    * combinations with grouping() decoded to 'ALL'. Single-table cube
+    * doesn't trip the self-join detector that forced Q16 onto the SQL
+    * surface. */
+  def q27Cube(spark: SparkSession, dir: String): DataFrame = {
+    val g = Sources.table(spark, dir, "events")
+      .withColumn("vclass", when(col("value") >= 100, "high").otherwise("low"))
+      .cube("event_type", "vclass")
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+        grouping(col("event_type")).as("ge"), grouping(col("vclass")).as("gv"))
+    g.select(
+        when(g("ge") === 1, "ALL").otherwise(g("event_type")).as("etype"),
+        when(g("gv") === 1, "ALL").otherwise(g("vclass")).as("vclass"),
+        g("cnt"), g("sum_value"))
+      .orderBy("etype", "vclass")
+  }
+
   /** Q23 JSON property extraction + group-by. */
   def q23JsonProps(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "events")

@@ -32,6 +32,11 @@ object Replay {
             (transform: DataFrame => DataFrame): DataFrame =
     run(spark, dir, table, "append")(transform)
 
+  /** Update-mode replay (mapGroupsWithState and friends). */
+  def update(spark: SparkSession, dir: String, table: String)
+            (transform: DataFrame => DataFrame): DataFrame =
+    run(spark, dir, table, "update")(transform)
+
   private def run(spark: SparkSession, dir: String, table: String, mode: String)
                  (transform: DataFrame => DataFrame): DataFrame = {
     val name = s"graft_replay_${counter.incrementAndGet()}"

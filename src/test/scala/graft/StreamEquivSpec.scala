@@ -60,6 +60,57 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stream-stream interval join ≡ batch join (purchases x prior clicks)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    def clicks(ev: DataFrame) = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    def purchases(ev: DataFrame) = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val cond = (c: DataFrame, p: DataFrame) =>
+      c("c_user") === p("p_user") &&
+        c("click_ts") >= p("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+        c("click_ts") <= p("purchase_ts")
+    val out = Seq("purchase_id", "click_id")
+
+    val bc = clicks(graft.io.Sources.table(spark, sf, "events"))
+    val bp = purchases(graft.io.Sources.table(spark, sf, "events"))
+    val batch = rows(bc.join(bp, cond(bc, bp))
+      .select(out.head, out.tail: _*).orderBy("purchase_id", "click_id"))
+
+    val sc = clicks(graft.io.Sources.stream(spark, sf, "events"))
+      .withWatermark("click_ts", "10 minutes")
+    val sp = purchases(graft.io.Sources.stream(spark, sf, "events"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val name = "graft_ss_join"
+    val q = sc.join(sp, cond(sc, sp)).select(out.head, out.tail: _*)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ssj_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stream = rows(spark.table(name).orderBy("purchase_id", "click_id"))
+    assert(stream == batch)
+  }
+
+  test("mapGroupsWithState per-user counts ≡ groupBy counts") {
+    import org.apache.spark.sql.functions._
+    val batch = graft.io.Sources.table(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // streaming: update mode; with AvailableNow the final state per key is
+    // the last emitted row for that key
+    val stateStream = Replay.update(spark, sf, "events")(
+      graft.streaming.StatefulOps.userCounts(_).toDF())
+    val finalCounts = stateStream.groupBy("user_id")
+      .agg(max("cnt").as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts == batch)
+  }
+
   test("stream-static enrichment join ≡ batch join") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
