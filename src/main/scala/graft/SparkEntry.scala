@@ -53,11 +53,13 @@ object SparkEntry {
     "d3_dedup_minhash_lsh" -> (DedupOps.d3MinhashLsh _),
     "d4_simhash" -> (DedupOps.d4Simhash _),
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
+    "d6_quantize" -> (SimilarityOps.d6Quantize _),
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
     "t1_lang_id" -> (TextOps.t1LangId _),
     "t2_text_quality" -> (TextOps.t2Quality _),
     "t3_token_count" -> (TextOps.t3TokenCount _),
     "t4_fingerprint" -> (TextOps.t4Fingerprint _),
+    "t5_redact" -> (TextOps.t5Redact _),
     "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
@@ -243,6 +245,12 @@ object SparkEntry {
          |FROM pr JOIN sz x ON x.doc_id = a_id JOIN sz y ON y.doc_id = b_id
          |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
     "d3_dedup_minhash_lsh" -> minhashSql,
+    "d6_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e)
+        |SELECT vec_id, round(mn, 4) AS v_min, round(mx, 4) AS v_max,
+        |CAST(list_sum(list_transform(v, x -> CASE WHEN mx = mn THEN 0 ELSE CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT) END)) AS BIGINT) AS code_sum
+        |FROM m ORDER BY vec_id""".stripMargin,
     "d4_simhash" -> simhashSql,
     "d5_embed_near_dup" -> {
       val bandSelects = (0 until SimilarityOps.SignBands)
@@ -299,6 +307,12 @@ object SparkEntry {
         |THEN list_min(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))
         |ELSE md5(coalesce(list_aggregate(ts, 'string_agg', ' '), '')) END AS fp
         |FROM tok ORDER BY doc_id""".stripMargin,
+    "t5_redact" ->
+      s"""SELECT doc_id,
+         |CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |CAST(len(regexp_extract_all(text, '${TextOps.LongNumRe}')) AS BIGINT) AS n_longnums,
+         |md5(regexp_replace(regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g'), '${TextOps.LongNumRe}', '<NUM>', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |lower(substring(hex(encode(text)), 1, 16)) AS head_hex, md5(text) AS content_md5

@@ -84,6 +84,28 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** d6 int8 quantization audit: per-vector min/max range, affine-code
+    * (floor((x-mn)·255/(mx-mn))) checksum — the storage-reduction pass of
+    * an embedding pipeline, emitted integer-exact so the oracle needs no
+    * float tolerance. Narrow map, no shuffle before the output sort.
+    * Degenerate constant vectors quantize to all-zero codes (guarded
+    * identically in both engines). */
+  def d6Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("v")
+    val mn = array_min(v); val mx = array_max(v)
+    val codes = transform(v, x =>
+      when(mx === mn, lit(0L))
+        .otherwise(floor((x - mn) * 255.0 / (mx - mn)).cast("long")))
+    Sources.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(
+        col("vec_id"),
+        r4(mn).as("v_min"),
+        r4(mx).as("v_max"),
+        aggregate(codes, lit(0L), (acc, x) => acc + x).as("code_sum"))
+      .orderBy("vec_id")
+  }
+
   /** d5 embedding near-dup: banded sign-LSH candidate generation + exact
     * cosine verify at ≥ 0.4 (a < b).
     *

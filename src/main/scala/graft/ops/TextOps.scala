@@ -107,6 +107,26 @@ object TextOps {
           .cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
+  // Redaction patterns (RE2-safe so DuckDB replays them identically).
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{6,}"
+
+  /** t5 redaction: scrub email addresses then long digit runs (order
+    * matters — emails contain digits), count both, and emit the md5 of
+    * the redacted text. The compliance-scrub shape of a training-data
+    * pipeline: a narrow codegen'd map, no shuffle before the output sort. */
+  def t5Redact(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "documents")
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_longnums",
+        size(regexp_extract_all(col("text"), lit(LongNumRe), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), LongNumRe, "<NUM>"))
+      .select(col("doc_id"), col("n_emails"), col("n_longnums"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+
   /** t4 document fingerprint: min-hash over word 5-grams (winnowing-style
     * content signature; robust to reordering of distant parts). */
   def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =
