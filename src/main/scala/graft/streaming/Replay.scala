@@ -21,35 +21,50 @@ object Replay {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Run `transform` over a streaming read of `table`, complete-mode. */
-  def complete(spark: SparkSession, dir: String, table: String)
+  /** Run `transform` over a streaming read of `table`, complete-mode.
+    * `statePartitions` caps the stateful shuffle width for the query:
+    * a streaming aggregation's state-store count is fixed at the first
+    * checkpoint, and a handful of result groups doesn't need (or want)
+    * one state store per core — each partition pays file-backed state
+    * I/O per micro-batch. Size it to key cardinality, not core count. */
+  def complete(spark: SparkSession, dir: String, table: String,
+               statePartitions: Option[Int] = None)
               (transform: DataFrame => DataFrame): DataFrame =
-    run(spark, dir, table, "complete")(transform)
+    run(spark, dir, table, "complete", statePartitions)(transform)
 
   /** Run `transform` over a streaming read of `table`, append-mode
     * (requires a watermark upstream for stateful ops). */
-  def append(spark: SparkSession, dir: String, table: String)
+  def append(spark: SparkSession, dir: String, table: String,
+             statePartitions: Option[Int] = None)
             (transform: DataFrame => DataFrame): DataFrame =
-    run(spark, dir, table, "append")(transform)
+    run(spark, dir, table, "append", statePartitions)(transform)
 
   /** Update-mode replay (mapGroupsWithState and friends). */
-  def update(spark: SparkSession, dir: String, table: String)
+  def update(spark: SparkSession, dir: String, table: String,
+             statePartitions: Option[Int] = None)
             (transform: DataFrame => DataFrame): DataFrame =
-    run(spark, dir, table, "update")(transform)
+    run(spark, dir, table, "update", statePartitions)(transform)
 
-  private def run(spark: SparkSession, dir: String, table: String, mode: String)
+  private def run(spark: SparkSession, dir: String, table: String, mode: String,
+                  statePartitions: Option[Int])
                  (transform: DataFrame => DataFrame): DataFrame = {
     val name = s"graft_replay_${counter.incrementAndGet()}"
     val checkpoint = Files.createTempDirectory("graft_ckpt_").toString
-    val q = transform(Sources.stream(spark, dir, table))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = transform(Sources.stream(spark, dir, table))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      statePartitions.foreach(_ => spark.conf.set("spark.sql.shuffle.partitions", orig))
+    }
     spark.table(name)
   }
 }

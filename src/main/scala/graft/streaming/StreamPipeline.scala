@@ -50,7 +50,7 @@ object StreamPipeline {
     * driver-side sink is fine at any corpus scale; batch≡stream equality
     * is separately asserted in StreamEquivSpec. */
   def q24StreamScore(spark: SparkSession, dir: String): DataFrame =
-    Replay.complete(spark, dir, "events")(scoreCounts)
+    Replay.complete(spark, dir, "events", statePartitions = Some(8))(scoreCounts)
       .orderBy("label", "event_type")
 
   /** Batch-mode twin of the gate entry (used by the equivalence test). */
