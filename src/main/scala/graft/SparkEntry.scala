@@ -60,6 +60,7 @@ object SparkEntry {
     "t3_token_count" -> (TextOps.t3TokenCount _),
     "t4_fingerprint" -> (TextOps.t4Fingerprint _),
     "t5_redact" -> (TextOps.t5Redact _),
+    "t6_cms_heavy_hitters" -> (TextOps.t6CmsHeavyHitters _),
     "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
@@ -313,6 +314,19 @@ object SparkEntry {
          |CAST(len(regexp_extract_all(text, '${TextOps.LongNumRe}')) AS BIGINT) AS n_longnums,
          |md5(regexp_replace(regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g'), '${TextOps.LongNumRe}', '<NUM>', 'g')) AS redacted_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t6_cms_heavy_hitters" -> {
+      val d = TextOps.CmsDepth
+      val rs = (0 until d).map(_.toString).mkString(", ")
+      s"""WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
+         |tc AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+         |h AS (SELECT token, cnt, r, (strpos('0123456789abcdef', substr(md5(r || '|' || token), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(r || '|' || token), 2, 1)) - 1 AS bucket
+         |FROM tc CROSS JOIN (SELECT unnest([$rs]) AS r)),
+         |counters AS (SELECT r, bucket, sum(cnt) AS c FROM h GROUP BY 1, 2),
+         |top AS (SELECT token, cnt FROM tc ORDER BY cnt DESC, token LIMIT 20)
+         |SELECT t.token, CAST(t.cnt AS BIGINT) AS cnt, CAST(min(c.c) AS BIGINT) AS cms_est
+         |FROM top t JOIN h ON h.token = t.token JOIN counters c ON c.r = h.r AND c.bucket = h.bucket
+         |GROUP BY t.token, t.cnt ORDER BY 2 DESC, 1""".stripMargin
+    },
     "m1_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |lower(substring(hex(encode(text)), 1, 16)) AS head_hex, md5(text) AS content_md5

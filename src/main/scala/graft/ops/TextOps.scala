@@ -127,6 +127,38 @@ object TextOps {
         md5(col("redacted")).as("redacted_md5"))
       .orderBy("doc_id")
 
+  /** Count-min sketch geometry: d hash rows × 256 buckets (bucket =
+    * first byte of md5("<r>|<token>")). */
+  val CmsDepth = 4
+
+  private def cmsBucket(r: Int, token: Column): Column =
+    conv(substring(md5(concat_ws("|", lit(r), token)), 1, 2), 16, 10).cast("long")
+
+  /** t6 count-min-sketch heavy hitters: estimate the top-20 token counts
+    * from a d×256 CMS and report them next to the exact counts
+    * (cms_est ≥ cnt always; equality when no bucket collisions).
+    *
+    * The sketch is composed as a DataFrame plan rather than a custom
+    * aggregate: counters are one groupBy over (row, bucket) — a
+    * fixed-width (d·256-cell) table regardless of corpus size, which is
+    * the whole point of sketching at 100 TB. Hashing is md5-byte based so
+    * the oracle rebuilds the identical sketch. */
+  def t6CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tokCounts = Sources.table(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val hashed = tokCounts.select(col("token"), col("cnt"),
+        explode(array((0 until CmsDepth).map(r =>
+          struct(lit(r).as("r"), cmsBucket(r, col("token")).as("bucket"))): _*)).as("h"))
+      .select(col("token"), col("cnt"), col("h.r"), col("h.bucket"))
+    val counters = hashed.groupBy("r", "bucket").agg(sum("cnt").as("c"))
+    val top = tokCounts.orderBy(col("cnt").desc, col("token")).limit(20)
+    top.join(hashed.select("token", "r", "bucket"), "token")
+      .join(counters, Seq("r", "bucket"))
+      .groupBy("token", "cnt").agg(min("c").as("cms_est"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   /** t4 document fingerprint: min-hash over word 5-grams (winnowing-style
     * content signature; robust to reordering of distant parts). */
   def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =

@@ -28,7 +28,14 @@ object Windowed {
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       .select(wStart().as("w_start"), col("cnt"), col("sum_value"))
 
+  /** Gate entry runs through Structured Streaming (complete-mode replay);
+    * the batch twin below feeds the equivalence test. Window-count state
+    * is modest (one row per 5-min window), so 8 state partitions. */
   def q07Tumbling(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Replay.complete(spark, dir, "events", Some(8))(tumbling)
+      .orderBy("w_start")
+
+  def q07TumblingBatch(spark: SparkSession, dir: String): DataFrame =
     tumbling(Sources.table(spark, dir, "events")).orderBy("w_start")
 
   /** Q8: 10-minute window sliding every 5 minutes, per event_type. */
@@ -37,7 +44,12 @@ object Windowed {
       .agg(count(lit(1)).as("cnt"))
       .select(wStart().as("w_start"), col("event_type"), col("cnt"))
 
+  /** Streaming gate entry, like q07. */
   def q08Sliding(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Replay.complete(spark, dir, "events", Some(8))(sliding)
+      .orderBy("w_start", "event_type")
+
+  def q08SlidingBatch(spark: SparkSession, dir: String): DataFrame =
     sliding(Sources.table(spark, dir, "events")).orderBy("w_start", "event_type")
 
   /** Q9: per-user session windows with a 10-minute gap.

@@ -127,6 +127,12 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("t6 CMS estimates dominate exact counts (one-sided error)") {
+    val df = TextOps.t6CmsHeavyHitters(spark, sf)
+    assert(df.count() == 20)
+    assert(df.filter(col("cms_est") < col("cnt")).count() == 0)
+  }
+
   test("m2 histograms are normalized (bins sum to ~1)") {
     val df = MultimodalOps.m2DecodeHistogram(spark, sf)
     val s = (0 until 8).map(i => col(s"b$i")).reduce(_ + _)

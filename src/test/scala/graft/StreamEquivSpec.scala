@@ -11,18 +11,15 @@ import graft.streaming.{Replay, StreamPipeline}
 class StreamEquivSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("q07 tumbling window: batch ≡ stream (complete mode)") {
-    val batch = rows(Windowed.q07Tumbling(spark, sf))
-    val stream = rows(
-      Replay.complete(spark, sf, "events")(Windowed.tumbling).orderBy("w_start"))
+  test("q07 tumbling window: batch twin ≡ streaming gate entry") {
+    val batch = rows(Windowed.q07TumblingBatch(spark, sf))
+    val stream = rows(Windowed.q07Tumbling(spark, sf))
     assert(stream == batch)
   }
 
-  test("q08 sliding window: batch ≡ stream (complete mode)") {
-    val batch = rows(Windowed.q08Sliding(spark, sf))
-    val stream = rows(
-      Replay.complete(spark, sf, "events")(Windowed.sliding)
-        .orderBy("w_start", "event_type"))
+  test("q08 sliding window: batch twin ≡ streaming gate entry") {
+    val batch = rows(Windowed.q08SlidingBatch(spark, sf))
+    val stream = rows(Windowed.q08Sliding(spark, sf))
     assert(stream == batch)
   }
 
