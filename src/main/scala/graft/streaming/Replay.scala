@@ -49,7 +49,7 @@ object Replay {
                   statePartitions: Option[Int])
                  (transform: DataFrame => DataFrame): DataFrame = {
     val name = s"graft_replay_${counter.incrementAndGet()}"
-    val checkpoint = Files.createTempDirectory("graft_ckpt_").toString
+    val checkpoint = Files.createTempDirectory("graft_ckpt_")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     try {
@@ -58,13 +58,20 @@ object Replay {
         .format("memory")
         .queryName(name)
         .outputMode(mode)
-        .option("checkpointLocation", checkpoint)
+        .option("checkpointLocation", checkpoint.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally {
       statePartitions.foreach(_ => spark.conf.set("spark.sql.shuffle.partitions", orig))
+      // the memory sink holds the result; the drained checkpoint is scratch
+      deleteRecursively(checkpoint.toFile)
     }
     spark.table(name)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 }
