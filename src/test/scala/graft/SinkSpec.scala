@@ -49,6 +49,29 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == expected, "replay duplicated rows")
   }
 
+  test("media table matches the declared multimodal schema") {
+    import graft.ops.MultimodalOps
+    val media = MultimodalOps.asMedia(Sources.table(spark, sf, "documents"))
+    // literal-derived columns are non-nullable; compare structure, not nullability
+    assert(media.schema.catalogString == MultimodalOps.mediaSchema.catalogString)
+  }
+
+  test("console and kafka writers configure without starting") {
+    val wire = StreamPipeline.toWire(Sources.stream(spark, sf, "events"))
+      .withColumnRenamed("line", "value")
+    Sinks.console(wire) // configuration only; no broker/terminal needed
+    Sinks.kafka(wire, "broker:9092", "t", "/tmp/ck")
+    succeed
+  }
+
+  test("kafka source wiring reaches provider lookup (jar absent in this image)") {
+    val e = intercept[Exception] {
+      Sources.kafkaStream(spark, "broker:9092", "events_in")
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"),
+      s"expected missing-provider error naming kafka, got: ${e.getMessage.take(120)}")
+  }
+
   test("kafka sink/source option contracts carry the reference's semantics") {
     val sink = Sinks.kafkaSinkOptions("broker:9092", "events_out")
     assert(sink("kafka.bootstrap.servers") == "broker:9092")
