@@ -47,6 +47,8 @@ object SparkEntry {
     "q25_asof_join" -> (Relational.q25AsofJoin _),
     "q26_range_join" -> (Relational.q26RangeJoin _),
     "q27_cube" -> (Relational.q27Cube _),
+    "q28_pivot" -> (Relational.q28Pivot _),
+    "q29_moment_stats" -> (Relational.q29MomentStats _),
     "q24_stream_score" -> (StreamPipeline.q24StreamScore _),
     "d1_dedup_exact" -> (DedupOps.d1Exact _),
     "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
@@ -235,6 +237,24 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS cnt,
         |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM e GROUP BY CUBE(event_type, vclass) ORDER BY etype, vclass""".stripMargin,
+    "q28_pivot" ->
+      """SELECT event_type,
+        |CAST(count(*) FILTER (WHERE value >= 100) AS BIGINT) AS n_high,
+        |CAST(count(*) FILTER (WHERE value < 100) AS BIGINT) AS n_low
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q29_moment_stats" ->
+      """WITH b AS (SELECT event_type, value, CAST(hour(ts) AS DOUBLE) AS h FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+        |CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |CAST(SUM(CAST(h AS DECIMAL(28,8))) AS DOUBLE) AS sh,
+        |CAST(SUM(CAST(h * h AS DECIMAL(28,8))) AS DOUBLE) AS shh,
+        |CAST(SUM(CAST(value * h AS DECIMAL(28,8))) AS DOUBLE) AS sxh
+        |FROM b GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |round(sqrt((sxx - sx*sx/n) / (n - 1)), 4) AS value_stddev,
+        |round((sxh - sx*sh/n) / (sqrt(sxx - sx*sx/n) * sqrt(shh - sh*sh/n)), 4) AS value_hour_corr
+        |FROM m ORDER BY event_type""".stripMargin,
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",
     "d2_dedup_ngram_jaccard" ->

@@ -276,6 +276,50 @@ object Relational {
       .orderBy("etype", "vclass")
   }
 
+  /** Q28 pivot: event counts per type pivoted by value class. The pivot
+    * values are declared (not discovered), so the plan is a single
+    * aggregation with conditional counters — no extra pass to collect
+    * distinct pivot keys. */
+  def q28Pivot(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "events")
+      .withColumn("vclass", when(col("value") >= 100, "high").otherwise("low"))
+      .groupBy("event_type")
+      .pivot("vclass", Seq("high", "low"))
+      .agg(count(lit(1)))
+      .select(col("event_type"),
+        coalesce(col("high"), lit(0L)).as("n_high"),
+        coalesce(col("low"), lit(0L)).as("n_low"))
+      .orderBy("event_type")
+
+  /** Q29 distribution stats per event_type — stddev and value/hour
+    * correlation derived from decimal-exact moments (n, Σx, Σx², Σxy)
+    * instead of Spark's streaming-merge stddev/corr: moment sums in
+    * DECIMAL are associative/commutative, so the derived statistics are
+    * bit-stable at any parallelism AND replayable by the oracle; the
+    * built-in Welford-merge aggregates are not (merge-order-dependent
+    * floats). One pass, partial+final agg. */
+  def q29MomentStats(spark: SparkSession, dir: String): DataFrame = {
+    val Wide = org.apache.spark.sql.types.DecimalType(28, 8)
+    def s(c: org.apache.spark.sql.Column) = sum(c.cast(Wide)).cast("double")
+    Sources.table(spark, dir, "events")
+      .withColumn("h", hour(col("ts")).cast("double"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        s(col("value")).as("sx"),
+        s(col("value") * col("value")).as("sxx"),
+        s(col("h")).as("sh"),
+        s(col("h") * col("h")).as("shh"),
+        s(col("value") * col("h")).as("sxh"))
+      .select(
+        col("event_type"), col("n"),
+        r4(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))).as("value_stddev"),
+        r4((col("sxh") - col("sx") * col("sh") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+           sqrt(col("shh") - col("sh") * col("sh") / col("n")))).as("value_hour_corr"))
+      .orderBy("event_type")
+  }
+
   /** Q23 JSON property extraction + group-by. */
   def q23JsonProps(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "events")
