@@ -57,6 +57,7 @@ object SparkEntry {
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
     "d6_quantize" -> (SimilarityOps.d6Quantize _),
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
+    "s3_ann_ivf" -> (SimilarityOps.s3AnnIvf _),
     "t1_lang_id" -> (TextOps.t1LangId _),
     "t2_text_quality" -> (TextOps.t2Quality _),
     "t3_token_count" -> (TextOps.t3TokenCount _),
@@ -289,6 +290,16 @@ object SparkEntry {
          |bkt AS (SELECT vec_id, v, nrm, label, $bucketSql AS bucket FROM n),
          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM bkt WHERE label = 1),
          |p AS (SELECT q_id, b.vec_id AS n_id, list_inner_product(qv, b.v) / (qn * b.nrm) AS c FROM q JOIN bkt b USING (bucket) WHERE b.vec_id <> q_id),
+         |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "s3_ann_ivf" ->
+      s"""WITH $embCte,
+         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+         |ac AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+         |ar AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+         |asn AS (SELECT vec_id, v, nrm, label, cell FROM ar WHERE arn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
+         |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
          |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
          |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "t1_lang_id" -> {

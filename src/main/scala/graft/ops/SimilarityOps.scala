@@ -84,6 +84,44 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** Number of IVF cells (coarse centroids) for s3. */
+  val IvfCells = 16
+
+  /** s3 IVF-style ANN: assign every vector to its nearest coarse
+    * centroid (argmax cosine against a broadcast centroid set), build the
+    * inverted lists implicitly as the `cell` key, and answer each query
+    * from its own cell only (nprobe=1) — the IVF probe plan at any scale:
+    * quantizer assignment is a broadcast map, the search is a
+    * co-partitioned join on cell id.
+    *
+    * The coarse quantizer here is deterministic (the IvfCells
+    * lowest-vec_id vectors serve as centroids) so the DuckDB oracle
+    * replays the identical cells; swapping in KMeans-trained centroids
+    * changes only the centroid table, not the plan. */
+  def s3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    val seeds = all.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("c_id"))
+    val assigned = all.crossJoin(broadcast(seeds))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"), col("c_id").as("cell"))
+    val q = assigned.filter(col("label") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val pairs = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("cos_sim"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** d6 int8 quantization audit: per-vector min/max range, affine-code
     * (floor((x-mn)·255/(mx-mn))) checksum — the storage-reduction pass of
     * an embedding pipeline, emitted integer-exact so the oracle needs no
