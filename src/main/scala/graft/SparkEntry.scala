@@ -66,6 +66,7 @@ object SparkEntry {
     "t6_cms_heavy_hitters" -> (TextOps.t6CmsHeavyHitters _),
     "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
+    "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
     "x3_ml_eval" -> (ScoringPipeline.x3MlEval _)
   )
@@ -362,6 +363,15 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |lower(substring(hex(encode(text)), 1, 16)) AS head_hex, md5(text) AS content_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+    "m3_frame_sample" -> {
+      val k = MultimodalOps.FrameCount; val fb = MultimodalOps.FrameBytes
+      val is = (0 until k).map(_.toString).mkString(", ")
+      s"""WITH bt AS (SELECT doc_id, lower(hex(encode(text))) AS h, octet_length(encode(text)) AS n FROM documents),
+         |f AS (SELECT doc_id, n, i, CAST(floor(i * greatest(n - $fb, 0) / ${k - 1}.0) AS BIGINT) AS off FROM bt CROSS JOIN (SELECT unnest([$is]) AS i)),
+         |d AS (SELECT bt.doc_id, bt.n, f.i, f.off, md5(substring(bt.h, CAST(2 * f.off + 1 AS INT), ${2 * fb})) AS fm FROM f JOIN bt ON bt.doc_id = f.doc_id)
+         |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS byte_len, CAST(i AS INT) AS frame_no, off, fm AS frame_md5
+         |FROM d ORDER BY media_id, frame_no""".stripMargin
+    },
     "m2_decode_histogram" -> {
       // Mirror of MultimodalOps.fakeDecode: 8-bin byte histogram over the
       // UTF-8 payload, normalized, 4 dp. Bytes are recovered from the hex

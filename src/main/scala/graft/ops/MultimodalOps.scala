@@ -80,6 +80,35 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
+  /** Frames sampled per media payload (m3). */
+  val FrameCount = 4
+  val FrameBytes = 16
+
+  /** m3: deterministic frame-sampling over the opaque payload — the
+    * video-frame-extraction shape: k fixed-size windows at evenly spaced
+    * offsets, each digested. A real codec would decode the window; the
+    * plumbing (binary slicing, per-frame rows, digest) is identical and
+    * oracle-checked. Frames are digested via lower-hex so both engines
+    * hash the exact same byte rendering. */
+  def m3FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val media = asMedia(Sources.table(spark, dir, "documents"))
+      .select(col("media_id"), col("payload"),
+        col("meta.byte_len").as("byte_len"))
+    val frames = (0 until FrameCount).map { i =>
+      struct(lit(i).as("frame_no"),
+        floor(lit(i) * (greatest(col("byte_len") - FrameBytes, lit(0))) / (FrameCount - 1))
+          .cast("long").as("off"))
+    }
+    media
+      .select(col("media_id"), col("payload"), col("byte_len"),
+        explode(array(frames: _*)).as("f"))
+      .select(col("media_id"), col("byte_len"),
+        col("f.frame_no"), col("f.off"),
+        md5(lower(hex(expr(s"substring(payload, f.off + 1, $FrameBytes)"))))
+          .as("frame_md5"))
+      .orderBy("media_id", "frame_no")
+  }
+
   /** m1: metadata + content-hash projection over the media table —
     * the oracle-checkable slice of the multimodal path. */
   def m1MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
