@@ -49,6 +49,8 @@ object SparkEntry {
     "q27_cube" -> (Relational.q27Cube _),
     "q28_pivot" -> (Relational.q28Pivot _),
     "q29_moment_stats" -> (Relational.q29MomentStats _),
+    "q30_collect_types" -> (Relational.q30CollectTypes _),
+    "q31_lag_lead" -> (Relational.q31LagLead _),
     "q24_stream_score" -> (StreamPipeline.q24StreamScore _),
     "d1_dedup_exact" -> (DedupOps.d1Exact _),
     "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
@@ -257,6 +259,15 @@ object SparkEntry {
         |round(sqrt((sxx - sx*sx/n) / (n - 1)), 4) AS value_stddev,
         |round((sxh - sx*sh/n) / (sqrt(sxx - sx*sx/n) * sqrt(shh - sh*sh/n)), 4) AS value_hour_corr
         |FROM m ORDER BY event_type""".stripMargin,
+    "q30_collect_types" ->
+      """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q31_lag_lead" ->
+      """SELECT event_id, user_id,
+        |CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS gap_sec,
+        |lead(event_type, 1) OVER w AS next_type
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id""".stripMargin,
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",
     "d2_dedup_ngram_jaccard" ->

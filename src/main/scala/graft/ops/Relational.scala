@@ -320,6 +320,29 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Q30 collection aggregation: per user, the sorted distinct event
+    * types as one string. collect_list order is partition-dependent, so
+    * the array is sorted before serialization — the only deterministic
+    * way to emit a collection. */
+  def q30CollectTypes(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** Q31 lag/lead: per event, seconds since the user's previous event and
+    * the type of their next one — one window shuffle on user_id. */
+  def q31LagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Sources.table(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        (col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")).as("gap_sec"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("event_id")
+  }
+
   /** Q23 JSON property extraction + group-by. */
   def q23JsonProps(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "events")
