@@ -17,8 +17,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: first execution in a fresh JVM pays codegen/JIT and
     // datasource init, which otherwise lands entirely on whatever query
-    // sorts first — timings should measure plans, not classloading.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // sorts first — timings should measure plans, not classloading. Warm
+    // over the bench SF dir itself, not a hardcoded fixture path.
+    try SparkEntry.queries("q12_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -254,11 +254,12 @@ object SparkEntry {
         |CAST(SUM(CAST(h AS DECIMAL(28,8))) AS DOUBLE) AS sh,
         |CAST(SUM(CAST(h * h AS DECIMAL(28,8))) AS DOUBLE) AS shh,
         |CAST(SUM(CAST(value * h AS DECIMAL(28,8))) AS DOUBLE) AS sxh
-        |FROM b GROUP BY event_type)
+        |FROM b GROUP BY event_type),
+        |v AS (SELECT event_type, n, greatest(sxx - sx*sx/n, 0.0) AS vx, greatest(shh - sh*sh/n, 0.0) AS vh, sxh - sx*sh/n AS cov FROM m)
         |SELECT event_type, CAST(n AS BIGINT) AS n,
-        |round(sqrt((sxx - sx*sx/n) / (n - 1)), 4) AS value_stddev,
-        |round((sxh - sx*sh/n) / (sqrt(sxx - sx*sx/n) * sqrt(shh - sh*sh/n)), 4) AS value_hour_corr
-        |FROM m ORDER BY event_type""".stripMargin,
+        |round(sqrt(vx / (n - 1)), 4) AS value_stddev,
+        |CASE WHEN vx = 0.0 OR vh = 0.0 THEN NULL ELSE round(cov / (sqrt(vx) * sqrt(vh)), 4) END AS value_hour_corr
+        |FROM v ORDER BY event_type""".stripMargin,
     "q30_collect_types" ->
       """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         |CAST(count(*) AS BIGINT) AS n_events
@@ -387,15 +388,17 @@ object SparkEntry {
       // Mirror of MultimodalOps.fakeDecode: 8-bin byte histogram over the
       // UTF-8 payload, normalized, 4 dp. Bytes are recovered from the hex
       // encoding (DuckDB's substring cannot slice BLOBs directly).
+      // left join from bt keeps zero-byte documents (engine emits them
+      // with all-zero bins; divisor mirrors fakeDecode's max(len, 1))
       val bins = (0 until 8).map(i =>
-        s"round(coalesce(max(CASE WHEN bin = $i THEN cnt END), 0) / CAST(n AS DOUBLE), 4) AS b$i"
+        s"round(coalesce(max(CASE WHEN bin = $i THEN cnt END), 0) / CAST(greatest(bt.n, 1) AS DOUBLE), 4) AS b$i"
       ).mkString(", ")
       s"""WITH bt AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents),
          |ix AS (SELECT doc_id, n, h, unnest(range(n)) AS i FROM bt),
-         |b AS (SELECT doc_id, n, ((strpos('0123456789ABCDEF', substring(h, 2*i+1, 1)) - 1) * 16 + strpos('0123456789ABCDEF', substring(h, 2*i+2, 1)) - 1) // 32 AS bin FROM ix),
-         |c AS (SELECT doc_id, n, bin, count(*) AS cnt FROM b GROUP BY 1, 2, 3)
-         |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS byte_len, $bins
-         |FROM c GROUP BY doc_id, n ORDER BY media_id""".stripMargin
+         |b AS (SELECT doc_id, ((strpos('0123456789ABCDEF', substring(h, 2*i+1, 1)) - 1) * 16 + strpos('0123456789ABCDEF', substring(h, 2*i+2, 1)) - 1) // 32 AS bin FROM ix),
+         |c AS (SELECT doc_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2)
+         |SELECT bt.doc_id AS media_id, CAST(bt.n AS BIGINT) AS byte_len, $bins
+         |FROM bt LEFT JOIN c ON c.doc_id = bt.doc_id GROUP BY bt.doc_id, bt.n ORDER BY media_id""".stripMargin
     }
   )
 }

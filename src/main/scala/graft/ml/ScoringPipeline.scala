@@ -48,7 +48,8 @@ object ScoringPipeline {
   def x3MlEval(spark: SparkSession, dir: String): DataFrame = {
     val feats = featurize(Sources.table(spark, dir, "events")).cache()
     val Array(train, holdout) = feats.randomSplit(Array(0.7, 0.3), seed = 42L)
-    val model = fit(train)
+    val model = fit(train) // fit's iterative passes are what the cache serves
+    feats.unpersist()
     model.transform(holdout)
       .agg(
         count(lit(1)).as("n_test"),
@@ -62,7 +63,8 @@ object ScoringPipeline {
 
   def x2MlScore(spark: SparkSession, dir: String): DataFrame = {
     val feats = featurize(Sources.table(spark, dir, "events")).cache()
-    val model = fit(feats)
+    val model = fit(feats) // cache serves the tree's repeated passes
+    feats.unpersist()      // scoring below recomputes featurize once
     model.transform(feats)
       .withColumn("pred_label",
         when(col("prediction") === 0.0, "normal").otherwise("flagged"))

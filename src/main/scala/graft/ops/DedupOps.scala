@@ -88,14 +88,21 @@ object DedupOps {
     val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val rare = sh.join(dfs.filter(col("df") <= MaxShingleDf).select("shingle"), "shingle")
     val freq = sh.join(dfs.filter(col("df") > MaxShingleDf).select("shingle"), "shingle")
-    def sharedCounts(side: DataFrame, as: String): DataFrame =
-      side.as("x").join(side.as("y"),
-          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .agg(count(lit(1)).as(as))
+    val iRare = rare.as("x").join(rare.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i_rare"))
+    // frequent-shingle intersections are counted by joining the (already
+    // rare-bounded) candidate pairs onto the frequent postings — a freq
+    // self-join would recreate the very k² blow-up the df cap exists to
+    // prevent (one boilerplate shingle in k docs → k²/2 rows)
+    val iFreq = iRare.select("a_id", "b_id")
+      .join(freq.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(freq.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i_freq"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    sharedCounts(rare, "i_rare")
-      .join(sharedCounts(freq, "i_freq"), Seq("a_id", "b_id"), "left")
+    iRare
+      .join(iFreq, Seq("a_id", "b_id"), "left")
       .withColumn("i", col("i_rare") + coalesce(col("i_freq"), lit(0L)))
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")

@@ -153,20 +153,28 @@ object Relational {
     * dims broadcast). */
   def q16Rollup(spark: SparkSession, dir: String): DataFrame = {
     val id = java.util.UUID.randomUUID().toString.replace("-", "")
-    Seq("customer", "nation", "region").foreach { t =>
-      Sources.table(spark, dir, t).createOrReplaceTempView(s"q16_${t}_$id")
+    val views = Seq("customer", "nation", "region").map { t =>
+      val v = s"q16_${t}_$id"
+      Sources.table(spark, dir, t).createOrReplaceTempView(v)
+      v
     }
-    spark.sql(s"""
-      SELECT /*+ BROADCAST(n), BROADCAST(r) */
-        CASE WHEN grouping(r_name) = 1 THEN 'ALL' ELSE r_name END AS region_name,
-        CASE WHEN grouping(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation_name,
-        count(*) AS cnt,
-        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
-      FROM q16_customer_$id c
-      JOIN q16_nation_$id n ON c_nationkey = n_nationkey
-      JOIN q16_region_$id r ON n_regionkey = r_regionkey
-      GROUP BY ROLLUP(r_name, n_name)
-      ORDER BY region_name, nation_name""")
+    try
+      spark.sql(s"""
+        SELECT /*+ BROADCAST(n), BROADCAST(r) */
+          CASE WHEN grouping(r_name) = 1 THEN 'ALL' ELSE r_name END AS region_name,
+          CASE WHEN grouping(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation_name,
+          count(*) AS cnt,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        FROM q16_customer_$id c
+        JOIN q16_nation_$id n ON c_nationkey = n_nationkey
+        JOIN q16_region_$id r ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY region_name, nation_name""")
+    finally
+      // the returned DataFrame holds the resolved plan; the views are
+      // only needed during analysis — drop them so repeated invocations
+      // don't leak catalog entries
+      views.foreach(spark.catalog.dropTempView(_): Unit)
   }
 
   /** Q17 exact distinct count per group. */
@@ -311,12 +319,20 @@ object Relational {
         s(col("h")).as("sh"),
         s(col("h") * col("h")).as("shh"),
         s(col("value") * col("h")).as("sxh"))
+      .select(col("event_type"), col("n"),
+        // clamp sums-of-squares at 0: decimal rounding can push a
+        // near-constant group's variance a hair negative, where Spark's
+        // sqrt gives NaN but DuckDB's *errors* — and guard zero-variance
+        // correlations to NULL (DuckDB x/0.0 is NULL, Spark is NaN/Inf)
+        greatest(col("sxx") - col("sx") * col("sx") / col("n"), lit(0.0)).as("vx"),
+        greatest(col("shh") - col("sh") * col("sh") / col("n"), lit(0.0)).as("vh"),
+        (col("sxh") - col("sx") * col("sh") / col("n")).as("cov"))
       .select(
         col("event_type"), col("n"),
-        r4(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))).as("value_stddev"),
-        r4((col("sxh") - col("sx") * col("sh") / col("n")) /
-          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
-           sqrt(col("shh") - col("sh") * col("sh") / col("n")))).as("value_hour_corr"))
+        r4(sqrt(col("vx") / (col("n") - 1))).as("value_stddev"),
+        when(col("vx") === 0.0 || col("vh") === 0.0, lit(null))
+          .otherwise(r4(col("cov") / (sqrt(col("vx")) * sqrt(col("vh")))))
+          .as("value_hour_corr"))
       .orderBy("event_type")
   }
 

@@ -45,9 +45,14 @@ object Replay {
             (transform: DataFrame => DataFrame): DataFrame =
     run(spark, dir, table, "update", statePartitions)(transform)
 
+  /** Serializes replays: the statePartitions override mutates the shared
+    * session conf for the duration of the drain, so concurrent replays
+    * (or a future parallel test runner) must not interleave with it. */
+  private val replayLock = new Object
+
   private def run(spark: SparkSession, dir: String, table: String, mode: String,
                   statePartitions: Option[Int])
-                 (transform: DataFrame => DataFrame): DataFrame = {
+                 (transform: DataFrame => DataFrame): DataFrame = replayLock.synchronized {
     val name = s"graft_replay_${counter.incrementAndGet()}"
     val checkpoint = Files.createTempDirectory("graft_ckpt_")
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
