@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Batch + streaming readers over the fixture layout: one parquet file
   * (or directory) per table under an SF dir (`TESTDATA.md`).
@@ -64,10 +64,14 @@ object Sources {
     * Spark type; `spark.sql.legacy.parquet.nanosAsLong=true`). Convert to
     * a micro-precision timestamp with integer division — nanos ≈ 1.7e18
     * exceeds double's 53-bit mantissa, so a floating-point detour would
-    * corrupt the low digits. DuckDB truncates ns→µs the same way. */
+    * corrupt the low digits. DuckDB truncates ns→µs the same way.
+    * TIMESTAMP_NTZ inputs (written by engines that drop the tz flag) are
+    * re-tagged as instants — the session is pinned to UTC, so the wall
+    * clock IS the instant and downstream epoch casts stay valid. */
   private def normalizeTs(df: DataFrame): DataFrame =
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case None => df
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
 }
