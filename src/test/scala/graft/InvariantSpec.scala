@@ -127,6 +127,30 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("t5 regex dialect agrees with the oracle's RE2 on synthetic cases") {
+    // fixture text contains no emails/long numbers, so the gate pass is
+    // vacuous for the patterns; these expectations were computed with
+    // DuckDB's RE2 — Spark (Java regex) must produce the same answers
+    import spark.implicits._
+    val rows = Seq(
+      "contact john.doe+spam@ex-ample.co.uk thanks" -> (1L, 0L, "contact <EMAIL> thanks"),
+      "card 1234567890 pin 12345" -> (0L, 1L, "card <NUM> pin 12345"),
+      "a@b.c" -> (0L, 0L, "a@b.c"),
+      "x@y.io and z@w.org" -> (2L, 0L, "<EMAIL> and <EMAIL>"),
+      "user123456@mail.com" -> (1L, 1L, "<EMAIL>"),
+      "no matches here" -> (0L, 0L, "no matches here"))
+    val df = rows.map(_._1).toDF("text")
+      .select(col("text"),
+        size(regexp_extract_all(col("text"), lit(TextOps.EmailRe), lit(0))).cast("long").as("e"),
+        size(regexp_extract_all(col("text"), lit(TextOps.LongNumRe), lit(0))).cast("long").as("n"),
+        regexp_replace(regexp_replace(col("text"), TextOps.EmailRe, "<EMAIL>"),
+          TextOps.LongNumRe, "<NUM>").as("red"))
+    val got = df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    rows.foreach { case (text, expected) =>
+      assert(got(text) == expected, s"dialect divergence on: $text")
+    }
+  }
+
   test("t6 CMS estimates dominate exact counts (one-sided error)") {
     val df = TextOps.t6CmsHeavyHitters(spark, sf)
     assert(df.count() == 20)
