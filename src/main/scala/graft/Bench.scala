@@ -15,13 +15,15 @@ object Bench {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: first execution in a fresh JVM pays codegen/JIT and
-    // datasource init, which otherwise lands entirely on whatever query
-    // sorts first — timings should measure plans, not classloading. Warm
-    // over the bench SF dir itself, not a hardcoded fixture path.
-    try SparkEntry.queries("q12_pricing_summary")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // Untimed warmup (BASELINE.md methodology: warm session): first
+    // executions pay codegen/JIT and datasource init, which otherwise
+    // land on whatever query sorts first. One cheap query per table
+    // family warms each scan + expression path over the bench SF dir.
+    Seq("q12_pricing_summary", "q03_class_share", "t3_token_count", "s2_ann_bucket")
+      .foreach { q =>
+        try SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] warmup $q failed: ${e.getMessage}") }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
