@@ -257,13 +257,13 @@ object SparkEntry {
         |FROM b GROUP BY event_type),
         |v AS (SELECT event_type, n, greatest(sxx - sx*sx/n, 0.0) AS vx, greatest(shh - sh*sh/n, 0.0) AS vh, sxh - sx*sh/n AS cov FROM m)
         |SELECT event_type, CAST(n AS BIGINT) AS n,
-        |round(sqrt(vx / (n - 1)), 4) AS value_stddev,
+        |CASE WHEN n = 1 THEN NULL ELSE round(sqrt(vx / (n - 1)), 4) END AS value_stddev,
         |CASE WHEN vx = 0.0 OR vh = 0.0 THEN NULL ELSE round(cov / (sqrt(vx) * sqrt(vh)), 4) END AS value_hour_corr
         |FROM v ORDER BY event_type""".stripMargin,
     "q30_collect_types" ->
       """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         |CAST(count(*) AS BIGINT) AS n_events
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM events WHERE event_type IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q31_lag_lead" ->
       """SELECT event_id, user_id,
         |CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS gap_sec,

@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   * Semantics are kept bit-identical to the HOF version and to DuckDB's
   * `list_inner_product` (the oracle): a strict left-to-right fold of
   * `acc + x_i * y_i` in IEEE doubles, so scores and rankings agree across
-  * engines without tolerance. Extra trailing elements of the longer input
-  * are ignored (inputs here always have equal length).
+  * engines without tolerance. A length mismatch raises (DuckDB's
+  * `list_inner_product` errors on unequal lengths; silently truncating
+  * would be a latent engine/oracle divergence), and a null element
+  * poisons the result to null in both the interpreted and codegen paths.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -46,10 +48,20 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => true
   })
 
+  /** Null-element poisoning makes the result null even when both array
+    * inputs are non-null, so nullability must account for the element
+    * flag too — without this override the codegen null-branch would
+    * assign to a literal `false` and fall back to interpreted eval. */
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: array lengths differ (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -73,7 +85,11 @@ case class DotProduct(left: Expression, right: Expression)
         s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
       else ""
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: array lengths differ (" + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $nullCheck

@@ -57,16 +57,28 @@ object Sinks {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Partitioned append per micro-batch (foreachBatch), the ES-index
-    * analog: downstream "dashboard" queries prune on the partition
-    * columns. foreachBatch + append is replay-safe only together with
-    * the checkpoint (a batch is re-run only if uncommitted). */
+  /** Idempotent per-batch writer backing [[partitionedAppend]]: every
+    * micro-batch lands in its own `batch_id=<n>` subdirectory with
+    * overwrite semantics. foreachBatch is natively at-least-once — a
+    * batch that fails after a partial write is re-run on recovery, and a
+    * blind `mode("append")` would duplicate its rows. Overwriting the
+    * batch's own directory makes the re-run idempotent (effectively-once
+    * end to end with the checkpoint), the same move as writing
+    * `_version`-keyed upserts to a real index. Readers discover
+    * `batch_id` as an extra partition column and still prune on the
+    * user partition columns one level down. */
+  def partitionedBatchWrite(path: String, partitionCols: Seq[String])
+                           (batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(s"$path/batch_id=$batchId")
+
+  /** Partitioned per-micro-batch materialization (foreachBatch), the
+    * ES-index analog: downstream "dashboard" queries prune on the
+    * partition columns. Replay-safe: see [[partitionedBatchWrite]]. */
   def partitionedAppend(df: DataFrame, path: String, checkpoint: String,
                         partitionCols: Seq[String]): StreamingQuery =
     df.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
-      }
+      .foreachBatch(partitionedBatchWrite(path, partitionCols) _)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -329,7 +329,10 @@ object Relational {
         (col("sxh") - col("sx") * col("sh") / col("n")).as("cov"))
       .select(
         col("event_type"), col("n"),
-        r4(sqrt(col("vx") / (col("n") - 1))).as("value_stddev"),
+        // n=1 groups: sample stddev is 0/0 — Spark's sqrt gives NaN where
+        // DuckDB yields NULL, so pin both engines to NULL explicitly
+        when(col("n") === 1, lit(null).cast("double"))
+          .otherwise(r4(sqrt(col("vx") / (col("n") - 1)))).as("value_stddev"),
         when(col("vx") === 0.0 || col("vh") === 0.0, lit(null))
           .otherwise(r4(col("cov") / (sqrt(col("vx")) * sqrt(col("vh")))))
           .as("value_hour_corr"))
@@ -342,6 +345,9 @@ object Relational {
     * way to emit a collection. */
   def q30CollectTypes(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "events")
+      // collect_set drops NULLs while DuckDB's list(DISTINCT) keeps them;
+      // excluding null types up front makes both engines agree by construction
+      .filter(col("event_type").isNotNull)
       .groupBy("user_id")
       .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
         count(lit(1)).as("n_events"))

@@ -41,6 +41,29 @@ class DotProductSpec extends AnyFunSuite {
     assert(native == hof) // exact, not approximate: same fold order
   }
 
+  test("length mismatch raises (DuckDB list_inner_product parity), both eval paths") {
+    // interpreted
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS d").collect()
+    }
+    assert(e.getMessage.contains("lengths differ") ||
+      Option(e.getCause).exists(_.getMessage.contains("lengths differ")))
+    // codegen over a real column (literal folding bypassed)
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0))).toDF("a", "b")
+    val e2 = intercept[Exception] {
+      df.select(call_function("graft_dot", col("a"), col("b"))).collect()
+    }
+    assert(e2.getMessage.contains("lengths differ") ||
+      Option(e2.getCause).exists(_.getMessage.contains("lengths differ")))
+  }
+
+  test("null elements poison to null and the expression declares itself nullable") {
+    val df = Seq((Seq(Some(1.0), None), Seq(Some(2.0), Some(3.0)))).toDF("a", "b")
+    val out = df.select(call_function("graft_dot", col("a"), col("b")).as("d"))
+    assert(out.schema("d").nullable, "nullable must cover element-null poisoning")
+    assert(out.collect()(0).isNullAt(0))
+  }
+
   test("interpreted eval agrees with codegen path") {
     val e = graft.functions.DotProduct(
       org.apache.spark.sql.catalyst.expressions.Literal.create(

@@ -42,11 +42,29 @@ class SinkSpec extends AnyFunSuite {
       q.awaitTermination()
     }
     runOnce()
-    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("event_type="))
+    val batchDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch_id="))
+    assert(batchDirs.nonEmpty, "no batch directories written")
+    val dirs = batchDirs.head.listFiles().map(_.getName).filter(_.startsWith("event_type="))
     assert(dirs.nonEmpty, "no partition directories written")
     assert(spark.read.parquet(out).count() == expected)
     runOnce()
     assert(spark.read.parquet(out).count() == expected, "replay duplicated rows")
+  }
+
+  test("partitionedBatchWrite re-run with the same batchId is idempotent (failure replay)") {
+    val out = tmp("graft_part_idem_")
+    val batch = Sources.table(spark, sf, "events")
+      .select("event_id", "user_id", "event_type").limit(100)
+    val write = Sinks.partitionedBatchWrite(out, Seq("event_type")) _
+    write(batch, 7L)
+    val once = spark.read.parquet(out).count()
+    // a foreachBatch retry after partial failure re-runs the SAME batchId:
+    // the overwrite must replace, not double, the batch's rows
+    write(batch, 7L)
+    assert(spark.read.parquet(out).count() == once, "same-batch replay duplicated rows")
+    // a different batchId is a different batch and must append
+    write(batch, 8L)
+    assert(spark.read.parquet(out).count() == 2 * once)
   }
 
   test("media table matches the declared multimodal schema") {
