@@ -23,6 +23,12 @@ object Engine {
     // Dim tables are KBs..MBs even at sf100; let Catalyst broadcast them.
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
+    // Streaming state lives in RocksDB, not on-heap HDFSBackedStateStore:
+    // keyed state at 100 TB (windows, dedup, joins) exceeds executor heaps
+    // long before it exceeds local disk, and RocksDB adds changelog-style
+    // incremental snapshots instead of full-map uploads per batch.
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark has no
     // native type for; read as LongType nanos, converted in Sources.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

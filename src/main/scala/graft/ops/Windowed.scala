@@ -28,11 +28,17 @@ object Windowed {
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       .select(wStart().as("w_start"), col("cnt"), col("sum_value"))
 
-  /** Gate entry runs through Structured Streaming (complete-mode replay);
-    * the batch twin below feeds the equivalence test. Window-count state
-    * is modest (one row per 5-min window), so 8 state partitions. */
+  /** Gate entry runs through Structured Streaming in the shape that
+    * survives an unbounded stream: watermarked append mode into a
+    * distributed parquet sink — window state is evicted as the watermark
+    * passes and each window is emitted exactly once, instead of
+    * complete-mode's re-emission of the whole (time-growing) aggregate
+    * to a driver-side table every trigger. The batch twin below feeds
+    * the equivalence test. Window-count state is modest (one row per
+    * 5-min window), so 8 state partitions. */
   def q07Tumbling(spark: SparkSession, dir: String): DataFrame =
-    graft.streaming.Replay.complete(spark, dir, "events", Some(8))(tumbling)
+    graft.streaming.Replay.appendFlushed(spark, dir, "events", Some(8))(df =>
+      tumbling(df.withWatermark("ts", "10 minutes")))
       .orderBy("w_start")
 
   def q07TumblingBatch(spark: SparkSession, dir: String): DataFrame =
@@ -44,9 +50,10 @@ object Windowed {
       .agg(count(lit(1)).as("cnt"))
       .select(wStart().as("w_start"), col("event_type"), col("cnt"))
 
-  /** Streaming gate entry, like q07. */
+  /** Streaming gate entry — watermarked append like q07. */
   def q08Sliding(spark: SparkSession, dir: String): DataFrame =
-    graft.streaming.Replay.complete(spark, dir, "events", Some(8))(sliding)
+    graft.streaming.Replay.appendFlushed(spark, dir, "events", Some(8))(df =>
+      sliding(df.withWatermark("ts", "10 minutes")))
       .orderBy("w_start", "event_type")
 
   def q08SlidingBatch(spark: SparkSession, dir: String): DataFrame =

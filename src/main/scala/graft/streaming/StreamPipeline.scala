@@ -45,12 +45,15 @@ object StreamPipeline {
 
   /** Q24 gate entry — runs through Structured Streaming for real: the
     * events fixture is replayed as a file stream, the score transform and
-    * aggregation execute incrementally (complete mode), and the memory
-    * sink's final state is the result. The aggregate is 10 rows, so the
-    * driver-side sink is fine at any corpus scale; batch≡stream equality
-    * is separately asserted in StreamEquivSpec. */
+    * aggregation execute incrementally in update mode, and each batch's
+    * changed counts are upserted into a partitioned parquet store
+    * (latest write per key wins on read-back) — the index-upsert shape
+    * of the reference's ES sink, with no driver-side memory table and no
+    * complete-mode re-emission. Batch≡stream equality is separately
+    * asserted in StreamEquivSpec. */
   def q24StreamScore(spark: SparkSession, dir: String): DataFrame =
-    Replay.complete(spark, dir, "events", statePartitions = Some(8))(scoreCounts)
+    Replay.updateMaterialized(spark, dir, "events",
+      keyCols = Seq("label", "event_type"), statePartitions = Some(8))(scoreCounts)
       .orderBy("label", "event_type")
 
   /** Batch-mode twin of the gate entry (used by the equivalence test). */

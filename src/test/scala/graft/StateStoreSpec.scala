@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Sources
+import graft.ops.Windowed
+
+/** The streaming state backend: graft pins the RocksDB state store
+  * provider (Engine.tuned) — keyed state at 100 TB outgrows executor
+  * heaps long before local disk, and the HDFS-backed default uploads a
+  * full state map per batch. These tests assert the provider is actually
+  * engaged (not just configured) and that replay sessions stay isolated.
+  */
+class StateStoreSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("RocksDB state store provider is configured on every graft session") {
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    // child replay sessions inherit the builder-time option
+    assert(spark.newSession().conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+  }
+
+  test("a stateful replay reports RocksDB-specific state metrics (provider engaged)") {
+    val ckpt = Files.createTempDirectory("graft_rocks_ckpt_")
+    val q = Sources.stream(spark, sf, "events")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream
+      .format("noop")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    assert(progress.nonEmpty, "no stateful progress recorded")
+    val metrics = progress.last.stateOperators(0).customMetrics.keySet()
+    assert(metrics.toString.toLowerCase.contains("rocksdb"),
+      s"expected rocksdb custom metrics, got: $metrics")
+  }
+
+  test("replays run concurrently with different state-partition overrides (no global lock)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    // two replays with conflicting statePartitions in flight at once: with
+    // the old shared-conf mutation these would race or serialize; with
+    // per-replay child sessions both finish and the parent conf is untouched
+    val fa = Future(graft.streaming.Replay.appendFlushed(spark, sf, "events", Some(2))(df =>
+      Windowed.tumbling(df.withWatermark("ts", "10 minutes"))).count())
+    val fb = Future(graft.streaming.Replay.appendFlushed(spark, sf, "events", Some(3))(df =>
+      Windowed.sliding(df.withWatermark("ts", "10 minutes"))).count())
+    val (a, b) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
+    assert(a > 0 && b > 0)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "replay leaked its state-partition override into the shared session")
+  }
+
+  test("state partition override actually sizes the stateful shuffle") {
+    val n = Windowed.q07Tumbling(spark, sf).count()
+    assert(n > 0)
+    // q07's gate path requests 8 state partitions; the visible effect is
+    // simply that it completes and matches batch (asserted in
+    // StreamEquivSpec) — here we check the override stays out of the parent
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+  }
+}
