@@ -60,6 +60,7 @@ object SparkEntry {
     "d6_quantize" -> (SimilarityOps.d6Quantize _),
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
     "s3_ann_ivf" -> (SimilarityOps.s3AnnIvf _),
+    "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
     "t1_lang_id" -> (TextOps.t1LangId _),
     "t2_text_quality" -> (TextOps.t2Quality _),
     "t3_token_count" -> (TextOps.t3TokenCount _),
@@ -70,7 +71,8 @@ object SparkEntry {
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
-    "x3_ml_eval" -> (ScoringPipeline.x3MlEval _)
+    "x3_ml_eval" -> (ScoringPipeline.x3MlEval _),
+    "x4_ivf_kmeans" -> (SimilarityOps.x4IvfKmeans _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -315,6 +317,32 @@ object SparkEntry {
          |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
          |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
          |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "s4_ann_recall" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE label = 1),
+         |xp AS (SELECT q_id, vec_id AS n_id, list_inner_product(qv, v) / (qn * nrm) AS c FROM q JOIN n ON vec_id <> q_id),
+         |xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM xp),
+         |exact AS (SELECT q_id, n_id FROM xr WHERE rnk <= 3),
+         |bkt AS (SELECT vec_id, v, nrm, label, $bucketSql AS bucket FROM n),
+         |bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM bkt WHERE label = 1),
+         |bp AS (SELECT q_id, b.vec_id AS n_id, list_inner_product(qv, b.v) / (qn * b.nrm) AS c FROM bq q JOIN bkt b USING (bucket) WHERE b.vec_id <> q_id),
+         |br AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM bp),
+         |btop AS (SELECT q_id, n_id FROM br WHERE rnk <= 3),
+         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+         |ac AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+         |ar AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+         |asn AS (SELECT vec_id, v, nrm, label, cell FROM ar WHERE arn = 1),
+         |iq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
+         |ip AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM iq q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
+         |ir AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM ip),
+         |itop AS (SELECT q_id, n_id FROM ir WHERE rnk <= 3),
+         |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop),
+         |qs AS (SELECT DISTINCT q_id FROM exact),
+         |mth AS (SELECT unnest(['bucket', 'ivf']) AS method),
+         |h AS (SELECT a.q_id, a.method, count(*) AS hits FROM appr a JOIN exact x ON x.q_id = a.q_id AND x.n_id = a.n_id GROUP BY 1, 2)
+         |SELECT qs.q_id AS q_id, mth.method AS method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, round(coalesce(h.hits, 0) / 3.0, 4) AS recall
+         |FROM qs CROSS JOIN mth LEFT JOIN h ON h.q_id = qs.q_id AND h.method = mth.method
+         |ORDER BY qs.q_id, mth.method""".stripMargin,
     "t1_lang_id" -> {
       val scores = TextOps.langPatterns.map { case (l, p) =>
         s"len(regexp_extract_all(lower(text), '$p')) AS s_$l"

@@ -82,4 +82,58 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  // ---- pluggable external-index seam --------------------------------
+
+  /** The seam an external store (Elasticsearch, JDBC, a key-value index)
+    * plugs into: one callback per micro-batch, handed the batch frame and
+    * its replay-stable `batchId`. Implementations MUST be idempotent on
+    * batchId — foreachBatch is at-least-once, and a batch that fails
+    * mid-write is re-run on recovery with the same id (the `_version`
+    * upsert / overwrite-own-directory move). The reference hardwired ES
+    * (ConsumerESFinal.scala:93); here the store is a constructor choice. */
+  trait IndexBatchWriter extends Serializable {
+    def write(batch: DataFrame, batchId: Long): Unit
+  }
+
+  /** Default index impl: partitioned parquet, idempotent per batch
+    * (the zero-egress stand-in for a real index; same layout as
+    * [[partitionedAppend]]). */
+  final class ParquetIndexWriter(path: String, partitionCols: Seq[String])
+      extends IndexBatchWriter {
+    def write(batch: DataFrame, batchId: Long): Unit =
+      partitionedBatchWrite(path, partitionCols)(batch, batchId)
+  }
+
+  /** Resolve a writer from (format, options) — the shape a config-driven
+    * deployment uses. `parquet-index` is the built-in; an ES/JDBC jar on
+    * the classpath would register here without touching pipeline code. */
+  def indexWriterFor(format: String, options: Map[String, String]): IndexBatchWriter =
+    format match {
+      case "parquet-index" =>
+        new ParquetIndexWriter(
+          options("path"),
+          options.get("partitionCols").map(_.split(",").toSeq.filter(_.nonEmpty))
+            .getOrElse(Seq.empty))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown index format '$other' (built-in: parquet-index; " +
+            "external stores plug in via Sinks.indexSink(df, writer, checkpoint))")
+    }
+
+  /** Start a streaming upsert into an external index through the seam.
+    * Everything upstream (trigger, watermark, aggregation mode) is
+    * pipeline code; everything downstream of the seam is store code. */
+  def indexSink(df: DataFrame, writer: IndexBatchWriter,
+                checkpoint: String): StreamingQuery =
+    df.writeStream
+      .foreachBatch((b: DataFrame, id: Long) => writer.write(b, id))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Config-driven overload: resolve the writer from (format, options). */
+  def indexSink(df: DataFrame, format: String, options: Map[String, String],
+                checkpoint: String): StreamingQuery =
+    indexSink(df, indexWriterFor(format, options), checkpoint)
 }

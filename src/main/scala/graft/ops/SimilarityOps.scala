@@ -87,21 +87,14 @@ object SimilarityOps {
   /** Number of IVF cells (coarse centroids) for s3. */
   val IvfCells = 16
 
-  /** s3 IVF-style ANN: assign every vector to its nearest coarse
-    * centroid (argmax cosine against a broadcast centroid set), build the
-    * inverted lists implicitly as the `cell` key, and answer each query
-    * from its own cell only (nprobe=1) — the IVF probe plan at any scale:
-    * quantizer assignment is a broadcast map, the search is a
-    * co-partitioned join on cell id.
-    *
-    * The coarse quantizer here is deterministic (the IvfCells
-    * lowest-vec_id vectors serve as centroids) so the DuckDB oracle
-    * replays the identical cells; swapping in KMeans-trained centroids
-    * changes only the centroid table, not the plan. */
-  def s3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val all = normed(spark, dir)
-    val seeds = all.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+  /** The IVF probe plan, parameterized by the centroid table: assign every
+    * vector to its nearest coarse centroid (argmax cosine against the
+    * broadcast centroid set), build the inverted lists implicitly as the
+    * `cell` key, and answer each query from its own cell only (nprobe=1).
+    * The plan is centroid-source-agnostic — quantizer assignment is a
+    * broadcast map, the search a co-partitioned join on cell id — which is
+    * exactly why a trained quantizer (x4) drops in without a plan change. */
+  private def ivfProbe(all: DataFrame, seeds: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("c_id"))
     val assigned = all.crossJoin(broadcast(seeds))
@@ -120,6 +113,67 @@ object SimilarityOps {
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("cos_sim"), col("rnk"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** s3 IVF-style ANN over a deterministic coarse quantizer (the IvfCells
+    * lowest-vec_id vectors serve as centroids) so the DuckDB oracle
+    * replays the identical cells. [[x4IvfKmeans]] is the trained-quantizer
+    * variant on the same plan. */
+  def s3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    val seeds = all.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    ivfProbe(all, seeds)
+  }
+
+  /** x4: the IVF probe with a KMeans-trained coarse quantizer
+    * (`ml.clustering.KMeans`, seed-pinned) — the production form of s3:
+    * train once on a sample, broadcast the (tiny) centroid table, and the
+    * probe plan is byte-for-byte the one s3 runs (same [[ivfProbe]]).
+    * Training is not SQL-expressible, so like x2/x3 this entry is
+    * rows-only at the gate and golden-pinned + determinism-tested in
+    * MlGoldenSpec. */
+  def x4IvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val all = normed(spark, dir)
+    val feat = all.select(col("vec_id"), array_to_vector(col("v")).as("features"))
+    val model = new KMeans()
+      .setK(IvfCells).setSeed(7L).setMaxIter(10).setTol(1e-6)
+      .fit(feat)
+    // centroid table: IvfCells × dim doubles — KBs; broadcast by ivfProbe
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.toSeq)
+    }.toSeq
+    import all.sparkSession.implicits._
+    val seeds = centroids.toDF("c_id", "cv")
+      .select(col("c_id"), col("cv").cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    ivfProbe(all, seeds)
+  }
+
+  /** s4: recall@3 of the approximate paths against the exact scan — the
+    * quality metric that justifies running s2/s3 instead of q22 at scale,
+    * computed as a join + agg over the three existing plans (all
+    * SQL-expressible, so the gate checks it like any relational entry).
+    * Queries whose bucket/cell holds fewer than 3 true neighbours simply
+    * score lower — no special-casing, the metric tells the truth. */
+  def s4AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = q22KnnCosine(spark, dir).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val qs = exact.select("q_id").distinct()
+    def recallOf(approx: DataFrame, method: String): DataFrame = {
+      val hits = approx.select(col("q_id"), col("n_id"))
+        .join(exact, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("h"))
+      qs.join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), lit(method).as("method"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          r4(coalesce(col("h"), lit(0L)) / 3.0).as("recall"))
+    }
+    recallOf(s2AnnBucket(spark, dir), "bucket")
+      .unionByName(recallOf(s3AnnIvf(spark, dir), "ivf"))
+      .orderBy("q_id", "method")
   }
 
   /** d6 int8 quantization audit: per-vector min/max range, affine-code

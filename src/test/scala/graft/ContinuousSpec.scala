@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Continuous, StatefulOps}
+
+/** The long-running shapes: a continuously-triggered pipeline (the
+  * reference's 5-second-interval receiver loop, O1/O23) and TTL-evicted
+  * keyed state — the two behaviors a finite AvailableNow replay cannot
+  * exercise. */
+class ContinuousSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("score pipeline runs continuously: multiple ProcessingTime micro-batches commit") {
+    val q = Continuous.scorePipeline(spark, "rate_demo",
+      rowsPerSecond = 200, interval = "1 second")
+    try {
+      val deadline = System.currentTimeMillis + 90000
+      def committed = q.recentProgress.count(_.numInputRows > 0)
+      while (committed < 2 && System.currentTimeMillis < deadline)
+        Thread.sleep(250)
+      assert(committed >= 2,
+        s"expected >=2 non-empty micro-batches, got $committed " +
+          s"(batches seen: ${q.recentProgress.length})")
+    } finally q.stop()
+    assert(spark.table("rate_demo").count() > 0, "no rows flowed to the sink")
+    // the production transform ran, not a toy: scored labels are present
+    val labels = spark.table("rate_demo").select("label").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("flagged", "normal")) && labels.nonEmpty)
+  }
+
+  test("TTL state: an idle key is evicted and re-counts from zero on return") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val events = input.toDF.withColumnRenamed("value", "user_id")
+    // NOTE: no processAllAvailable() anywhere in this test — with
+    // ProcessingTimeTimeout the engine must keep scheduling batches to
+    // fire timers even with no new data, so the query NEVER reports
+    // "caught up" and processAllAvailable blocks forever. Pace batches
+    // with a short ProcessingTime trigger and poll the sink instead.
+    val q = StatefulOps.userCountsTtl(events, ttlMs = 1000L)
+      .toDF()
+      .writeStream.format("memory").queryName("ttl_counts").outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ttl_ckpt_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    def sevens: Seq[Long] = spark.table("ttl_counts").filter("user_id = 7")
+      .collect().map(_.getLong(1)).toSeq
+    def awaitRow(cnt: Long, what: String): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!sevens.contains(cnt) && System.currentTimeMillis < deadline)
+        Thread.sleep(200)
+      assert(sevens.contains(cnt), s"$what: never saw cnt=$cnt for key 7 (got $sevens)")
+    }
+    try {
+      input.addData(7L, 7L)
+      awaitRow(2L, "initial count")   // key 7 counted to 2, 1s TTL armed
+      // idle past the TTL: the timer fires on a subsequent (empty) batch,
+      // the key is evicted and its zero tombstone emitted
+      awaitRow(0L, "eviction tombstone")
+      input.addData(7L)
+      awaitRow(1L, "re-count from zero") // fresh state: 1, not 3
+    } finally q.stop()
+    val seen = sevens.toSet
+    assert(seen == Set(2L, 0L, 1L),
+      s"expected eviction + recount {2,0,1}, got $seen")
+  }
+
+  test("TTL variant still matches groupBy counts in batch mode (timeouts never fire)") {
+    import org.apache.spark.sql.functions._
+    val events = graft.io.Sources.table(spark, sf, "events")
+    val batch = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaState = StatefulOps.userCountsTtl(events, ttlMs = 60000L)
+      .collect().map(a => a.user_id -> a.cnt).toMap
+    assert(viaState == batch)
+  }
+}

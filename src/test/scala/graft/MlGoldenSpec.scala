@@ -33,4 +33,29 @@ class MlGoldenSpec extends AnyFunSuite {
     val b = rows(ScoringPipeline.x2MlScore(spark, sf))
     assert(a == b)
   }
+
+  test("x4 KMeans-IVF is deterministic across invocations (seed-pinned training)") {
+    val a = rows(graft.ops.SimilarityOps.x4IvfKmeans(spark, sf))
+    val b = rows(graft.ops.SimilarityOps.x4IvfKmeans(spark, sf))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("x4 probes trained cells with the same output contract as s3") {
+    import org.apache.spark.sql.functions._
+    val x4 = graft.ops.SimilarityOps.x4IvfKmeans(spark, sf)
+    val s3 = graft.ops.SimilarityOps.s3AnnIvf(spark, sf)
+    assert(x4.schema.catalogString == s3.schema.catalogString,
+      "trained quantizer changed the probe's output schema")
+    // per-query top-k contract holds under the trained quantizer
+    val bad = x4.groupBy("q_id").agg(count(lit(1)).as("n"), max("rnk").as("mr"))
+      .filter(col("n") > 3 || col("mr") > 3).count()
+    assert(bad == 0, "a query returned more than top-3 under the trained quantizer")
+    // and the trained cells actually retrieve true neighbours: some overlap
+    // with the exact top-3 must exist
+    val exact = graft.ops.SimilarityOps.q22KnnCosine(spark, sf)
+      .filter(col("rnk") <= 3).select("q_id", "n_id")
+    assert(x4.select("q_id", "n_id").join(exact, Seq("q_id", "n_id")).count() > 0,
+      "trained-quantizer probe retrieved no true neighbours at all")
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Sources
+import graft.ops.{DedupOps, Relational, SimilarityOps}
+
+/** Plan-regression tests: lock in the physical-plan properties the 100 TB
+  * design depends on, so a later edit can't silently rot a scan into a
+  * full read or a bucketed join into a nested loop. Each assert names the
+  * property, not the whole plan — plans may evolve, the properties must
+  * not.
+  *
+  * Checks run on the FINAL (post-AQE) plan: the frame is executed first,
+  * then the formatted explain is inspected (AQE re-plans at runtime, and
+  * the runtime plan is the one that matters).
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Execute, then render the final adaptive plan with full scan
+    * metadata (simple-mode strings truncate PushedFilters at 100 chars). */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  /** Pre-execution plan render, for shapes too expensive to run. */
+  private def staticPlan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  private def assertNoBlowupJoin(plan: String, name: String): Unit = {
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"$name plan contains BroadcastNestedLoopJoin — candidate generation degraded to all-pairs")
+    assert(!plan.contains("CartesianProduct"),
+      s"$name plan contains CartesianProduct")
+  }
+
+  test("q01 pushes its predicates into the parquet scan") {
+    val plan = finalPlan(Relational.q01ScanFilter(spark, sf))
+    assert(plan.contains("PushedFilters"), "no PushedFilters in scan node")
+    assert(plan.contains("EqualTo(event_type,click)"),
+      "event_type equality not pushed to the scan")
+    assert(plan.contains("GreaterThan(value,10.0)"),
+      "value range predicate not pushed to the scan")
+  }
+
+  test("q12 pushes the shipdate filter and prunes to the 6 used columns") {
+    val plan = finalPlan(Relational.q12PricingSummary(spark, sf))
+    assert(plan.contains("LessThanOrEqual(l_shipdate"),
+      "l_shipdate filter not pushed to the parquet scan")
+    assert(!plan.contains("l_comment") && !plan.contains("l_orderkey"),
+      "scan reads columns the aggregate never touches (pruning lost)")
+  }
+
+  test("q11 joins its dimension side with a broadcast hash join") {
+    val plan = finalPlan(Relational.q11Join3Way(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "nation join is not a BroadcastHashJoin — the broadcast hint was lost")
+    assertNoBlowupJoin(plan, "q11")
+  }
+
+  test("q26 carries the range predicate on an equi join, not a nested loop") {
+    val plan = finalPlan(Relational.q26RangeJoin(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      "range join lost its equi-key (l_orderkey) carrier join")
+    assertNoBlowupJoin(plan, "q26")
+  }
+
+  test("d3 minhash candidates meet on band values, never all-pairs") {
+    assertNoBlowupJoin(finalPlan(DedupOps.d3MinhashLsh(spark, sf)), "d3")
+  }
+
+  test("d5 embedding near-dup candidates meet on sign bands, never all-pairs") {
+    assertNoBlowupJoin(finalPlan(SimilarityOps.d5EmbedNearDup(spark, sf)), "d5")
+  }
+
+  test("s2 bucketed ANN probes its bucket, never all-pairs") {
+    assertNoBlowupJoin(finalPlan(SimilarityOps.s2AnnBucket(spark, sf)), "s2")
+  }
+
+  test("no gate query plans a mid-pipeline CollectLimit") {
+    // static check: CollectLimit appears in the physical plan before
+    // execution too, and this sweep covers every entry without re-running
+    // the streaming replays. q21's LIMIT must plan as TakeOrderedAndProject
+    // (distributed top-k), not a collect-to-driver.
+    val streaming = Set("q07_tumbling_window", "q08_sliding_window", "q24_stream_score")
+    SparkEntry.queries.filterNot(kv => streaming(kv._1)).foreach { case (name, fn) =>
+      val plan = staticPlan(fn(spark, sf))
+      assert(!plan.contains("CollectLimit"),
+        s"$name plans a CollectLimit — result funnels through the driver")
+    }
+  }
+
+  test("the blowup-join detector actually fires on a degraded plan") {
+    // deliberately-broken variants: the properties above must be able to
+    // fail, or the suite is decoration.
+    val e = Sources.table(spark, sf, "events").select("event_id")
+    val cross = e.as("a").crossJoin(e.as("b"))
+    assertThrows[org.scalatest.exceptions.TestFailedException] {
+      assertNoBlowupJoin(staticPlan(cross), "cross")
+    }
+    // and the broadcast property: same join, hint removed, broadcast off
+    val child = spark.newSession()
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val orders = Sources.table(child, sf, "orders")
+    val customer = Sources.table(child, sf, "customer")
+    val unhinted = orders.join(customer, col("o_custkey") === col("c_custkey"))
+    val plan = staticPlan(unhinted)
+    assert(!plan.contains("BroadcastHashJoin"),
+      "threshold off + no hint should not broadcast — detector cannot fire")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+  }
+}

@@ -67,6 +67,35 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 2 * once)
   }
 
+  test("indexSink seam drives two different store impls through one pipeline") {
+    val src = Sources.stream(spark, sf, "events")
+      .select("event_id", "user_id", "event_type")
+    val expected = Sources.table(spark, sf, "events").count()
+
+    // impl 1: the built-in parquet index, resolved config-style
+    val out = tmp("graft_idx_parquet_")
+    Sinks.indexSink(src,
+      format = "parquet-index",
+      options = Map("path" -> out, "partitionCols" -> "event_type"),
+      checkpoint = tmp("graft_idx_ck1_")).awaitTermination()
+    assert(spark.read.parquet(out).count() == expected)
+
+    // impl 2: a custom store behind the same seam — what an ES/JDBC
+    // writer would be; counts rows per batch into a shared sink
+    Sinks.indexSink(src, SinkSpec.recordingWriter, tmp("graft_idx_ck2_"))
+      .awaitTermination()
+    assert(SinkSpec.recorded.values.sum == expected,
+      s"custom writer saw ${SinkSpec.recorded} (want total $expected)")
+    assert(SinkSpec.recorded.keySet.forall(_ >= 0L), "batch ids not delivered")
+  }
+
+  test("unknown index format fails loudly at the seam, not mid-stream") {
+    val e = intercept[IllegalArgumentException] {
+      Sinks.indexWriterFor("elasticsearch", Map.empty)
+    }
+    assert(e.getMessage.contains("unknown index format"))
+  }
+
   test("media table matches the declared multimodal schema") {
     import graft.ops.MultimodalOps
     val media = MultimodalOps.asMedia(Sources.table(spark, sf, "documents"))
@@ -117,5 +146,23 @@ class SinkSpec extends AnyFunSuite {
     val parsed = StreamPipeline.scoreTransform(wire)
     assert(parsed.count() == 1)
     assert(rows(parsed.select("event_id")).head.head == 1L)
+  }
+}
+
+/** Companion state for the custom-writer seam test: foreachBatch closures
+  * serialize, so the recording sink lives in a static (per-JVM) field the
+  * local-mode executors and the assertion both see. */
+object SinkSpec {
+  import java.util.concurrent.ConcurrentHashMap
+  import scala.jdk.CollectionConverters._
+
+  private val batchRows = new ConcurrentHashMap[Long, Long]()
+
+  def recorded: Map[Long, Long] = batchRows.asScala.toMap
+
+  val recordingWriter: Sinks.IndexBatchWriter = new Sinks.IndexBatchWriter {
+    def write(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      // idempotent on batchId by construction: a retry overwrites its slot
+      batchRows.put(batchId, batch.count()): Unit
   }
 }
