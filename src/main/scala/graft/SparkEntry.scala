@@ -52,6 +52,7 @@ object SparkEntry {
     "q30_collect_types" -> (Relational.q30CollectTypes _),
     "q31_lag_lead" -> (Relational.q31LagLead _),
     "q24_stream_score" -> (StreamPipeline.q24StreamScore _),
+    "q32_percentiles" -> (Relational.q32Percentiles _),
     "d1_dedup_exact" -> (DedupOps.d1Exact _),
     "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
     "d3_dedup_minhash_lsh" -> (DedupOps.d3MinhashLsh _),
@@ -271,6 +272,12 @@ object SparkEntry {
         |CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS gap_sec,
         |lead(event_type, 1) OVER w AS next_type
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id""".stripMargin,
+    "q32_percentiles" ->
+      """SELECT event_type,
+        |round(quantile_cont(value, 0.5), 4) AS p50,
+        |round(quantile_cont(value, 0.9), 4) AS p90,
+        |round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",
     "d2_dedup_ngram_jaccard" ->

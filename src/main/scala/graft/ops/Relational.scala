@@ -371,4 +371,25 @@ object Relational {
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("k").agg(count(lit(1)).as("cnt"))
       .orderBy("k")
+
+  /** Q32 exact percentiles per event_type (p50/p90/p99 of value).
+    * `percentile` is the EXACT interpolating aggregate (sort-based, same
+    * `lo + (hi-lo)·frac` interpolation as the oracle's quantile_cont),
+    * not the approximate sketch — determinism over speed at the gate.
+    * Grouped exact percentiles shuffle each group's values once, same
+    * cost class as any keyed sort; the approximate path
+    * (percentile_approx, mergeable sketches, no per-group sort) is the
+    * 100 TB swap-in when a bounded error is acceptable — identical plan
+    * shape, so it's a one-function change. */
+  def q32Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ps = percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99)))
+    Sources.table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(ps.as("p"))
+      .select(col("event_type"),
+        r4(element_at(col("p"), 1)).as("p50"),
+        r4(element_at(col("p"), 2)).as("p90"),
+        r4(element_at(col("p"), 3)).as("p99"))
+      .orderBy("event_type")
+  }
 }

@@ -23,10 +23,15 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
-  test("q09 session windows: batch ≡ stream") {
+  test("q09 session windows: batch ≡ watermarked append stream") {
+    // the scale-correct session shape: watermarked append mode — session
+    // state is finalized and evicted as the watermark passes, matching
+    // the q07/q08 gate paths (complete mode is still covered by the
+    // stream-static test below)
     val batch = rows(Windowed.q09Sessions(spark, sf))
     val stream = rows(
-      Replay.complete(spark, sf, "events")(Windowed.sessions)
+      Replay.appendFlushed(spark, sf, "events", Some(8))(df =>
+        Windowed.sessions(df.withWatermark("ts", "10 minutes")))
         .orderBy("user_id", "s_start"))
     assert(stream == batch)
   }
