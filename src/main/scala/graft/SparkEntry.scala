@@ -53,6 +53,8 @@ object SparkEntry {
     "q31_lag_lead" -> (Relational.q31LagLead _),
     "q24_stream_score" -> (StreamPipeline.q24StreamScore _),
     "q32_percentiles" -> (Relational.q32Percentiles _),
+    "q33_grouping_sets" -> (Relational.q33GroupingSets _),
+    "q34_rank_family" -> (Relational.q34RankFamily _),
     "d1_dedup_exact" -> (DedupOps.d1Exact _),
     "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
     "d3_dedup_minhash_lsh" -> (DedupOps.d3MinhashLsh _),
@@ -278,6 +280,19 @@ object SparkEntry {
         |round(quantile_cont(value, 0.9), 4) AS p90,
         |round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q33_grouping_sets" ->
+      """WITH e AS (SELECT event_type, CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS vclass, value FROM events)
+        |SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS etype,
+        |CASE WHEN GROUPING(vclass) = 1 THEN 'ALL' ELSE vclass END AS vclass,
+        |CAST(count(*) AS BIGINT) AS cnt,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY GROUPING SETS ((event_type), (vclass), ()) ORDER BY etype, vclass""".stripMargin,
+    "q34_rank_family" ->
+      """SELECT event_id, event_type,
+        |round(percent_rank() OVER w, 4) AS prank,
+        |round(cume_dist() OVER w, 4) AS cdist,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) ORDER BY event_id""".stripMargin,
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",
     "d2_dedup_ngram_jaccard" ->

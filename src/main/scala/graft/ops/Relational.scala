@@ -372,6 +372,41 @@ object Relational {
       .groupBy("k").agg(count(lit(1)).as("cnt"))
       .orderBy("k")
 
+  /** Q33 grouping sets — the general form rollup (q16) and cube (q27)
+    * specialize: two marginal breakdowns plus the grand total in ONE
+    * pass over the facts (Expand + partial/final agg), where separate
+    * GROUP BYs would re-scan the table per breakdown. grouping() decodes
+    * each set's inactive key to 'ALL', as in q16/q27. */
+  def q33GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val g = Sources.table(spark, dir, "events")
+      .withColumn("vclass", when(col("value") >= 100, "high").otherwise("low"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("vclass")), Seq()),
+        col("event_type"), col("vclass"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"),
+        grouping(col("event_type")).as("ge"), grouping(col("vclass")).as("gv"))
+    g.select(
+        when(g("ge") === 1, "ALL").otherwise(g("event_type")).as("etype"),
+        when(g("gv") === 1, "ALL").otherwise(g("vclass")).as("vclass"),
+        g("cnt"), g("sum_value"))
+      .orderBy("etype", "vclass")
+  }
+
+  /** Q34 rank-function family: percent_rank, cume_dist, ntile(4) per
+    * event within its type, ordered by (value, event_id) — a unique
+    * total order, so every rank value is deterministic (no tie
+    * ambiguity) and replays exactly in the oracle. One window pass. */
+  def q34RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Sources.table(spark, dir, "events")
+      .select(
+        col("event_id"), col("event_type"),
+        r4(percent_rank().over(w)).as("prank"),
+        r4(cume_dist().over(w)).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("event_id")
+  }
+
   /** Q32 exact percentiles per event_type (p50/p90/p99 of value).
     * `percentile` is the EXACT interpolating aggregate (sort-based, same
     * `lo + (hi-lo)·frac` interpolation as the oracle's quantile_cont),
