@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops._
-import graft.streaming.StreamPipeline
+import graft.streaming.{JoinOps, StreamPipeline}
 import graft.ml.ScoringPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §2.4 for the query
@@ -55,6 +55,9 @@ object SparkEntry {
     "q32_percentiles" -> (Relational.q32Percentiles _),
     "q33_grouping_sets" -> (Relational.q33GroupingSets _),
     "q34_rank_family" -> (Relational.q34RankFamily _),
+    "q35_salted_join" -> (Relational.q35SaltedJoin _),
+    "q36_regional_revenue" -> (Relational.q36RegionalRevenue _),
+    "q37_stream_join" -> (JoinOps.q37StreamJoin _),
     "d1_dedup_exact" -> (DedupOps.d1Exact _),
     "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
     "d3_dedup_minhash_lsh" -> (DedupOps.d3MinhashLsh _),
@@ -75,7 +78,8 @@ object SparkEntry {
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
     "x3_ml_eval" -> (ScoringPipeline.x3MlEval _),
-    "x4_ivf_kmeans" -> (SimilarityOps.x4IvfKmeans _)
+    "x4_ivf_kmeans" -> (SimilarityOps.x4IvfKmeans _),
+    "x5_sketch_agg" -> (Relational.x5SketchAgg _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -293,6 +297,27 @@ object SparkEntry {
         |round(cume_dist() OVER w, 4) AS cdist,
         |CAST(ntile(4) OVER w AS BIGINT) AS quartile
         |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) ORDER BY event_id""".stripMargin,
+    "q35_salted_join" ->
+      """WITH m AS (SELECT event_type, CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS DOUBLE) AS mean_value
+        |FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, round(e.value - m.mean_value, 4) AS dev
+        |FROM events e JOIN m USING (event_type) ORDER BY e.event_id""".stripMargin,
+    "q36_regional_revenue" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |AND r_name = 'ASIA'
+        |AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q37_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id
+        |FROM events c JOIN events p
+        |ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",
     "d2_dedup_ngram_jaccard" ->

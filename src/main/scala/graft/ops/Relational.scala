@@ -427,4 +427,81 @@ object Relational {
         r4(element_at(col("p"), 3)).as("p99"))
       .orderBy("event_type")
   }
+
+  /** Salt fan-out for Q35: enough to split a hot key across a cluster's
+    * reducers without inflating the replicated side meaningfully. */
+  private val Salts = 16
+
+  /** Q35 skew-salted join: every event joined to its type's mean value
+    * (deviation from group mean). `event_type` has a handful of values,
+    * so the naive shuffle join sends *all* rows for a hot type through
+    * one reducer — at 100 TB that single task is the job. The salted
+    * plan splits each hot key 16 ways: the fact side gets a
+    * deterministic salt from `event_id`, the (small) aggregate side is
+    * replicated across all 16 salts, and the join key becomes
+    * (event_type, salt) — same rows out, 16× the reducers on the hot
+    * key. `shuffle_hash` hint keeps the demo honest: at gate scale the
+    * replicated side would auto-broadcast (which is the *right* plan
+    * when the aggregate side is small — salting is for when it isn't). */
+  def q35SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Sources.table(spark, dir, "events")
+    val fact = events.withColumn("salt", pmod(hash(col("event_id")), lit(Salts)))
+    val typeMeans = events
+      .groupBy(col("event_type").as("m_type"))
+      .agg(davg(col("value")).as("mean_value"))
+      .withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
+    fact
+      .join(typeMeans.hint("shuffle_hash"),
+        fact("event_type") === typeMeans("m_type") &&
+          fact("salt") === typeMeans("salt"))
+      .select(
+        col("event_id"), col("event_type"),
+        r4(col("value") - col("mean_value")).as("dev"))
+      .orderBy("event_id")
+  }
+
+  /** Q36 regional-revenue (TPC-H Q5 shape): the engine's deepest join —
+    * six tables, one year, one region, local-supplier constraint
+    * (customer and supplier in the same nation). The scale plan: region/
+    * nation/supplier/customer broadcast (small dims), orders⋈lineitem is
+    * the one real shuffle, the date filter on orders is pushed to its
+    * scan before the join, and the final aggregate is 5 rows. */
+  def q36RegionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Sources.table(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Sources.table(spark, dir, "nation")
+    val customer = Sources.table(spark, dir, "customer")
+    val supplier = Sources.table(spark, dir, "supplier")
+    val orders = Sources.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    val lineitem = Sources.table(spark, dir, "lineitem")
+    orders
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** X5 sketch aggregates — the approximate swap-ins q17 (exact distinct)
+    * and q32 (exact percentiles) document: HyperLogLog++ distinct users
+    * and a t-digest-style median per event_type. Both sketches are
+    * mergeable (map-side partials, no per-group sort or Expand), which
+    * is exactly why they're the 100 TB default. Sketch internals differ
+    * across engines, so this entry is rows-only at the gate; the error
+    * bound vs the exact aggregates is pinned in ApproxSpec instead. */
+  def x5SketchAgg(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(2500)).as("approx_p50"))
+      .select(col("event_type"), col("approx_users"),
+        r4(col("approx_p50")).as("approx_p50"))
+      .orderBy("event_type")
 }

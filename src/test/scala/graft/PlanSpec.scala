@@ -71,6 +71,26 @@ class PlanSpec extends AnyFunSuite {
     assertNoBlowupJoin(plan, "q26")
   }
 
+  test("q35 salted join keeps its shuffle-hash shape (the skew demo is honest)") {
+    val plan = finalPlan(Relational.q35SaltedJoin(spark, sf))
+    assert(plan.contains("ShuffledHashJoin"),
+      "salted join is not a ShuffledHashJoin — the hint was lost and the " +
+        "plan no longer demonstrates the skew-split shuffle")
+    assertNoBlowupJoin(plan, "q35")
+  }
+
+  test("q36 six-table join broadcasts its dims and pushes the date filter") {
+    val plan = finalPlan(Relational.q36RegionalRevenue(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 4,
+      s"only $broadcasts BroadcastHashJoins — a dimension join fell back to a shuffle")
+    assert(plan.contains("o_orderdate"),
+      "o_orderdate filter lost from the plan entirely")
+    assert(plan.contains("PushedFilters"),
+      "no pushed filters in any scan node")
+    assertNoBlowupJoin(plan, "q36")
+  }
+
   test("d3 minhash candidates meet on band values, never all-pairs") {
     assertNoBlowupJoin(finalPlan(DedupOps.d3MinhashLsh(spark, sf)), "d3")
   }
@@ -88,7 +108,8 @@ class PlanSpec extends AnyFunSuite {
     // execution too, and this sweep covers every entry without re-running
     // the streaming replays. q21's LIMIT must plan as TakeOrderedAndProject
     // (distributed top-k), not a collect-to-driver.
-    val streaming = Set("q07_tumbling_window", "q08_sliding_window", "q24_stream_score")
+    val streaming = Set("q07_tumbling_window", "q08_sliding_window",
+      "q24_stream_score", "q37_stream_join")
     SparkEntry.queries.filterNot(kv => streaming(kv._1)).foreach { case (name, fn) =>
       val plan = staticPlan(fn(spark, sf))
       assert(!plan.contains("CollectLimit"),

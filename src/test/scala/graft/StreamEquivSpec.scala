@@ -63,38 +63,11 @@ class StreamEquivSpec extends AnyFunSuite {
   }
 
   test("stream-stream interval join ≡ batch join (purchases x prior clicks)") {
-    import org.apache.spark.sql.DataFrame
-    import org.apache.spark.sql.functions._
-    def clicks(ev: DataFrame) = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-    def purchases(ev: DataFrame) = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"))
-    val cond = (c: DataFrame, p: DataFrame) =>
-      c("c_user") === p("p_user") &&
-        c("click_ts") >= p("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
-        c("click_ts") <= p("purchase_ts")
-    val out = Seq("purchase_id", "click_id")
-
-    val bc = clicks(graft.io.Sources.table(spark, sf, "events"))
-    val bp = purchases(graft.io.Sources.table(spark, sf, "events"))
-    val batch = rows(bc.join(bp, cond(bc, bp))
-      .select(out.head, out.tail: _*).orderBy("purchase_id", "click_id"))
-
-    val sc = clicks(graft.io.Sources.stream(spark, sf, "events"))
-      .withWatermark("click_ts", "10 minutes")
-    val sp = purchases(graft.io.Sources.stream(spark, sf, "events"))
-      .withWatermark("purchase_ts", "10 minutes")
-    val name = "graft_ss_join"
-    val q = sc.join(sp, cond(sc, sp)).select(out.head, out.tail: _*)
-      .writeStream.format("memory").queryName(name).outputMode("append")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ssj_").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val stream = rows(spark.table(name).orderBy("purchase_id", "click_id"))
+    // q37's gate path IS the streaming side: two file sources, watermarks
+    // on both, append mode into a parquet sink.
+    val batch = rows(graft.streaming.JoinOps.q37Batch(spark, sf))
+    val stream = rows(graft.streaming.JoinOps.q37StreamJoin(spark, sf))
+    assert(batch.nonEmpty)
     assert(stream == batch)
   }
 
