@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Sources
+
+/** Data-layout levers for the 100 TB design: static partition pruning,
+  * dynamic partition pruning (DPP), and bucketed shuffle-free joins.
+  *
+  * These don't surface in the per-query gates (the fixture layout is one
+  * parquet file per table), but they are the difference between scanning
+  * 100 TB and scanning the 2 TB a query actually touches — so the engine
+  * proves here, on real written layouts, that its plans engage each
+  * lever. A pipeline owner points `Sinks`-written tables at the same
+  * layouts (`partitionBy` on coarse keys like date/type; `bucketBy` on
+  * high-cardinality join keys).
+  */
+class LayoutSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  private lazy val partDir: String = {
+    val dir = Files.createTempDirectory("graft_part_").toString + "/events"
+    Sources.table(spark, sf, "events")
+      .write.partitionBy("event_type").parquet(dir)
+    dir
+  }
+
+  test("a filter on the partition column prunes partitions at the scan") {
+    val df = spark.read.parquet(partDir)
+      .filter(col("event_type") === "click")
+      .agg(count(lit(1)).as("cnt"))
+    val plan = finalPlan(df)
+    assert(plan.contains("PartitionFilters"), "scan has no partition filters")
+    // Hive-style layout: the pruned scan must read only the one matching
+    // directory, visible as the partition count in the scan node.
+    assert(plan.contains("isnotnull(event_type"),
+      "partition predicate absent from PartitionFilters")
+    val expected = Sources.table(spark, sf, "events")
+      .filter(col("event_type") === "click").count()
+    assert(df.collect().head.getLong(0) == expected)
+  }
+
+  test("a dim-side filter prunes fact partitions dynamically (DPP)") {
+    // The q36 pattern at scale: the fact table is partitioned on the join
+    // key's domain, the selective filter sits on the dim side, and the
+    // runtime subquery prunes fact partitions before the scan.
+    val dim = Sources.table(spark, sf, "events")
+      .select(col("event_type").as("d_type")).distinct()
+      .filter(col("d_type").isin("click", "purchase"))
+    val fact = spark.read.parquet(partDir)
+    val joined = fact.join(dim, col("event_type") === col("d_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val plan = finalPlan(joined)
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      "no dynamic partition pruning in the fact scan — the dim filter " +
+        "would not cut the 100 TB scan")
+    assert(joined.collect().map(_.getString(0)).toSet == Set("click", "purchase"))
+  }
+
+  test("bucketed tables join without a shuffle on the bucket key") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    assert(wh.nonEmpty)
+    val buckets = 4
+    Sources.table(spark, sf, "orders")
+      .write.mode("overwrite").bucketBy(buckets, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    Sources.table(spark, sf, "lineitem")
+      .write.mode("overwrite").bucketBy(buckets, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    try {
+      val child = spark.newSession()
+      // force the shuffle-join path so the assertion is about bucketing,
+      // not about the broadcast threshold hiding the exchange
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = child.table("orders_b")
+        .join(child.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+      j.collect()
+      val plan = j.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      // co-bucketed sides: the join's children carry no Exchange — at
+      // 100 TB this is the difference between reading co-located buckets
+      // and re-shuffling both fact tables per query.
+      val joinSection = plan.substring(0, plan.indexOf("HashAggregate"))
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join still shuffles a side:\n$joinSection")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "scan does not report bucketed read")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
