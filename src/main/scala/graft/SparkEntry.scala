@@ -58,6 +58,8 @@ object SparkEntry {
     "q35_salted_join" -> (Relational.q35SaltedJoin _),
     "q36_regional_revenue" -> (Relational.q36RegionalRevenue _),
     "q37_stream_join" -> (JoinOps.q37StreamJoin _),
+    "q38_static_enrich" -> (JoinOps.q38StaticEnrich _),
+    "q39_hof_battery" -> (Relational.q39HofBattery _),
     "d1_dedup_exact" -> (DedupOps.d1Exact _),
     "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
     "d3_dedup_minhash_lsh" -> (DedupOps.d3MinhashLsh _),
@@ -318,6 +320,19 @@ object SparkEntry {
         |ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
         |AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
+    "q38_static_enrich" ->
+      """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type""".stripMargin,
+    "q39_hof_battery" ->
+      """WITH e AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)
+        |SELECT vec_id,
+        |CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |round(list_aggregate(list_transform(dv, x -> abs(x)), 'sum'), 4) AS l1,
+        |round(list_inner_product(dv, list_reverse(dv)), 4) AS revdot,
+        |round(list_aggregate(dv[1:8], 'sum'), 4) AS head8_sum,
+        |CAST(list_sort(embedding)[32] AS DOUBLE) AS sorted32
+        |FROM e ORDER BY vec_id""".stripMargin,
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",
     "d2_dedup_ngram_jaccard" ->

@@ -488,6 +488,27 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Q39 higher-order-function battery over the embedding vectors:
+    * `transform` / `filter` / `aggregate` / `zip_with` / `slice` /
+    * `array_sort` / `reverse` — the lambda surface a feature-engineering
+    * pipeline lives on. All of it runs inside whole-stage codegen as a
+    * narrow map (no UDF, no shuffle); every float is cast to double
+    * *before* arithmetic so the left-fold accumulation is bit-identical
+    * to the oracle's list_* functions. */
+  def q39HofBattery(spark: SparkSession, dir: String): DataFrame = {
+    val dv = transform(col("embedding"), x => x.cast("double"))
+    val sum64 = (acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) => acc + x
+    Sources.table(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > 0f)).cast("long").as("n_pos"),
+        r4(aggregate(transform(dv, x => abs(x)), lit(0.0), sum64)).as("l1"),
+        r4(aggregate(zip_with(dv, reverse(dv), (a, b) => a * b), lit(0.0), sum64)).as("revdot"),
+        r4(aggregate(transform(slice(col("embedding"), 1, 8), x => x.cast("double")), lit(0.0), sum64)).as("head8_sum"),
+        element_at(array_sort(col("embedding")), 32).cast("double").as("sorted32"))
+      .orderBy("vec_id")
+  }
+
   /** X5 sketch aggregates — the approximate swap-ins q17 (exact distinct)
     * and q32 (exact percentiles) document: HyperLogLog++ distinct users
     * and a t-digest-style median per event_type. Both sketches are

@@ -86,4 +86,35 @@ object JoinOps {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
+
+  /** Q38 stream-static enrichment (the reference's core consumer shape,
+    * ConsumerESFinal.scala:36-97, minus the external store): a live event
+    * stream joined to a static dimension, aggregated, and upserted per
+    * micro-batch through the idempotent materialized sink — last write
+    * per key wins, so the read-back equals the batch aggregate however
+    * the stream was sliced into batches. The static side is broadcast:
+    * on a cluster the dimension rides to every executor once per batch
+    * and the stream side never shuffles for the join. */
+  def q38StaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Sources.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Replay.updateMaterialized(spark, dir, "events",
+        keyCols = Seq("c_mktsegment", "event_type"), statePartitions = Some(8)) { ev =>
+        ev.join(broadcast(customer), ev("user_id") === customer("c_custkey"))
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("cnt"))
+      }
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  /** Batch twin of q38 for the equivalence test. */
+  def q38Batch(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Sources.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ev = Sources.table(spark, dir, "events")
+    ev.join(broadcast(customer), ev("user_id") === customer("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment", "event_type")
+  }
 }

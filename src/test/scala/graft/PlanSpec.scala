@@ -109,7 +109,7 @@ class PlanSpec extends AnyFunSuite {
     // the streaming replays. q21's LIMIT must plan as TakeOrderedAndProject
     // (distributed top-k), not a collect-to-driver.
     val streaming = Set("q07_tumbling_window", "q08_sliding_window",
-      "q24_stream_score", "q37_stream_join")
+      "q24_stream_score", "q37_stream_join", "q38_static_enrich")
     SparkEntry.queries.filterNot(kv => streaming(kv._1)).foreach { case (name, fn) =>
       val plan = staticPlan(fn(spark, sf))
       assert(!plan.contains("CollectLimit"),

@@ -87,20 +87,11 @@ class StreamEquivSpec extends AnyFunSuite {
   }
 
   test("stream-static enrichment join ≡ batch join") {
-    import org.apache.spark.sql.DataFrame
-    import org.apache.spark.sql.functions._
-    val customer = graft.io.Sources.table(spark, sf, "customer")
-      .select(col("c_custkey"), col("c_mktsegment"))
-    def enrich(events: DataFrame): DataFrame =
-      events.join(customer, events("user_id") === customer("c_custkey"))
-        .groupBy("c_mktsegment", "event_type")
-        .agg(count(lit(1)).as("cnt"))
-    val batch = rows(
-      enrich(graft.io.Sources.table(spark, sf, "events"))
-        .orderBy("c_mktsegment", "event_type"))
-    val stream = rows(
-      Replay.complete(spark, sf, "events")(enrich)
-        .orderBy("c_mktsegment", "event_type"))
+    // q38's gate path IS the streaming side: broadcast static dim,
+    // update-mode upserts through the idempotent materialized sink.
+    val batch = rows(graft.streaming.JoinOps.q38Batch(spark, sf))
+    val stream = rows(graft.streaming.JoinOps.q38StaticEnrich(spark, sf))
+    assert(batch.nonEmpty)
     assert(stream == batch)
   }
 }
