@@ -60,6 +60,7 @@ object SparkEntry {
     "q37_stream_join" -> (JoinOps.q37StreamJoin _),
     "q38_static_enrich" -> (JoinOps.q38StaticEnrich _),
     "q39_hof_battery" -> (Relational.q39HofBattery _),
+    "q40_sample_split" -> (Relational.q40SampleSplit _),
     "d1_dedup_exact" -> (DedupOps.d1Exact _),
     "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
     "d3_dedup_minhash_lsh" -> (DedupOps.d3MinhashLsh _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "t4_fingerprint" -> (TextOps.t4Fingerprint _),
     "t5_redact" -> (TextOps.t5Redact _),
     "t6_cms_heavy_hitters" -> (TextOps.t6CmsHeavyHitters _),
+    "t7_bigrams" -> (TextOps.t7Bigrams _),
     "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
@@ -333,6 +335,15 @@ object SparkEntry {
         |round(list_aggregate(dv[1:8], 'sum'), 4) AS head8_sum,
         |CAST(list_sort(embedding)[32] AS DOUBLE) AS sorted32
         |FROM e ORDER BY vec_id""".stripMargin,
+    "q40_sample_split" ->
+      """WITH t AS (SELECT event_type,
+        |CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::UBIGINT % 10 <= 6 THEN 'train'
+        |     WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::UBIGINT % 10 <= 8 THEN 'val'
+        |     ELSE 'test' END AS split,
+        |CASE WHEN ('0x' || substr(md5('s|' || CAST(event_id AS VARCHAR)), 1, 4))::UBIGINT % 5 = 0 THEN 1 ELSE 0 END AS in_sample
+        |FROM events)
+        |SELECT event_type, split, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(in_sample) AS BIGINT) AS n_sampled
+        |FROM t GROUP BY event_type, split ORDER BY event_type, split""".stripMargin,
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",
     "d2_dedup_ngram_jaccard" ->
@@ -461,6 +472,10 @@ object SparkEntry {
          |FROM top t JOIN h ON h.token = t.token JOIN counters c ON c.r = h.r AND c.bucket = h.bucket
          |GROUP BY t.token, t.cnt ORDER BY 2 DESC, 1""".stripMargin
     },
+    "t7_bigrams" ->
+      """WITH tok AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
+        |g AS (SELECT unnest(list_transform(range(len(ts) - 1), i -> ts[i+1] || ' ' || ts[i+2])) AS gram FROM tok WHERE len(ts) >= 2)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |lower(substring(hex(encode(text)), 1, 16)) AS head_hex, md5(text) AS content_md5

@@ -509,6 +509,29 @@ object Relational {
       .orderBy("vec_id")
   }
 
+  /** Q40 deterministic sample/split assignment — the reproducibility
+    * primitive of a training-data pipeline: every row's split
+    * (train/val/test, 70/20/10) and 20%-sample membership derive from
+    * md5 of its key, so the assignment is stable across runs, engines,
+    * partitionings and cluster sizes — unlike `rand()`/`randomSplit`,
+    * which are seed + partitioning dependent (x3 shows the seeded
+    * in-engine variant). Narrow map + one partial/final agg; the same
+    * expressions tag 100 TB in place with no shuffle before the agg. */
+  def q40SampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    def h(prefix: String): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(prefix), col("event_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+    val bucket = h("") % 10
+    val split = when(bucket <= 6, "train").when(bucket <= 8, "val").otherwise("test")
+    val sampled = when(h("s|") % 5 === 0, 1L).otherwise(0L)
+    Sources.table(spark, dir, "events")
+      .withColumn("split", split)
+      .withColumn("in_sample", sampled)
+      .groupBy("event_type", "split")
+      .agg(count(lit(1)).as("cnt"), sum(col("in_sample")).as("n_sampled"))
+      .orderBy("event_type", "split")
+  }
+
   /** X5 sketch aggregates — the approximate swap-ins q17 (exact distinct)
     * and q32 (exact percentiles) document: HyperLogLog++ distinct users
     * and a t-digest-style median per event_type. Both sketches are

@@ -174,4 +174,21 @@ object TextOps {
           .otherwise(md5(concat_ws(" ", col("toks")))))
       .select("doc_id", "fp")
       .orderBy("doc_id")
+
+  /** t7 bigram top-k: the n-gram frequency view a corpus-analysis
+    * pipeline runs next to q21's unigram counts. Bigrams are built
+    * array-side (one `transform` over token indices — no self-join, no
+    * second explode), then explode→partial-count→final-count with the
+    * limit planned as a distributed TakeOrderedAndProject. Tie-break on
+    * the gram text makes top-20 deterministic. */
+  def t7Bigrams(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "documents")
+      .select(tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("ts")) - 2),
+        i => concat_ws(" ", col("ts")(i), col("ts")(i + 1)))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(20)
 }
