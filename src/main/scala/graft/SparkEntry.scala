@@ -61,6 +61,7 @@ object SparkEntry {
     "q38_static_enrich" -> (JoinOps.q38StaticEnrich _),
     "q39_hof_battery" -> (Relational.q39HofBattery _),
     "q40_sample_split" -> (Relational.q40SampleSplit _),
+    "q41_multiset_ops" -> (Relational.q41MultisetOps _),
     "d1_dedup_exact" -> (DedupOps.d1Exact _),
     "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
     "d3_dedup_minhash_lsh" -> (DedupOps.d3MinhashLsh _),
@@ -344,6 +345,16 @@ object SparkEntry {
         |FROM events)
         |SELECT event_type, split, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(in_sample) AS BIGINT) AS n_sampled
         |FROM t GROUP BY event_type, split ORDER BY event_type, split""".stripMargin,
+    "q41_multiset_ops" ->
+      """WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+        |e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS cnt, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM e
+        |UNION ALL SELECT 'intersect_all', count(*), count(DISTINCT user_id) FROM i
+        |UNION ALL SELECT 'union_all', count(*), count(DISTINCT user_id) FROM u
+        |ORDER BY op""".stripMargin,
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",
     "d2_dedup_ngram_jaccard" ->

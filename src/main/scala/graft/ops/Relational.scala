@@ -532,6 +532,26 @@ object Relational {
       .orderBy("event_type", "split")
   }
 
+  /** Q41 multiset operators — the `All` forms q18's flag-aggregation
+    * summary doesn't exercise as operators: `intersectAll` / `exceptAll`
+    * keep duplicate multiplicity (min / subtract), `union` keeps
+    * everything. Catalyst plans the All forms as a single aggregate over
+    * per-side counts plus a generate — one shuffle each, no join — which
+    * is exactly the multiset algebra you want at 100 TB (never a
+    * row-by-row anti join). */
+  def q41MultisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.table(spark, dir, "events")
+    val a = ev.filter(col("event_type") === "click").select("user_id")
+    val b = ev.filter(col("event_type") === "purchase").select("user_id")
+    def summary(df: DataFrame, op: String): DataFrame =
+      df.agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("n_users"))
+        .select(lit(op).as("op"), col("cnt"), col("n_users"))
+    summary(a.exceptAll(b), "except_all")
+      .unionByName(summary(a.intersectAll(b), "intersect_all"))
+      .unionByName(summary(a.union(b), "union_all"))
+      .orderBy("op")
+  }
+
   /** X5 sketch aggregates — the approximate swap-ins q17 (exact distinct)
     * and q32 (exact percentiles) document: HyperLogLog++ distinct users
     * and a t-digest-style median per event_type. Both sketches are
