@@ -62,6 +62,8 @@ object SparkEntry {
     "q39_hof_battery" -> (Relational.q39HofBattery _),
     "q40_sample_split" -> (Relational.q40SampleSplit _),
     "q41_multiset_ops" -> (Relational.q41MultisetOps _),
+    "q42_date_battery" -> (Relational.q42DateBattery _),
+    "d7_edit_distance" -> (DedupOps.d7EditDistance _),
     "d1_dedup_exact" -> (DedupOps.d1Exact _),
     "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
     "d3_dedup_minhash_lsh" -> (DedupOps.d3MinhashLsh _),
@@ -96,23 +98,38 @@ object SparkEntry {
       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(ts) - 2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS s FROM tok WHERE len(ts) >= 3),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
-  /** Mirror of DedupOps.signatures + banding, generated to stay in sync. */
-  private def minhashSql: String = {
+  /** Mirror of DedupOps.signatures + banding up through the candidate
+    * pairs — the shared prefix of the d3 and d7 oracles. */
+  private def lshCandCte: String = {
     val k = DedupOps.MinhashK; val bands = DedupOps.Bands; val rows = k / bands
     val sigCols = (0 until k).map(j => s"min(md5('$j|' || s)) AS h$j").mkString(", ")
     val bandSelects = (0 until bands).map { b =>
       val h = (b * rows until (b + 1) * rows).map(j => s"h$j").mkString(" || ")
       s"SELECT doc_id, $b AS bi, md5($h) AS bv FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
        |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
        |band AS ($bandSelects),
-       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM band x JOIN band y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM band x JOIN band y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** Mirror of DedupOps.d3MinhashLsh, generated to stay in sync. */
+  private def minhashSql: String =
+    s"""WITH $lshCandCte,
        |pr AS (SELECT c.a_id, c.b_id, count(*) AS i FROM cand c JOIN sh s1 ON s1.doc_id = c.a_id JOIN sh s2 ON s2.doc_id = c.b_id AND s2.s = s1.s GROUP BY 1, 2)
        |SELECT a_id, b_id, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
        |FROM pr JOIN sz x ON x.doc_id = a_id JOIN sz y ON y.doc_id = b_id
        |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.7 ORDER BY a_id, b_id""".stripMargin
-  }
+
+  /** Mirror of DedupOps.d7EditDistance (same candidate CTE, levenshtein
+    * verify over normalized text, 20%-of-longer integer threshold). */
+  private def editDistSql: String =
+    s"""WITH $lshCandCte,
+       |nrm AS (SELECT doc_id, trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents)
+       |SELECT c.a_id, c.b_id, CAST(levenshtein(x.t, y.t) AS BIGINT) AS dist
+       |FROM cand c JOIN nrm x ON x.doc_id = c.a_id JOIN nrm y ON y.doc_id = c.b_id
+       |WHERE levenshtein(x.t, y.t) * 5 <= greatest(length(x.t), length(y.t))
+       |ORDER BY a_id, b_id""".stripMargin
 
   /** Mirror of DedupOps.d4Simhash (md5-nibble bit extraction). */
   private def simhashSql: String = {
@@ -355,6 +372,16 @@ object SparkEntry {
         |UNION ALL SELECT 'intersect_all', count(*), count(DISTINCT user_id) FROM i
         |UNION ALL SELECT 'union_all', count(*), count(DISTINCT user_id) FROM u
         |ORDER BY op""".stripMargin,
+    "q42_date_battery" ->
+      """SELECT o_orderkey,
+        |strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+        |CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        |strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+        |CAST(datediff('day', date_trunc('month', o_orderdate), o_orderdate) AS BIGINT) AS day_in_month
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "d7_edit_distance" -> editDistSql,
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",
     "d2_dedup_ngram_jaccard" ->

@@ -126,8 +126,11 @@ object DedupOps {
     * at J ≥ 0.7. Output = LSH candidates that verify (the oracle replays
     * the identical signature/band construction, so approximation error is
     * itself deterministic). */
-  def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Sources.table(spark, dir, "documents"))
+  /** LSH candidate pairs (a_id < b_id) from banded MinHash signatures —
+    * the shared candidate stage of d3 (Jaccard verify) and d7 (edit-
+    * distance verify). Candidates meet on (band index, band value), so
+    * generation is an equi-join, never all-pairs. */
+  private def lshCandidates(sh: DataFrame): DataFrame = {
     val sig = signatures(sh)
     val rows = MinhashK / Bands
     val bandCols = (0 until Bands).map { b =>
@@ -136,14 +139,38 @@ object DedupOps {
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.bi"), col("band.bv"))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+  }
+
+  def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Sources.table(spark, dir, "documents"))
+    val cand = lshCandidates(sh)
     jaccard(cand, sh)
       .filter(col("jac") >= 0.7)
       .select(col("a_id"), col("b_id"), r4(col("jac")).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** d7 edit-distance near-dup: the fuzzy-dedup modality Jaccard misses
+    * (shingle overlap is blind to dense single-character noise; edit
+    * distance is the typo/ocr-error metric). Same LSH candidate stage as
+    * d3, then `levenshtein` verified on *candidates only* — the O(len²)
+    * kernel never runs on the n² pair space. The threshold
+    * `dist·5 ≤ max(len)` (≤20% of the longer text) is pure integer
+    * arithmetic, so both engines agree by construction. */
+  def d7EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    val cand = lshCandidates(shingles(docs))
+    val na = docs.select(col("doc_id").as("a_id"), TextOps.normText(col("text")).as("ta"))
+    val nb = docs.select(col("doc_id").as("b_id"), TextOps.normText(col("text")).as("tb"))
+    cand.join(na, "a_id").join(nb, "b_id")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") * 5 <= greatest(length(col("ta")), length(col("tb"))))
+      .select("a_id", "b_id", "dist")
       .orderBy("a_id", "b_id")
   }
 

@@ -552,6 +552,24 @@ object Relational {
       .orderBy("op")
   }
 
+  /** Q42 date/time battery over orders — the calendar-dimension surface
+    * every reporting pipeline derives: ISO week truncation, quarter,
+    * day-of-week (aligned to the oracle's 0-based convention by
+    * construction), ISO week number, next-month boundary, and offset
+    * into the month. Pure narrow map; formatted as strings at the edge
+    * because dates don't survive engine boundaries, strings do. */
+  def q42DateBattery(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("week_start"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        date_format(add_months(date_trunc("month", col("o_orderdate")), 1), "yyyy-MM-dd").as("next_month"),
+        datediff(col("o_orderdate"), date_trunc("month", col("o_orderdate"))).cast("long").as("day_in_month"))
+      .orderBy("o_orderkey")
+
   /** X5 sketch aggregates — the approximate swap-ins q17 (exact distinct)
     * and q32 (exact percentiles) document: HyperLogLog++ distinct users
     * and a t-digest-style median per event_type. Both sketches are
