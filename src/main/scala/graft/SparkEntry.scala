@@ -63,6 +63,7 @@ object SparkEntry {
     "q40_sample_split" -> (Relational.q40SampleSplit _),
     "q41_multiset_ops" -> (Relational.q41MultisetOps _),
     "q42_date_battery" -> (Relational.q42DateBattery _),
+    "q43_scalar_subquery" -> (Relational.q43ScalarSubquery _),
     "d7_edit_distance" -> (DedupOps.d7EditDistance _),
     "d1_dedup_exact" -> (DedupOps.d1Exact _),
     "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
@@ -381,6 +382,13 @@ object SparkEntry {
         |strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
         |CAST(datediff('day', date_trunc('month', o_orderdate), o_orderdate) AS BIGINT) AS day_in_month
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q43_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "d7_edit_distance" -> editDistSql,
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",

@@ -570,6 +570,28 @@ object Relational {
         datediff(col("o_orderdate"), date_trunc("month", col("o_orderdate"))).cast("long").as("day_in_month"))
       .orderBy("o_orderkey")
 
+  /** Q43 correlated scalar subquery (SQL surface): orders priced above
+    * 2× their customer's mean order value. Catalyst decorrelates the
+    * subquery into a per-customer aggregate joined back to orders — one
+    * shuffle on o_custkey, no per-row re-execution (the thing a naive
+    * subquery engine does n times). The mean uses the decimal-exact
+    * formulation on both sides so the > comparison is boundary-safe. */
+  def q43ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    val v = s"q43_orders_$id"
+    Sources.table(spark, dir, "orders").createOrReplaceTempView(v)
+    try
+      spark.sql(s"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM $v o
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          FROM $v o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    finally
+      spark.catalog.dropTempView(v): Unit
+  }
+
   /** X5 sketch aggregates — the approximate swap-ins q17 (exact distinct)
     * and q32 (exact percentiles) document: HyperLogLog++ distinct users
     * and a t-digest-style median per event_type. Both sketches are

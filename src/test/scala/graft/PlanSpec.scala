@@ -91,6 +91,15 @@ class PlanSpec extends AnyFunSuite {
     assertNoBlowupJoin(plan, "q36")
   }
 
+  test("q43 scalar subquery decorrelates to one aggregate + join") {
+    val plan = finalPlan(Relational.q43ScalarSubquery(spark, sf))
+    assert(plan.contains("HashAggregate"),
+      "no aggregate in the plan — the per-customer mean vanished?")
+    assert(plan.contains("Join"),
+      "no join in the plan — the subquery was not decorrelated")
+    assertNoBlowupJoin(plan, "q43")
+  }
+
   test("d3 minhash candidates meet on band values, never all-pairs") {
     assertNoBlowupJoin(finalPlan(DedupOps.d3MinhashLsh(spark, sf)), "d3")
   }
