@@ -64,6 +64,7 @@ object SparkEntry {
     "q41_multiset_ops" -> (Relational.q41MultisetOps _),
     "q42_date_battery" -> (Relational.q42DateBattery _),
     "q43_scalar_subquery" -> (Relational.q43ScalarSubquery _),
+    "q44_window_frames" -> (Relational.q44WindowFrames _),
     "d7_edit_distance" -> (DedupOps.d7EditDistance _),
     "d1_dedup_exact" -> (DedupOps.d1Exact _),
     "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
@@ -389,6 +390,14 @@ object SparkEntry {
         |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
         |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q44_window_frames" ->
+      """SELECT event_id, user_id,
+        |round(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER wr AS DOUBLE) / (COUNT(*) OVER wr), 4) AS mavg4,
+        |CAST(COUNT(*) OVER wv AS BIGINT) AS n_within_100
+        |FROM events
+        |WINDOW wr AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |wv AS (PARTITION BY user_id ORDER BY value RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "d7_edit_distance" -> editDistSql,
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) ORDER BY keep_id",

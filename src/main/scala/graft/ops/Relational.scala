@@ -592,6 +592,26 @@ object Relational {
       spark.catalog.dropTempView(v): Unit
   }
 
+  /** Q44 explicit window frames — the bounded-frame specs the running
+    * aggregates (q15, default unbounded-preceding frame) don't cover:
+    * a 4-row moving average (`rowsBetween(-3, 0)`) and a value-range
+    * count (`rangeBetween(-100, 0)` over the numeric ordering). Frame
+    * sums use decimal addends so the moving average is order-exact; the
+    * window shuffles once on user_id like every per-user window. */
+  def q44WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("event_id"))
+    val rowsW = order.rowsBetween(-3, Window.currentRow)
+    val rangeW = Window.partitionBy("user_id").orderBy(col("value"))
+      .rangeBetween(-100, Window.currentRow)
+    Sources.table(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        r4(sum(col("value").cast(Money)).over(rowsW).cast("double") /
+          count(lit(1)).over(rowsW)).as("mavg4"),
+        count(lit(1)).over(rangeW).as("n_within_100"))
+      .orderBy("event_id")
+  }
+
   /** X5 sketch aggregates — the approximate swap-ins q17 (exact distinct)
     * and q32 (exact percentiles) document: HyperLogLog++ distinct users
     * and a t-digest-style median per event_type. Both sketches are
