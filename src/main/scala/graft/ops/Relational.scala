@@ -7,7 +7,9 @@ import org.apache.spark.sql.expressions.Window
 import graft.io.Sources
 import graft.out.Canonical._
 
-/** Batch relational operators (SURVEY.md §2.4 Q1–Q6, Q11–Q19, Q23).
+/** Batch relational operators (SURVEY.md §2.4 — the non-windowed,
+  * non-streaming query entries: scans, aggregates, joins, set ops,
+  * window functions, grouping sets, sampling, subqueries).
   *
   * Every query is a pure declarative DataFrame plan — filters and
   * projections reach the parquet scan, aggregates get map-side partials,
