@@ -64,7 +64,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(n => median(samples(n))).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$Passes,"raw":$raw,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$Passes,"raw":$raw,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // Stdout is shared with Spark/JVM noise and tail-captures have
+    // truncated it in driver runs; an env-pointed file is the lossless
+    // machine-readable channel.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
     spark.stop()
   }
 }

@@ -29,10 +29,26 @@ object Engine {
     // incremental snapshots instead of full-map uploads per batch.
     .config("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Upload per-batch changelogs instead of full RocksDB snapshots:
+    // commit cost scales with the batch's state delta, not total state
+    // size — the difference between O(updates) and O(everything) per
+    // trigger once keyed state reaches cluster scale.
+    .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     // events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark has no
     // native type for; read as LongType nanos, converted in Sources.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+
+  /** Register every fixture table under its canonical name as a
+    * (session-scoped) temp view, making the full surface reachable through
+    * `spark.sql(...)` — the catalog face of the library: ad-hoc SQL,
+    * JDBC/Thrift frontends, and notebook users all hit the same scans,
+    * pushdowns, and normalizations the DataFrame entries use, because the
+    * views wrap [[graft.io.Sources.table]] (ts normalization included). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    graft.io.Sources.tableNames.foreach { n =>
+      graft.io.Sources.table(spark, dir, n).createOrReplaceTempView(n)
+    }
 
   /** Local session for tests/tools. One JVM, `cores` executor threads. */
   def local(cores: Int = math.min(Runtime.getRuntime.availableProcessors, 32),

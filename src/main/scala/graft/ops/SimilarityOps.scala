@@ -87,25 +87,52 @@ object SimilarityOps {
   /** Number of IVF cells (coarse centroids) for s3. */
   val IvfCells = 16
 
+  /** Ranked nearest-centroid cell ids for one vector, computed
+    * expression-side over the (tiny, attached-as-literal) centroid array:
+    * score every centroid with the codegen'd dot, sort the scored structs
+    * by (cosine desc, c_id asc), keep the top `k` ids. A pure narrow map —
+    * the argmax never touches a shuffle, unlike the row_number-over-
+    * Window formulation this replaced, which exchanged and sorted
+    * IvfCells copies of every corpus vector (16 corpus-volumes of network
+    * at 100 TB) to pick a per-row maximum. */
+  private def rankedCells(cents: Column, v: Column, nrm: Column, k: Int): Column = {
+    val scored = transform(cents, c =>
+      struct(
+        (dot(v, c.getField("cv")) / (nrm * c.getField("cn"))).as("ccos"),
+        c.getField("c_id").as("c_id")))
+    val byBest = array_sort(scored, (l, r) =>
+      when(l.getField("ccos") > r.getField("ccos"), -1)
+        .when(l.getField("ccos") < r.getField("ccos"), 1)
+        .when(l.getField("c_id") < r.getField("c_id"), -1)
+        .when(l.getField("c_id") > r.getField("c_id"), 1)
+        .otherwise(0))
+    transform(slice(byBest, 1, k), c => c.getField("c_id"))
+  }
+
   /** The IVF probe plan, parameterized by the centroid table: assign every
     * vector to its nearest coarse centroid (argmax cosine against the
     * broadcast centroid set), build the inverted lists implicitly as the
-    * `cell` key, and answer each query from its own cell only (nprobe=1).
+    * `cell` key, and answer each query from its top-`nprobe` cells (the
+    * corpus side always lives in exactly one cell, so probed pairs are
+    * unique by construction — no dedup pass).
     * The plan is centroid-source-agnostic — quantizer assignment is a
-    * broadcast map, the search a co-partitioned join on cell id — which is
-    * exactly why a trained quantizer (x4) drops in without a plan change. */
-  private def ivfProbe(all: DataFrame, seeds: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("c_id"))
-    val assigned = all.crossJoin(broadcast(seeds))
-      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("label"), col("c_id").as("cell"))
+    * narrow map over the broadcast centroid array, the search a
+    * co-partitioned join on cell id — which is exactly why a trained
+    * quantizer (x4) drops in without a plan change. */
+  private def ivfProbe(all: DataFrame, seeds: DataFrame, nprobe: Int = 1): DataFrame = {
+    // IvfCells rows × dim doubles → one array literal attached to every
+    // row by a single-row broadcast; sorted by c_id for determinism.
+    val centArr = seeds
+      .select(struct(col("c_id"), col("cv"), col("cn")).as("cent"))
+      .agg(array_sort(collect_list(col("cent"))).as("cents"))
+    val assigned = all.crossJoin(broadcast(centArr))
+      .withColumn("cells", rankedCells(col("cents"), col("v"), col("nrm"), nprobe))
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"),
+        element_at(col("cells"), 1).as("cell"), col("cells"))
     val q = assigned.filter(col("label") === 1)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cell"))
-    val pairs = assigned.join(broadcast(q), Seq("cell"))
+        col("nrm").as("qn"), explode(col("cells")).as("cell"))
+    val pairs = assigned.drop("cells").join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
@@ -119,11 +146,19 @@ object SimilarityOps {
     * lowest-vec_id vectors serve as centroids) so the DuckDB oracle
     * replays the identical cells. [[x4IvfKmeans]] is the trained-quantizer
     * variant on the same plan. */
-  def s3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def s3AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    s3AnnIvfProbe(spark, dir, nprobe = 1)
+
+  /** s3's plan with a query-side fan-out to the top-`nprobe` cells — the
+    * standard IVF recall lever: corpus stays single-cell (the inverted
+    * lists are unchanged), only the handful of query rows explode, so the
+    * plan shape (narrow assignment + equi-join on cell) is identical at
+    * any nprobe. s4 measures the recall gain. */
+  def s3AnnIvfProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val all = normed(spark, dir)
     val seeds = all.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    ivfProbe(all, seeds)
+    ivfProbe(all, seeds, nprobe)
   }
 
   /** x4: the IVF probe with a KMeans-trained coarse quantizer
@@ -173,6 +208,7 @@ object SimilarityOps {
     }
     recallOf(s2AnnBucket(spark, dir), "bucket")
       .unionByName(recallOf(s3AnnIvf(spark, dir), "ivf"))
+      .unionByName(recallOf(s3AnnIvfProbe(spark, dir, nprobe = 2), "ivf_np2"))
       .orderBy("q_id", "method")
   }
 

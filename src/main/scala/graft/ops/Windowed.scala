@@ -70,7 +70,18 @@ object Windowed {
         col("session_window").getField("end").cast("long").as("s_end"),
         col("cnt"))
 
+  /** Gate entry runs the watermarked streaming session path, matching
+    * q07/q08: session state is merged incrementally and evicted once the
+    * watermark passes the session's close, each finalized session emitted
+    * exactly once into a distributed sink — the only session shape whose
+    * state stays bounded on an unbounded stream. Batch twin below feeds
+    * the equivalence test. */
   def q09Sessions(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Replay.appendFlushed(spark, dir, "events", Some(8))(df =>
+      sessions(df.withWatermark("ts", "10 minutes")))
+      .orderBy("user_id", "s_start")
+
+  def q09SessionsBatch(spark: SparkSession, dir: String): DataFrame =
     sessions(Sources.table(spark, dir, "events")).orderBy("user_id", "s_start")
 
   /** Q10: dedup on (user_id, event_type), keeping the earliest event.

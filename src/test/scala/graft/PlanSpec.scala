@@ -112,13 +112,37 @@ class PlanSpec extends AnyFunSuite {
     assertNoBlowupJoin(finalPlan(SimilarityOps.s2AnnBucket(spark, sf)), "s2")
   }
 
+  test("s3 IVF centroid assignment is a narrow map — no corpus exchange by vec_id") {
+    // the argmax over centroids must fold expression-side: a regression to
+    // the row_number-over-Window formulation exchanges + sorts IvfCells
+    // copies of every corpus vector (16 corpus-volumes of network at 100 TB)
+    val plan = finalPlan(SimilarityOps.s3AnnIvf(spark, sf))
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      "assignment stage shuffles the corpus by vec_id — argmax regressed " +
+        "to a window/aggregate over the fanned-out candidate rows")
+    // (no assertNoBlowupJoin here: attaching the single-row centroid-array
+    // frame plans as a 1-row BroadcastNestedLoopJoin — a literal attach,
+    // constant-size broadcast, not an all-pairs blowup)
+  }
+
+  test("the assignment-exchange detector fires on the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Sources.table(spark, sf, "embeddings")
+      .select(col("vec_id"), explode(array(lit(0), lit(1))).as("c_id"))
+    val w = Window.partitionBy("vec_id").orderBy(col("c_id"))
+    val degraded = e.withColumn("arn", row_number().over(w)).filter(col("arn") === 1)
+    assert(staticPlan(degraded).contains("hashpartitioning(vec_id"),
+      "window-formulation plan lacks the vec_id exchange — detector cannot fire")
+  }
+
   test("no gate query plans a mid-pipeline CollectLimit") {
     // static check: CollectLimit appears in the physical plan before
     // execution too, and this sweep covers every entry without re-running
     // the streaming replays. q21's LIMIT must plan as TakeOrderedAndProject
     // (distributed top-k), not a collect-to-driver.
     val streaming = Set("q07_tumbling_window", "q08_sliding_window",
-      "q24_stream_score", "q37_stream_join", "q38_static_enrich")
+      "q09_session_window", "q24_stream_score", "q37_stream_join",
+      "q38_static_enrich")
     SparkEntry.queries.filterNot(kv => streaming(kv._1)).foreach { case (name, fn) =>
       val plan = staticPlan(fn(spark, sf))
       assert(!plan.contains("CollectLimit"),

@@ -24,6 +24,11 @@ class StateStoreSpec extends AnyFunSuite {
     // child replay sessions inherit the builder-time option
     assert(spark.newSession().conf.get("spark.sql.streaming.stateStore.providerClass")
       .contains("RocksDBStateStoreProvider"))
+    // incremental changelog uploads, not full snapshots per batch — the
+    // Engine scaladoc promises this; hold it to it (parent and children)
+    val key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    assert(spark.conf.get(key) == "true")
+    assert(spark.newSession().conf.get(key) == "true")
   }
 
   test("a stateful replay reports RocksDB-specific state metrics (provider engaged)") {

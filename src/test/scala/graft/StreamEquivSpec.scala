@@ -23,16 +23,12 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
-  test("q09 session windows: batch ≡ watermarked append stream") {
+  test("q09 session windows: batch twin ≡ streaming gate entry") {
     // the scale-correct session shape: watermarked append mode — session
-    // state is finalized and evicted as the watermark passes, matching
-    // the q07/q08 gate paths (complete mode is still covered by the
-    // stream-static test below)
-    val batch = rows(Windowed.q09Sessions(spark, sf))
-    val stream = rows(
-      Replay.appendFlushed(spark, sf, "events", Some(8))(df =>
-        Windowed.sessions(df.withWatermark("ts", "10 minutes")))
-        .orderBy("user_id", "s_start"))
+    // state is finalized and evicted as the watermark passes; since r5
+    // this IS the gate path, matching q07/q08
+    val batch = rows(Windowed.q09SessionsBatch(spark, sf))
+    val stream = rows(Windowed.q09Sessions(spark, sf))
     assert(stream == batch)
   }
 
