@@ -464,13 +464,14 @@ object SparkEntry {
          |ip AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM iq q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
          |ir AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM ip),
          |itop AS (SELECT q_id, n_id FROM ir WHERE rnk <= 3),
-         |iq2 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM ar WHERE label = 1 AND arn <= 2),
-         |ip2 AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM iq2 q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
-         |ir2 AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM ip2),
-         |itop2 AS (SELECT q_id, n_id FROM ir2 WHERE rnk <= 3),
-         |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop UNION ALL SELECT q_id, n_id, 'ivf_np2' AS method FROM itop2),
+         |${Seq(2, 4).map(np =>
+            s"""iq$np AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM ar WHERE label = 1 AND arn <= $np),
+               |ip$np AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM iq$np q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
+               |ir$np AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM ip$np),
+               |itop$np AS (SELECT q_id, n_id FROM ir$np WHERE rnk <= 3)""".stripMargin).mkString("", ",\n", ",")}
+         |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop UNION ALL SELECT q_id, n_id, 'ivf_np2' AS method FROM itop2 UNION ALL SELECT q_id, n_id, 'ivf_np4' AS method FROM itop4),
          |qs AS (SELECT DISTINCT q_id FROM exact),
-         |mth AS (SELECT unnest(['bucket', 'ivf', 'ivf_np2']) AS method),
+         |mth AS (SELECT unnest(['bucket', 'ivf', 'ivf_np2', 'ivf_np4']) AS method),
          |h AS (SELECT a.q_id, a.method, count(*) AS hits FROM appr a JOIN exact x ON x.q_id = a.q_id AND x.n_id = a.n_id GROUP BY 1, 2)
          |SELECT qs.q_id AS q_id, mth.method AS method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, round(coalesce(h.hits, 0) / 3.0, 4) AS recall
          |FROM qs CROSS JOIN mth LEFT JOIN h ON h.q_id = qs.q_id AND h.method = mth.method

@@ -209,6 +209,7 @@ object SimilarityOps {
     recallOf(s2AnnBucket(spark, dir), "bucket")
       .unionByName(recallOf(s3AnnIvf(spark, dir), "ivf"))
       .unionByName(recallOf(s3AnnIvfProbe(spark, dir, nprobe = 2), "ivf_np2"))
+      .unionByName(recallOf(s3AnnIvfProbe(spark, dir, nprobe = 4), "ivf_np4"))
       .orderBy("q_id", "method")
   }
 
