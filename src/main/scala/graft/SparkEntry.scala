@@ -70,6 +70,7 @@ object SparkEntry {
     "d2_dedup_ngram_jaccard" -> (DedupOps.d2NgramJaccard _),
     "d3_dedup_minhash_lsh" -> (DedupOps.d3MinhashLsh _),
     "d4_simhash" -> (DedupOps.d4Simhash _),
+    "d8_decontamination" -> (DedupOps.d8Decontamination _),
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
     "d6_quantize" -> (SimilarityOps.d6Quantize _),
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "t5_redact" -> (TextOps.t5Redact _),
     "t6_cms_heavy_hitters" -> (TextOps.t6CmsHeavyHitters _),
     "t7_bigrams" -> (TextOps.t7Bigrams _),
+    "t8_repetition" -> (TextOps.t8Repetition _),
     "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
@@ -417,6 +419,13 @@ object SparkEntry {
         |CAST(list_sum(list_transform(v, x -> CASE WHEN mx = mn THEN 0 ELSE CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT) END)) AS BIGINT) AS code_sum
         |FROM m ORDER BY vec_id""".stripMargin,
     "d4_simhash" -> simhashSql,
+    "d8_decontamination" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))) AS g FROM tok WHERE len(ts) >= 5),
+         |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % ${DedupOps.EvalMod} = 0),
+         |tr AS (SELECT doc_id, g FROM g WHERE doc_id % ${DedupOps.EvalMod} <> 0)
+         |SELECT tr.doc_id, CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs, CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_grams
+         |FROM tr JOIN ev ON ev.g = tr.g GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "d5_embed_near_dup" -> {
       val bandSelects = (0 until SimilarityOps.SignBands)
         .map(b => s"SELECT vec_id, $b AS bi, ${bandSql(b)} AS bv FROM n")
@@ -536,6 +545,12 @@ object SparkEntry {
       """WITH tok AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
         |g AS (SELECT unnest(list_transform(range(len(ts) - 1), i -> ts[i+1] || ' ' || ts[i+2])) AS gram FROM tok WHERE len(ts) >= 2)
         |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
+    "t8_repetition" ->
+      """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
+        |tri AS (SELECT doc_id, list_transform(range(len(ts) - 2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) AS tg FROM tok WHERE len(ts) >= 3)
+        |SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_tri, CAST(len(list_distinct(tg)) AS BIGINT) AS n_uniq_tri,
+        |round(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 4) AS dup_ratio
+        |FROM tri ORDER BY doc_id""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |lower(substring(hex(encode(text)), 1, 16)) AS head_hex, md5(text) AS content_md5

@@ -174,6 +174,43 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** d8's held-out "benchmark" membership: every EvalMod-th doc_id plays
+    * the eval set (deterministic, so the oracle replays it). */
+  val EvalMod = 10
+
+  /** d8 benchmark decontamination: training docs sharing any word 5-gram
+    * with the held-out eval set — the test-set-overlap sweep every
+    * pretraining pipeline runs before training. Per contaminated doc:
+    * how many eval docs it collides with and on how many distinct grams.
+    *
+    * Scale design: the eval/benchmark side is tiny by nature (MBs of
+    * benchmarks vs a 100 TB corpus), so its distinct 5-gram set is
+    * BROADCAST and the train side never shuffles for the join — one
+    * narrow scan + broadcast hash join + one aggregation exchange on
+    * doc_id. Grams are md5'd (d1's trick) so the join key is a fixed
+    * 32-byte digest, not sliding windows of document text; per-doc
+    * `array_distinct` runs array-side before the explode. */
+  def d8Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("ts", TextOps.tokens(col("text")))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("ts")) - 5),
+        i => md5(concat_ws(" ",
+          col("ts")(i), col("ts")(i + 1), col("ts")(i + 2),
+          col("ts")(i + 3), col("ts")(i + 4)))))).as("g"))
+    val evalG = grams(docs.filter(col("doc_id") % EvalMod === 0))
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val trainG = grams(docs.filter(col("doc_id") % EvalMod =!= 0))
+    trainG.join(broadcast(evalG), "g")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("g")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   val SimhashBits = 32
 
   /** d4 SimHash fingerprint: 32-bit signature from md5 nibbles of each

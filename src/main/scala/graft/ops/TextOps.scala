@@ -175,6 +175,31 @@ object TextOps {
       .select("doc_id", "fp")
       .orderBy("doc_id")
 
+  /** t8 intra-document repetition: duplicate word-trigram ratio per doc —
+    * the repetition-quality rule of a pretraining pipeline (template spam,
+    * keyword stuffing, and decode loops all show up as a high ratio;
+    * published corpus-cleaning recipes filter on exactly this family of
+    * signals). Trigram list, its distinct form, and the ratio are all
+    * computed array-side (`transform` + `array_distinct`), so the whole
+    * signal is one codegen'd narrow map per document — no explode, no
+    * shuffle before the output sort, linear at any corpus size. */
+  def t8Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val tri = transform(
+      sequence(lit(0), size(col("ts")) - 3),
+      i => concat_ws(" ", col("ts")(i), col("ts")(i + 1), col("ts")(i + 2)))
+    Sources.table(spark, dir, "documents")
+      .withColumn("ts", tokens(col("text")))
+      .filter(size(col("ts")) >= 3)
+      .withColumn("tri", tri)
+      .select(
+        col("doc_id"),
+        size(col("tri")).cast("long").as("n_tri"),
+        size(array_distinct(col("tri"))).cast("long").as("n_uniq_tri"),
+        r4(lit(1.0) - size(array_distinct(col("tri"))).cast("double")
+          / size(col("tri")).cast("double")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** t7 bigram top-k: the n-gram frequency view a corpus-analysis
     * pipeline runs next to q21's unigram counts. Bigrams are built
     * array-side (one `transform` over token indices — no self-join, no

@@ -112,6 +112,15 @@ class PlanSpec extends AnyFunSuite {
     assertNoBlowupJoin(finalPlan(SimilarityOps.s2AnnBucket(spark, sf)), "s2")
   }
 
+  test("d8 decontamination broadcasts the eval gram set, never all-pairs") {
+    // the 100 TB story: benchmarks are MBs, the corpus is not — the train
+    // side must meet the eval grams in a broadcast hash join, not shuffle
+    val plan = finalPlan(DedupOps.d8Decontamination(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval gram set is not broadcast — the train side would shuffle for the join")
+    assertNoBlowupJoin(plan, "d8")
+  }
+
   test("s3 IVF centroid assignment is a narrow map — no corpus exchange by vec_id") {
     // the argmax over centroids must fold expression-side: a regression to
     // the row_number-over-Window formulation exchanges + sorts IvfCells
