@@ -25,15 +25,19 @@ import graft.out.Canonical._
   */
 object DedupOps {
 
-  /** Distinct (doc_id, shingle) pairs: word 3-grams of normalized tokens. */
+  /** Distinct (doc_id, shingle) pairs: word 3-grams of normalized tokens.
+    * Dedup runs ARRAY-SIDE (`array_distinct` before the explode): because
+    * doc_id is part of the key, global distinct ≡ per-doc distinct, so
+    * the set is identical but the plan sheds a full Exchange of the
+    * shingle stream — and this subtree is recomputed several times per
+    * dedup query (see d2's plan notes), so the saving multiplies. */
   private def shingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-      )).as("shingle"))
-      .distinct()
+      ))).as("shingle"))
 
   /** Exact Jaccard for given candidate pairs (a_id < b_id). */
   private def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
