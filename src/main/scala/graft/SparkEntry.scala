@@ -103,16 +103,21 @@ object SparkEntry {
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   /** Mirror of DedupOps.signatures + banding up through the candidate
-    * pairs — the shared prefix of the d3 and d7 oracles. */
+    * pairs — the shared prefix of the d3 and d7 oracles. Minhash via
+    * per-slot linear permutations h_j = min((A_j·x + B_j) mod P) over the
+    * 48-bit md5 prefix x of each shingle; exact 64-bit integer arithmetic
+    * in both engines (constants shared from DedupOps so they can't drift). */
   private def lshCandCte: String = {
     val k = DedupOps.MinhashK; val bands = DedupOps.Bands; val rows = k / bands
-    val sigCols = (0 until k).map(j => s"min(md5('$j|' || s)) AS h$j").mkString(", ")
+    val sigCols = (0 until k).map(j =>
+      s"min((x * ${DedupOps.MinhashA(j)} + ${DedupOps.MinhashB(j)}) % ${DedupOps.MinhashP}) AS h$j").mkString(", ")
     val bandSelects = (0 until bands).map { b =>
-      val h = (b * rows until (b + 1) * rows).map(j => s"h$j").mkString(" || ")
+      val h = (b * rows until (b + 1) * rows).map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS bi, md5($h) AS bv FROM sig"
     }.mkString(" UNION ALL ")
     s"""$shingleCte,
-       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |hsh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 12))::UBIGINT AS x FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM hsh GROUP BY doc_id),
        |band AS ($bandSelects),
        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM band x JOIN band y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)""".stripMargin
   }
