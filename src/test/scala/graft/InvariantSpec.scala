@@ -157,6 +157,32 @@ class InvariantSpec extends AnyFunSuite {
     assert(df.filter(col("cms_est") < col("cnt")).count() == 0)
   }
 
+  test("t8 repetition ratios are consistent: 0 ≤ dup_ratio ≤ 1, uniq ≤ total") {
+    val df = TextOps.t8Repetition(spark, sf)
+    assert(df.count() > 0)
+    assert(df.filter(col("n_uniq_tri") > col("n_tri") || col("n_uniq_tri") < 1).count() == 0)
+    assert(df.filter(col("dup_ratio") < 0.0 || col("dup_ratio") > 1.0).count() == 0)
+  }
+
+  test("d8 contamination never reports an eval doc, and hits imply shared grams") {
+    val df = DedupOps.d8Decontamination(spark, sf)
+    assert(df.filter(col("doc_id") % DedupOps.EvalMod === 0).count() == 0)
+    assert(df.filter(col("n_eval_docs") < 1 || col("n_shared_grams") < 1).count() == 0)
+    // a doc can't collide with more eval docs than it has shared grams
+    assert(df.filter(col("n_eval_docs") > col("n_shared_grams")).count() == 0)
+  }
+
+  test("s4 recall is monotone in nprobe: ivf ≤ ivf_np2 ≤ ivf_np4 per query") {
+    // more probed cells can only add candidates, so per-query hits are
+    // monotone — a structural law of the multi-probe plan, not a tuning
+    // accident
+    val wide = SimilarityOps.s4AnnRecall(spark, sf)
+      .groupBy("q_id").pivot("method", Seq("ivf", "ivf_np2", "ivf_np4"))
+      .agg(first("hits"))
+    assert(wide.count() > 0)
+    assert(wide.filter(col("ivf") > col("ivf_np2") || col("ivf_np2") > col("ivf_np4")).count() == 0)
+  }
+
   test("m2 histograms are normalized (bins sum to ~1)") {
     val df = MultimodalOps.m2DecodeHistogram(spark, sf)
     val s = (0 until 8).map(i => col(s"b$i")).reduce(_ + _)
