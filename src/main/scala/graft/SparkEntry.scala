@@ -84,6 +84,7 @@ object SparkEntry {
     "t6_cms_heavy_hitters" -> (TextOps.t6CmsHeavyHitters _),
     "t7_bigrams" -> (TextOps.t7Bigrams _),
     "t8_repetition" -> (TextOps.t8Repetition _),
+    "t9_top_terms" -> (TextOps.t9TopTerms _),
     "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
@@ -556,6 +557,14 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_tri, CAST(len(list_distinct(tg)) AS BIGINT) AS n_uniq_tri,
         |round(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 4) AS dup_ratio
         |FROM tri ORDER BY doc_id""".stripMargin,
+    "t9_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
+        |tc AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfs AS (SELECT token, count(*) AS df FROM tc GROUP BY token),
+        |s AS (SELECT tc.doc_id, tc.token, tc.tf, dfs.df, CAST(tc.tf AS DOUBLE) / dfs.df AS score FROM tc JOIN dfs USING (token)),
+        |r AS (SELECT doc_id, token, tf, df, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk FROM s)
+        |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, round(score, 4) AS score, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |lower(substring(hex(encode(text)), 1, 16)) AS head_hex, md5(text) AS content_md5

@@ -200,6 +200,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t9 distinctive terms: top-3 terms per document scored tf/df — the
+    * tf-idf-family keyword extractor of a corpus pipeline (topic tagging,
+    * index keys, boilerplate spotting). The idf factor is 1/df rather
+    * than ln(N/df) deliberately: a lone IEEE division of two integers is
+    * bit-identical in every engine, while transcendental ln is not
+    * guaranteed reproducible across math libraries — so ranking and
+    * oracle hashes stay exact with no tolerance band.
+    *
+    * Scale shape: one shuffle to (doc, term) counts, a term-keyed
+    * aggregate for document frequencies (vocabulary-sized, shrinks with
+    * Zipf), a join back on term, and a per-doc top-k window — each keyed
+    * move on a bounded or heavily-reduced set, never on raw token
+    * occurrences twice. */
+  def t9TopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfs = tc.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tc.join(dfs, "token")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        r4(col("score")).as("score"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** t7 bigram top-k: the n-gram frequency view a corpus-analysis
     * pipeline runs next to q21's unigram counts. Bigrams are built
     * array-side (one `transform` over token indices — no self-join, no

@@ -149,10 +149,7 @@ class PlanSpec extends AnyFunSuite {
     // execution too, and this sweep covers every entry without re-running
     // the streaming replays. q21's LIMIT must plan as TakeOrderedAndProject
     // (distributed top-k), not a collect-to-driver.
-    val streaming = Set("q07_tumbling_window", "q08_sliding_window",
-      "q09_session_window", "q24_stream_score", "q37_stream_join",
-      "q38_static_enrich")
-    SparkEntry.queries.filterNot(kv => streaming(kv._1)).foreach { case (name, fn) =>
+    SparkEntry.queries.filterNot(kv => Plans.StreamingGates(kv._1)).foreach { case (name, fn) =>
       val plan = staticPlan(fn(spark, sf))
       assert(!plan.contains("CollectLimit"),
         s"$name plans a CollectLimit — result funnels through the driver")
