@@ -71,6 +71,7 @@ object SparkEntry {
     "d3_dedup_minhash_lsh" -> (DedupOps.d3MinhashLsh _),
     "d4_simhash" -> (DedupOps.d4Simhash _),
     "d8_decontamination" -> (DedupOps.d8Decontamination _),
+    "d9_simhash_near_dup" -> (DedupOps.d9SimhashNearDup _),
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
     "d6_quantize" -> (SimilarityOps.d6Quantize _),
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
@@ -141,17 +142,39 @@ object SparkEntry {
        |WHERE levenshtein(x.t, y.t) * 5 <= greatest(length(x.t), length(y.t))
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** Mirror of DedupOps.d4Simhash (md5-nibble bit extraction). */
-  private def simhashSql: String = {
+  /** Shared CTE prefix of the d4/d9 oracles: per-doc SimHash bit votes
+    * s_0..s_31 (mirror of DedupOps.simhashSums). */
+  private def simhashSumsCte: String = {
     val n = DedupOps.SimhashBits
     val bitCols = (0 until n).map { i =>
       s"sum((((strpos('0123456789abcdef', substr(h, ${1 + i / 4}, 1)) - 1) >> ${3 - i % 4}) & 1) * 2 - 1) AS s$i"
     }.mkString(", ")
-    val fp = (0 until n).map(i => s"CASE WHEN s$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t FROM documents),
        |hh AS (SELECT doc_id, md5(t) AS h FROM tok),
-       |s AS (SELECT doc_id, $bitCols FROM hh GROUP BY doc_id)
+       |s AS (SELECT doc_id, $bitCols FROM hh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Mirror of DedupOps.d4Simhash (md5-nibble bit extraction). */
+  private def simhashSql: String = {
+    val fp = (0 until DedupOps.SimhashBits)
+      .map(i => s"CASE WHEN s$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH $simhashSumsCte
        |SELECT doc_id, $fp AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirror of DedupOps.d9SimhashNearDup (integer fingerprint, byte
+    * bands, bit_count(xor) verify). */
+  private def simhashNearDupSql: String = {
+    val fpExpr = (0 until DedupOps.SimhashBits)
+      .map(i => s"CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    val nBands = DedupOps.SimhashBits / 8
+    val bis = (0 until nBands).mkString(", ")
+    s"""WITH $simhashSumsCte,
+       |fp AS (SELECT doc_id, $fpExpr AS fp FROM s),
+       |band AS (SELECT doc_id, fp, bi, (fp >> (8 * bi)) & 255 AS bv FROM fp CROSS JOIN (SELECT unnest([$bis]) AS bi)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, x.fp AS fa, y.doc_id AS b_id, y.fp AS fb FROM band x JOIN band y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= ${DedupOps.SimhashMaxDist} ORDER BY a_id, b_id""".stripMargin
   }
 
   /** Mirror of SimilarityOps.signBucket. */
@@ -425,6 +448,7 @@ object SparkEntry {
         |CAST(list_sum(list_transform(v, x -> CASE WHEN mx = mn THEN 0 ELSE CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT) END)) AS BIGINT) AS code_sum
         |FROM m ORDER BY vec_id""".stripMargin,
     "d4_simhash" -> simhashSql,
+    "d9_simhash_near_dup" -> simhashNearDupSql,
     "d8_decontamination" ->
       s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))) AS g FROM tok WHERE len(ts) >= 5),

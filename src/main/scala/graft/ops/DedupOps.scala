@@ -245,10 +245,11 @@ object DedupOps {
 
   val SimhashBits = 32
 
-  /** d4 SimHash fingerprint: 32-bit signature from md5 nibbles of each
-    * token occurrence (bit i weight: +1/-1 by hash bit, summed per doc). */
-  def d4Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Sources.table(spark, dir, "documents")
+  /** Per-doc SimHash bit votes s_0..s_31: each token's md5 contributes
+    * +1/−1 to bit i by its i-th hash bit; one explode + one aggregation.
+    * Shared by d4 (fingerprint emission) and d9 (near-dup pairing). */
+  private def simhashSums(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
       .withColumn("h", md5(col("t")))
     val bitSums: Seq[Column] = (0 until SimhashBits).map { i =>
@@ -257,9 +258,56 @@ object DedupOps {
       sum(bit * 2 - 1).as(s"s$i")
     }
     tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+  }
+
+  /** d4 SimHash fingerprint: 32-bit signature from md5 nibbles of each
+    * token occurrence (bit i weight: +1/-1 by hash bit, summed per doc). */
+  def d4Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSums(Sources.table(spark, dir, "documents"))
       .select(col("doc_id"),
         concat((0 until SimhashBits).map(i =>
           when(col(s"s$i") >= 0, "1").otherwise("0")): _*).as("simhash"))
       .orderBy("doc_id")
+
+  /** d9's Hamming radius: pairs within this many differing fingerprint
+    * bits count as near-dups. */
+  val SimhashMaxDist = 3
+
+  /** d9 SimHash near-dup pairing — the search-engine dedup method: docs
+    * whose 32-bit SimHash fingerprints differ in ≤ [[SimhashMaxDist]]
+    * bits, with candidates generated by byte-banding the fingerprint.
+    * Unlike MinHash banding this candidate stage is EXACT, not
+    * probabilistic: ≤ 3 differing bits spread over 4 disjoint bytes
+    * leave at least one byte identical (pigeonhole), so every qualifying
+    * pair collides in some band and the output is complete by
+    * construction. Verification is one codegen'd `bit_count(xor)` per
+    * candidate — integer-exact in every engine.
+    *
+    * Scale notes: candidates meet on (band index, band value) — an
+    * equi-join, never all-pairs; the verify kernel is O(1) per pair. At
+    * corpus scale the fingerprint widens to 64 bits with 16-bit bands
+    * (same plan, different constants) so band buckets stay sparse; 32/8
+    * here mirrors d4 so the oracle replays identical fingerprints. */
+  def d9SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhashSums(Sources.table(spark, dir, "documents"))
+      .select(col("doc_id"),
+        (0 until SimhashBits).map(i =>
+          when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("fp"))
+    val bands = fp.select(col("doc_id"), col("fp"),
+        explode(array((0 until SimhashBits / 8).map(b =>
+          struct(lit(b).as("bi"),
+            shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("band"))
+      .select(col("doc_id"), col("fp"), col("band.bi"), col("band.bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.fp").as("fa"),
+        col("y.doc_id").as("b_id"), col("y.fp").as("fb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .filter(col("hamming") <= SimhashMaxDist)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
   }
 }

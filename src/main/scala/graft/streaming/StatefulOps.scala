@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Arbitrary stateful processing (`mapGroupsWithState`) — the escape
   * hatch the built-in windows can't cover (SURVEY.md §2.2: custom state).
@@ -25,6 +26,66 @@ object StatefulOps {
           val c = state.getOption.getOrElse(0L) + rows.size
           state.update(c)
           UserAgg(uid, c)
+      }
+  }
+
+  /** Open sessions per user: (startMicros, lastMicros, cnt) triples. */
+  case class SessionAcc(sessions: List[(Long, Long, Long)])
+
+  /** Finalized session in q09's output shape (epoch-second BIGINTs). */
+  case class SessionRow(user_id: Long, s_start: Long, s_end: Long, cnt: Long)
+
+  /** Custom sessionizer via `flatMapGroupsWithState` + EventTimeTimeout —
+    * the explicit-state twin of `session_window`, for session semantics
+    * the built-in can't express (per-session custom payloads, dynamic
+    * gaps, early emission). Semantics match Spark's exactly: an event at
+    * t joins an open session iff t < last + gap (micros-precise), the
+    * session ends at last + gap, and a session finalizes — is emitted
+    * once and its state evicted — when the event-time watermark passes
+    * its end. StreamEquivSpec proves the replayed stream equals the
+    * `session_window` batch aggregate row-for-row.
+    *
+    * State is bounded the same way the built-in is: only open sessions
+    * (within the watermark horizon) live in the store, keyed by user —
+    * at 100 TB the store holds ~horizon × arrival-rate entries, not
+    * history. Streaming-only by design: the emit-on-watermark contract
+    * has no batch analog (the batch twin IS `session_window`). */
+  def sessionize(events: DataFrame, gapSec: Long = 600): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSec * 1000000L
+    events
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionAcc]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          def endMs(s: (Long, Long, Long)): Long = (s._2 + gapUs) / 1000L
+          if (state.hasTimedOut) {
+            // watermark passed: emit every session whose end it crossed
+            val (closed, open) = state.get.sessions.partition(endMs(_) <= wmMs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(SessionAcc(open))
+              state.setTimeoutTimestamp(math.max(open.map(endMs).min, wmMs + 1))
+            }
+            closed.sortBy(_._1).iterator.map { case (s, l, c) =>
+              SessionRow(uid, s / 1000000L, l / 1000000L + gapSec, c)
+            }
+          } else {
+            // merge new points into open sessions (t joins iff t < last+gap)
+            val pts = rows.map(_._2).toList.map(t => (t, t, 1L))
+            val all = (state.getOption.map(_.sessions).getOrElse(Nil) ++ pts)
+              .sortBy(s => (s._1, s._2))
+            val merged = all.foldLeft(List.empty[(Long, Long, Long)]) {
+              case (cur :: done, s) if s._1 < cur._2 + gapUs =>
+                (cur._1, math.max(cur._2, s._2), cur._3 + s._3) :: done
+              case (acc, s) => s :: acc
+            }.reverse
+            state.update(SessionAcc(merged))
+            state.setTimeoutTimestamp(math.max(merged.map(endMs).min, wmMs + 1))
+            Iterator.empty
+          }
       }
   }
 

@@ -172,6 +172,22 @@ class InvariantSpec extends AnyFunSuite {
     assert(df.filter(col("n_eval_docs") > col("n_shared_grams")).count() == 0)
   }
 
+  test("d9 banding is complete: output equals brute-force hamming ≤ 3") {
+    // the pigeonhole claim (≤3 differing bits over 4 disjoint bytes leave
+    // one byte equal) makes the banded candidate stage EXACT — provable
+    // by brute force over the small fixture's fingerprints
+    val fps = DedupOps.d4Simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = (for {
+      (a, sa) <- fps; (b, sb) <- fps if a < b
+      d = sa.zip(sb).count(t => t._1 != t._2) if d <= DedupOps.SimhashMaxDist
+    } yield (a, b, d.toLong)).toSet
+    val got = DedupOps.d9SimhashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture produced no close pairs — test is vacuous")
+  }
+
   test("s4 recall is monotone in nprobe: ivf ≤ ivf_np2 ≤ ivf_np4 per query") {
     // more probed cells can only add candidates, so per-query hits are
     // monotone — a structural law of the multi-probe plan, not a tuning

@@ -112,6 +112,10 @@ class PlanSpec extends AnyFunSuite {
     assertNoBlowupJoin(finalPlan(SimilarityOps.s2AnnBucket(spark, sf)), "s2")
   }
 
+  test("d9 simhash candidates meet on fingerprint bytes, never all-pairs") {
+    assertNoBlowupJoin(finalPlan(DedupOps.d9SimhashNearDup(spark, sf)), "d9")
+  }
+
   test("d8 decontamination broadcasts the eval gram set, never all-pairs") {
     // the 100 TB story: benchmarks are MBs, the corpus is not — the train
     // side must meet the eval grams in a broadcast hash join, not shuffle

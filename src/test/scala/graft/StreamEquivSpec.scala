@@ -67,6 +67,19 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("custom flatMapGroupsWithState sessionizer ≡ session_window batch") {
+    // the explicit-state sessionizer must reproduce the built-in's
+    // sessions exactly: same merge rule (t joins iff t < last+gap,
+    // micros-precise), same end = last+gap, emitted once at watermark
+    val batch = rows(Windowed.q09SessionsBatch(spark, sf))
+    val custom = rows(
+      Replay.appendFlushed(spark, sf, "events", Some(8))(df =>
+        graft.streaming.StatefulOps.sessionize(
+          df.withWatermark("ts", "10 minutes")).toDF())
+        .orderBy("user_id", "s_start"))
+    assert(custom == batch)
+  }
+
   test("mapGroupsWithState per-user counts ≡ groupBy counts") {
     import org.apache.spark.sql.functions._
     val batch = graft.io.Sources.table(spark, sf, "events")
