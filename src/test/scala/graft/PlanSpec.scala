@@ -148,6 +148,21 @@ class PlanSpec extends AnyFunSuite {
       "window-formulation plan lacks the vec_id exchange — detector cannot fire")
   }
 
+  test("narrow-map ops never hash-shuffle: scan → map → output sort only") {
+    // these entries claim "narrow map" in SURVEY §2.5 — the only Exchange
+    // allowed is the final orderBy's range partitioning; a
+    // hashpartitioning Exchange means a groupBy/join/window crept in
+    val narrow = Seq("t1_lang_id", "t2_text_quality", "t3_token_count",
+      "t4_fingerprint", "t5_redact", "t8_repetition", "d6_quantize",
+      "m1_multimodal_meta", "q02_cast_projection", "q19_scalar_suite",
+      "q42_date_battery")
+    narrow.foreach { name =>
+      val plan = staticPlan(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name claims a narrow map but its plan hash-shuffles")
+    }
+  }
+
   test("no gate query plans a mid-pipeline CollectLimit") {
     // static check: CollectLimit appears in the physical plan before
     // execution too, and this sweep covers every entry without re-running
