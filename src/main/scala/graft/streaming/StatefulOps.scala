@@ -53,12 +53,21 @@ object StatefulOps {
   def sessionize(events: DataFrame, gapSec: Long = 600): Dataset[SessionRow] = {
     import events.sparkSession.implicits._
     val gapUs = gapSec * 1000000L
+    // the watermarked `ts` attribute must reach flatMapGroupsWithState
+    // AS A COLUMN: any expression over it (unix_micros) or typed .map
+    // (SerializeFromObject) mints fresh attributes without the event-time
+    // watermark metadata, and the analyzer rejects EventTimeTimeout when
+    // no child output attribute carries it — so ts rides along untouched
+    // and the micros conversion happens inside the state function
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
     events
-      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long])
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionAcc, SessionRow](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionAcc]) =>
+        (uid: Long, rs: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionAcc]) =>
+          val rows = rs.map(r => (r._1, micros(r._2)))
           val wmMs = state.getCurrentWatermarkMs()
           def endMs(s: (Long, Long, Long)): Long = (s._2 + gapUs) / 1000L
           if (state.hasTimedOut) {
