@@ -17,6 +17,10 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    // a one-entry oracle_sql.json makes check_oracle.py check just this
+    // query against the same outDir
+    Verify.writeOracleJson(outDir,
+      SparkEntry.oracleSql.view.filterKeys(_ == name).toMap)
     spark.stop()
   }
 }

@@ -187,6 +187,67 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Iteration cap for [[d10DupClusters]]: min-label propagation needs
+    * at most diameter(component) rounds, and near-dup components are
+    * shallow by nature (a dup cluster is one document plus its variants,
+    * diameter ≲ a handful); 32 is a generous ceiling, converge-checked. */
+  val MaxClusterIters = 32
+
+  /** d10 near-dup clustering — the step after pair generation that every
+    * dedup pipeline actually ships: d3's verified pairs (J ≥ 0.7) are an
+    * edge list, and "keep one per cluster" needs its connected
+    * components. Each clustered doc gets cluster_id = the smallest
+    * doc_id reachable through near-dup edges (the canonical survivor)
+    * plus the component size; docs in no pair are not emitted (their
+    * cluster is trivially themselves).
+    *
+    * Algorithm: distributed min-label propagation to a fixpoint — each
+    * round, every node takes the min of its own label and its
+    * neighbours' labels; when a round changes nothing the labels ARE the
+    * per-component minima. This is the DataFrame form of the classic
+    * iterative connected-components (GraphX/Pregel do the same rounds);
+    * a driver-side convergence probe per round is inherent to any
+    * fixpoint algorithm and moves one boolean, not data.
+    *
+    * Scale design: each round is one shuffle-on-id join (edges ⋈ labels,
+    * both hash-partitioned on the same key) + one min-aggregation — no
+    * broadcast of anything corpus-sized, no collect. `localCheckpoint`
+    * truncates the growing lineage each round (on a cluster, a reliable
+    * `checkpoint` to the checkpoint dir does the same job); rounds are
+    * bounded by component diameter (shallow here — see
+    * [[MaxClusterIters]]), not corpus size. */
+  def d10DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Sources.table(spark, dir, "documents"))
+    val pairs = jaccard(lshCandidates(sh), sh)
+      .filter(col("jac") >= 0.7).select("a_id", "b_id")
+    val edges = pairs
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < MaxClusterIters) {
+      val best = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2")).agg(min("lbl").as("nbl"))
+      val next = labels.join(best, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"),
+          (col("nbl") < col("lbl")).as("chg"))
+        .localCheckpoint()
+      converged = next.filter(col("chg")).isEmpty
+      labels = next.select("id", "lbl")
+      iters += 1
+    }
+    require(converged || labels.isEmpty, s"d10 did not converge in $MaxClusterIters rounds")
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** d7 edit-distance near-dup: the fuzzy-dedup modality Jaccard misses
     * (shingle overlap is blind to dense single-character noise; edit
     * distance is the typo/ocr-error metric). Same LSH candidate stage as

@@ -229,6 +229,101 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** t10's rule thresholds — all integer-exact so both engines agree by
+    * construction (no float tolerance anywhere in the rule battery):
+    * wc ≥ MinWords; mean token length in [4.2, 5.2] checked as
+    * 10·Σlen ∈ [42·wc, 52·wc]; ≥ MinStops stopword occurrences; top
+    * token share ≤ 1/8 checked as 8·max_run ≤ wc. */
+  val MinWords = 30
+  val MinStops = 2
+  val StopList: Seq[String] = Seq("the", "a", "of", "to", "in", "and", "is")
+
+  /** t10 quality-filter rules (the Gopher/C4-style gate battery): each
+    * document passes or fails four deterministic rules — word count,
+    * mean token length band, stopword presence, and top-token dominance
+    * (keyword-stuffing guard) — and the output is the per-(lang, source)
+    * pass ledger a pipeline owner reads before choosing filter settings.
+    *
+    * Where t2 *scores* documents, t10 *decides*: binary rules with
+    * integer-exact thresholds (see above — ratios are re-expressed as
+    * cross-multiplied integer comparisons, so no float ever decides a
+    * row's fate and the oracle can never disagree on a boundary doc).
+    *
+    * Scale shape: every rule — including the max-repeated-token run,
+    * computed by a fold over the *sorted* token array — is a codegen'd
+    * narrow map per document; the only exchange is the final tiny
+    * (lang × source)-keyed aggregation. At 100 TB this is one scan. */
+  def t10GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val pass = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    Sources.table(spark, dir, "documents")
+      .withColumn("ts", tokens(col("text")))
+      .withColumn("wc", size(col("ts")).cast("long"))
+      .filter(col("wc") > 0)
+      .withColumn("sum_len",
+        aggregate(transform(col("ts"), t => length(t).cast("long")), lit(0L), (a, x) => a + x))
+      .withColumn("n_stop",
+        size(filter(col("ts"), t => t.isin(StopList: _*))).cast("long"))
+      // longest run in the sorted array == highest single-token count
+      .withColumn("max_run", expr(
+        """aggregate(array_sort(ts),
+          |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+          |  (a, x) -> named_struct(
+          |    'prev', x,
+          |    'run',  if(x = a.prev, a.run + 1L, 1L),
+          |    'best', greatest(a.best, if(x = a.prev, a.run + 1L, 1L))),
+          |  a -> a.best)""".stripMargin))
+      .withColumn("r_wc", col("wc") >= MinWords)
+      .withColumn("r_mean",
+        col("sum_len") * 10 >= col("wc") * 42 && col("sum_len") * 10 <= col("wc") * 52)
+      .withColumn("r_stop", col("n_stop") >= MinStops)
+      .withColumn("r_top", col("max_run") * 8 <= col("wc"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        pass(col("r_wc")).as("p_wc"),
+        pass(col("r_mean")).as("p_mean"),
+        pass(col("r_stop")).as("p_stop"),
+        pass(col("r_top")).as("p_top"),
+        pass(col("r_wc") && col("r_mean") && col("r_stop") && col("r_top")).as("p_all"))
+      .orderBy("lang", "source")
+  }
+
+  /** t11's span geometry and output size. */
+  val SpanWords = 8
+  val TopSpans = 50
+
+  /** t11 duplicated-span mining — the cross-document twin of t8's
+    * intra-document repetition: word-[[SpanWords]]-gram spans that occur
+    * in ≥ 2 distinct documents, top-[[TopSpans]] by spread. This is the
+    * discovery pass behind span-level dedup (C4 removes repeated
+    * three-sentence spans; boilerplate headers/footers/licenses all
+    * surface here first).
+    *
+    * Scale shape: spans are built array-side (one `transform`, no
+    * self-join), then explode → groupBy(doc_id, span) → groupBy(span).
+    * The first aggregation collapses within-doc repeats map-side (a
+    * doc's spans never cross partitions before it), so the second sees
+    * one row per (doc, span): `count(1)` IS n_docs — no count-distinct
+    * Expand — and n_occ is the pre-summed per-doc count. The ≥ 2-docs
+    * filter prunes the (overwhelmingly unique) span tail and the top-k
+    * plans as a distributed TakeOrderedAndProject. Unique span text
+    * makes the order total. */
+  def t11DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val spanList = transform(
+      sequence(lit(0), size(col("ts")) - SpanWords),
+      i => concat_ws(" ", (0 until SpanWords).map(k => col("ts")(i + k)): _*))
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= SpanWords)
+      .select(col("doc_id"), explode(spanList).as("span"))
+      .groupBy("doc_id", "span").agg(count(lit(1)).as("occ"))
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_docs"), sum("occ").as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+      .limit(TopSpans)
+  }
+
   /** t7 bigram top-k: the n-gram frequency view a corpus-analysis
     * pipeline runs next to q21's unigram counts. Bigrams are built
     * array-side (one `transform` over token indices — no self-join, no

@@ -188,6 +188,65 @@ class InvariantSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture produced no close pairs — test is vacuous")
   }
 
+  test("d10 clusters reproduce brute-force union-find over the d3 pairs") {
+    val pairs = DedupOps.d3MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture produced no near-dup pairs — test is vacuous")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = nodes.map(n => n -> find(n)).toMap
+    val sizes = expect.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = DedupOps.d10DupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => g._1 -> g._2).toMap == expect)
+    assert(got.forall(g => g._3 == sizes(g._2)))
+    // canonical survivor: the cluster id is a member of its own cluster
+    assert(got.filter(g => g._1 == g._2).map(_._2).toSet == expect.values.toSet)
+  }
+
+  test("t10 rule ledger: groups partition tokenized docs, p_all ≤ each rule") {
+    val df = TextOps.t10GopherRules(spark, sf)
+    val tokenized = Sources.table(spark, sf, "documents")
+      .filter(size(TextOps.tokens(col("text"))) > 0).count()
+    assert(df.agg(sum("n_docs")).collect()(0).getLong(0) == tokenized)
+    for (c <- Seq("p_wc", "p_mean", "p_stop", "p_top")) {
+      assert(df.filter(col(c) > col("n_docs")).count() == 0, s"$c exceeds n_docs")
+      assert(df.filter(col("p_all") > col(c)).count() == 0, s"p_all exceeds $c")
+    }
+    // thresholds are discriminative on the fixture: some docs fail, some pass
+    val t = df.agg(sum("n_docs"), sum("p_all")).collect()(0)
+    assert(t.getLong(1) > 0 && t.getLong(1) < t.getLong(0))
+  }
+
+  test("t11 dup spans: every span spreads over ≥2 docs, occurrences ≥ docs") {
+    val df = TextOps.t11DupSpans(spark, sf)
+    assert(df.count() > 0 && df.count() <= TextOps.TopSpans)
+    assert(df.filter(col("n_docs") < 2 || col("n_occ") < col("n_docs")).count() == 0)
+    // spot-check the top span against a direct corpus count
+    val top = df.collect()(0)
+    val hits = Sources.table(spark, sf, "documents")
+      .filter(col("text").contains(top.getString(0))).count()
+    assert(hits >= top.getLong(1))
+  }
+
+  test("s5 PQ-ANN emits exactly 3 ranked rows per query; codes reconstruct") {
+    val df = SimilarityOps.s5AnnPq(spark, sf)
+    val perQ = df.groupBy("q_id").agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+    assert(perQ.count() > 0)
+    assert(perQ.filter(col("n") =!= 3 || col("mx") =!= 3).count() == 0)
+    // ADC approximates cosine: scores stay in a sane band (the
+    // reconstruction can overshoot ±1 only slightly)
+    assert(df.filter(abs(col("adc_sim")) > 1.5).count() == 0)
+  }
+
   test("s4 recall is monotone in nprobe: ivf ≤ ivf_np2 ≤ ivf_np4 per query") {
     // more probed cells can only add candidates, so per-query hits are
     // monotone — a structural law of the multi-probe plan, not a tuning
