@@ -72,11 +72,13 @@ object SparkEntry {
     "d4_simhash" -> (DedupOps.d4Simhash _),
     "d8_decontamination" -> (DedupOps.d8Decontamination _),
     "d9_simhash_near_dup" -> (DedupOps.d9SimhashNearDup _),
+    "d10_dup_clusters" -> (DedupOps.d10DupClusters _),
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
     "d6_quantize" -> (SimilarityOps.d6Quantize _),
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
     "s3_ann_ivf" -> (SimilarityOps.s3AnnIvf _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
+    "s5_ann_pq" -> (SimilarityOps.s5AnnPq _),
     "t1_lang_id" -> (TextOps.t1LangId _),
     "t2_text_quality" -> (TextOps.t2Quality _),
     "t3_token_count" -> (TextOps.t3TokenCount _),
@@ -86,6 +88,8 @@ object SparkEntry {
     "t7_bigrams" -> (TextOps.t7Bigrams _),
     "t8_repetition" -> (TextOps.t8Repetition _),
     "t9_top_terms" -> (TextOps.t9TopTerms _),
+    "t10_gopher_rules" -> (TextOps.t10GopherRules _),
+    "t11_dup_spans" -> (TextOps.t11DupSpans _),
     "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
@@ -177,6 +181,57 @@ object SparkEntry {
        |FROM cand WHERE bit_count(xor(fa, fb)) <= ${DedupOps.SimhashMaxDist} ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Mirror of DedupOps.d10DupClusters: the d3-verified pair list as an
+    * edge set, min-reachable-label per node via a recursive CTE (DuckDB's
+    * transitive closure ≡ the engine's propagation fixpoint), component
+    * sizes by window count. */
+  private def dupClustersSql: String =
+    s"""WITH RECURSIVE $lshCandCte,
+       |pr AS (SELECT c.a_id, c.b_id, count(*) AS i FROM cand c JOIN sh s1 ON s1.doc_id = c.a_id JOIN sh s2 ON s2.doc_id = c.b_id AND s2.s = s1.s GROUP BY 1, 2),
+       |vp AS (SELECT a_id, b_id FROM pr JOIN sz x ON x.doc_id = a_id JOIN sz y ON y.doc_id = b_id WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.7),
+       |nodes AS (SELECT a_id AS id FROM vp UNION SELECT b_id FROM vp),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM vp UNION SELECT b_id, a_id FROM vp),
+       |reach(id, lbl) AS (SELECT id, id FROM nodes UNION SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+       |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       |SELECT doc_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM lab ORDER BY doc_id""".stripMargin
+
+  /** Mirror of TextOps.t10GopherRules (integer-exact rule thresholds;
+    * max_run recomputed by explicit token counting — same integer). */
+  private def gopherRulesSql: String = {
+    val stops = TextOps.StopList.map(s => s"'$s'").mkString(", ")
+    val p = (c: String) => s"CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT)"
+    s"""WITH tok AS (SELECT doc_id, lang, source, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
+       |m AS (SELECT doc_id, lang, source, len(ts) AS wc, ts,
+       |  list_sum(list_transform(ts, x -> length(x))) AS sum_len,
+       |  len(list_filter(ts, x -> x IN ($stops))) AS n_stop
+       |  FROM tok WHERE len(ts) > 0),
+       |occ AS (SELECT doc_id, t, count(*) AS c FROM (SELECT doc_id, unnest(ts) AS t FROM m) GROUP BY doc_id, t),
+       |mr AS (SELECT doc_id, max(c) AS max_run FROM occ GROUP BY doc_id),
+       |r AS (SELECT m.lang, m.source,
+       |  wc >= ${TextOps.MinWords} AS r_wc,
+       |  sum_len * 10 >= wc * 42 AND sum_len * 10 <= wc * 52 AS r_mean,
+       |  n_stop >= ${TextOps.MinStops} AS r_stop,
+       |  mr.max_run * 8 <= wc AS r_top
+       |  FROM m JOIN mr USING (doc_id))
+       |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |${p("r_wc")} AS p_wc, ${p("r_mean")} AS p_mean, ${p("r_stop")} AS p_stop,
+       |${p("r_top")} AS p_top, ${p("r_wc AND r_mean AND r_stop AND r_top")} AS p_all
+       |FROM r GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+
+  /** Mirror of TextOps.t11DupSpans. */
+  private def dupSpansSql: String = {
+    val k = TextOps.SpanWords
+    val span = (1 to k).map(j => s"ts[i+$j]").mkString(" || ' ' || ")
+    s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
+       |sp AS (SELECT doc_id, unnest(list_transform(range(len(ts) - ${k - 1}), i -> $span)) AS span FROM tok WHERE len(ts) >= $k),
+       |d AS (SELECT doc_id, span, count(*) AS occ FROM sp GROUP BY 1, 2),
+       |a AS (SELECT span, count(*) AS n_docs, sum(occ) AS n_occ FROM d GROUP BY span)
+       |SELECT span, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occ AS BIGINT) AS n_occ
+       |FROM a WHERE n_docs >= 2 ORDER BY n_docs DESC, n_occ DESC, span LIMIT ${TextOps.TopSpans}""".stripMargin
+  }
+
   /** Mirror of SimilarityOps.signBucket. */
   private val bucketSql: String =
     (0 until 8).map(i => s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
@@ -190,6 +245,43 @@ object SparkEntry {
   private val embCte =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
       |n AS (SELECT vec_id, v, label, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  /** Mirror of SimilarityOps.pqCodebook/pqCodes (+ reconstructed norm):
+    * appended after [[embCte]], yields `cbn(cbs)` (the [m][k] nested
+    * codebook) and `enc` (corpus with PQ codes + rnrm). L2 argmin ties
+    * break to the lowest k via list_position's first-match, exactly as
+    * the engine's array_position does. */
+  private def pqCte: String = {
+    val (m, d, k) = (SimilarityOps.PqM, SimilarityOps.PqSubDim, SimilarityOps.PqK)
+    s"""cbsub AS (SELECT vec_id AS k, m, list_slice(v, m*$d+1, m*$d+$d) AS sub FROM n CROSS JOIN (SELECT unnest(range($m)) AS m) WHERE vec_id < $k),
+       |cbm AS (SELECT m, list(sub ORDER BY k) AS cbm FROM cbsub GROUP BY m),
+       |cbn AS (SELECT list(cbm ORDER BY m) AS cbs FROM cbm),
+       |pqsub AS (SELECT vec_id, m, list_slice(v, m*$d+1, m*$d+$d) AS sv FROM n CROSS JOIN (SELECT unnest(range($m)) AS m)),
+       |pqdist AS (SELECT vec_id, m, list_transform(cbs[m+1], c -> list_sum(list_transform(range($d), i -> (sv[i+1]-c[i+1])*(sv[i+1]-c[i+1])))) AS dl FROM pqsub CROSS JOIN cbn),
+       |pqcode AS (SELECT vec_id, m, CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS cd FROM pqdist),
+       |pqcodes AS (SELECT vec_id, list(cd ORDER BY m) AS codes FROM pqcode GROUP BY vec_id),
+       |enc AS (SELECT n.vec_id, n.label, n.nrm, pqcodes.codes,
+       |  sqrt(list_sum(list_transform(range($m), m -> list_inner_product(cbs[m+1][codes[m+1]+1], cbs[m+1][codes[m+1]+1])))) AS rnrm
+       |  FROM n JOIN pqcodes USING (vec_id) CROSS JOIN cbn)""".stripMargin
+  }
+
+  /** The ADC score of query subvectors against a coded row (DuckDB
+    * fragment; same m-order fold as the engine). */
+  private def adcSql(qv: String, codes: String): String = {
+    val (m, d) = (SimilarityOps.PqM, SimilarityOps.PqSubDim)
+    s"list_sum(list_transform(range($m), m -> list_inner_product(list_slice($qv, m*$d+1, m*$d+$d), cbs[m+1][$codes[m+1]+1])))"
+  }
+
+  /** Mirror of SimilarityOps.s5AnnPq. */
+  private def pqAnnSql: String =
+    s"""WITH $embCte,
+       |$pqCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE label = 1),
+       |p AS (SELECT q.q_id, e.vec_id AS n_id, ${adcSql("q.qv", "e.codes")} / (q.qn * e.rnrm) AS c
+       |  FROM q JOIN enc e ON e.vec_id <> q.q_id CROSS JOIN cbn),
+       |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+       |SELECT q_id, n_id, round(c, 4) AS adc_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for x2_ml_score (model training is
@@ -441,6 +533,9 @@ object SparkEntry {
          |FROM pr JOIN sz x ON x.doc_id = a_id JOIN sz y ON y.doc_id = b_id
          |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
     "d3_dedup_minhash_lsh" -> minhashSql,
+    "d10_dup_clusters" -> dupClustersSql,
+    "t10_gopher_rules" -> gopherRulesSql,
+    "t11_dup_spans" -> dupSpansSql,
     "d6_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e)
@@ -467,6 +562,7 @@ object SparkEntry {
          |FROM cand c JOIN n a ON a.vec_id = c.a_id JOIN n b ON b.vec_id = c.b_id
          |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4 ORDER BY a_id, b_id""".stripMargin
     },
+    "s5_ann_pq" -> pqAnnSql,
     "s2_ann_bucket" ->
       s"""WITH $embCte,
          |bkt AS (SELECT vec_id, v, nrm, label, $bucketSql AS bucket FROM n),
@@ -486,6 +582,7 @@ object SparkEntry {
          |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "s4_ann_recall" ->
       s"""WITH $embCte,
+         |$pqCte,
          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE label = 1),
          |xp AS (SELECT q_id, vec_id AS n_id, list_inner_product(qv, v) / (qn * nrm) AS c FROM q JOIN n ON vec_id <> q_id),
          |xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM xp),
@@ -508,9 +605,12 @@ object SparkEntry {
                |ip$np AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM iq$np q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
                |ir$np AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM ip$np),
                |itop$np AS (SELECT q_id, n_id FROM ir$np WHERE rnk <= 3)""".stripMargin).mkString("", ",\n", ",")}
-         |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop UNION ALL SELECT q_id, n_id, 'ivf_np2' AS method FROM itop2 UNION ALL SELECT q_id, n_id, 'ivf_np4' AS method FROM itop4),
+         |pqp AS (SELECT q.q_id, e.vec_id AS n_id, ${adcSql("q.qv", "e.codes")} / (q.qn * e.rnrm) AS c FROM q JOIN enc e ON e.vec_id <> q.q_id CROSS JOIN cbn),
+         |pqr AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM pqp),
+         |pqtop AS (SELECT q_id, n_id FROM pqr WHERE rnk <= 3),
+         |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop UNION ALL SELECT q_id, n_id, 'ivf_np2' AS method FROM itop2 UNION ALL SELECT q_id, n_id, 'ivf_np4' AS method FROM itop4 UNION ALL SELECT q_id, n_id, 'pq' AS method FROM pqtop),
          |qs AS (SELECT DISTINCT q_id FROM exact),
-         |mth AS (SELECT unnest(['bucket', 'ivf', 'ivf_np2', 'ivf_np4']) AS method),
+         |mth AS (SELECT unnest(['bucket', 'ivf', 'ivf_np2', 'ivf_np4', 'pq']) AS method),
          |h AS (SELECT a.q_id, a.method, count(*) AS hits FROM appr a JOIN exact x ON x.q_id = a.q_id AND x.n_id = a.n_id GROUP BY 1, 2)
          |SELECT qs.q_id AS q_id, mth.method AS method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, round(coalesce(h.hits, 0) / 3.0, 4) AS recall
          |FROM qs CROSS JOIN mth LEFT JOIN h ON h.q_id = qs.q_id AND h.method = mth.method

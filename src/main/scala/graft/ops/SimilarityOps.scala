@@ -210,7 +210,89 @@ object SimilarityOps {
       .unionByName(recallOf(s3AnnIvf(spark, dir), "ivf"))
       .unionByName(recallOf(s3AnnIvfProbe(spark, dir, nprobe = 2), "ivf_np2"))
       .unionByName(recallOf(s3AnnIvfProbe(spark, dir, nprobe = 4), "ivf_np4"))
+      .unionByName(recallOf(s5AnnPq(spark, dir), "pq"))
       .orderBy("q_id", "method")
+  }
+
+  /** Product-quantization geometry: the 64-dim vector splits into
+    * [[PqM]] subvectors of [[PqSubDim]] dims; each subspace has a
+    * [[PqK]]-entry codebook (the first PqK vectors' subvectors, s3's
+    * deterministic-seed trick, so the oracle replays identical codes). */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqK = 16
+
+  /** m-th subvector (0-based m; columns are 1-based). */
+  private def subVec(v: Column, m: Column): Column =
+    slice(v, m * PqSubDim + 1, lit(PqSubDim))
+
+  /** Left-fold inner product of two small double arrays (expression-side,
+    * same accumulation order as DuckDB's list_sum over a transform). */
+  private def ipFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def l2Fold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** The codebook as one single-row frame: `cbs[m][k]` = the k-th
+    * sub-centroid of subspace m (nested array literal, KBs — attached to
+    * every row by a 1-row broadcast, the ivfProbe centroid pattern). */
+  private def pqCodebook(all: DataFrame): DataFrame =
+    all.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("k"), col("v"))
+      .select(col("k"), transform(sequence(lit(0), lit(PqM - 1)),
+        m => subVec(col("v"), m)).as("subs"))
+      .agg(array_sort(collect_list(struct(col("k"), col("subs")))).as("e"))
+      // after the k-sort, strip to the nested [m][k] layout: outer = m
+      .select(transform(sequence(lit(0), lit(PqM - 1)),
+        m => transform(col("e"), e => element_at(e.getField("subs"), m + 1))).as("cbs"))
+
+  /** PQ-encode: per subspace, the L2-argmin code against the codebook —
+    * `list_position(dists, min(dists))` picks the lowest-k tie
+    * deterministically in both engines. Pure narrow map. */
+  private def pqCodes(cbs: Column, v: Column): Column =
+    transform(sequence(lit(0), lit(PqM - 1)), m => {
+      val dists = transform(element_at(cbs, m + 1), c => l2Fold(subVec(v, m), c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+
+  /** s5 PQ-ANN: asymmetric-distance (ADC) top-3 — the FAISS-style scan
+    * that makes 100 TB vector search RAM-resident: the corpus is stored
+    * as [[PqM]] byte-sized codes (8 bytes/vector instead of 256 bytes of
+    * floats, 32× compression), and each query scores a corpus row by
+    * summing its own exact subvectors' inner products with the row's
+    * coded sub-centroids — table lookups, never the original floats.
+    * The approximate cosine divides by the *reconstructed* norm (the
+    * norm of the decoded vector), which is also codes-only.
+    *
+    * Plan shape: codebook attach (1-row broadcast) → narrow encode map →
+    * broadcast the (small) query set over the coded corpus → per-query
+    * top-k window. The corpus is scanned once, narrowly; nothing
+    * corpus-sized shuffles. s4's `pq` rows measure the recall cost of
+    * the 32× compression against the exact scan. */
+  def s5AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    val coded = all.crossJoin(broadcast(pqCodebook(all)))
+      .withColumn("codes", pqCodes(col("cbs"), col("v")))
+      // reconstructed norm: sqrt(Σ_m ||c_{m,code_m}||²) — codes-only
+      .withColumn("rnrm", sqrt(aggregate(
+        transform(col("codes"), (cd, m) => {
+          val c = element_at(element_at(col("cbs"), m + 1), cd + 1)
+          ipFold(c, c)
+        }), lit(0.0), (acc, x) => acc + x)))
+    val q = all.filter(col("label") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("adc", aggregate(
+        transform(col("codes"), (cd, m) =>
+          ipFold(subVec(col("qv"), m), element_at(element_at(col("cbs"), m + 1), cd + 1))),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("c", col("adc") / (col("qn") * col("rnrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("adc_sim"), col("rnk"))
+      .orderBy("q_id", "rnk")
   }
 
   /** d6 int8 quantization audit: per-vector min/max range, affine-code

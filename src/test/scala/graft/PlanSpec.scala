@@ -156,11 +156,39 @@ class PlanSpec extends AnyFunSuite {
       "t4_fingerprint", "t5_redact", "t8_repetition", "d6_quantize",
       "m1_multimodal_meta", "q02_cast_projection", "q19_scalar_suite",
       "q42_date_battery")
+    // NOTE the pattern: FormattedMode prints the node as "Exchange (n)"
+    // and its arguments ("hashpartitioning(...)") on a separate line, so
+    // grepping "Exchange hashpartitioning" matches NOTHING and the lock
+    // would be decoration; "hashpartitioning(" is the form that appears
+    // (the output sort's Exchange renders as rangepartitioning)
     narrow.foreach { name =>
       val plan = staticPlan(SparkEntry.queries(name)(spark, sf))
-      assert(!plan.contains("Exchange hashpartitioning"),
+      assert(!plan.contains("hashpartitioning("),
         s"$name claims a narrow map but its plan hash-shuffles")
     }
+  }
+
+  test("t10 rule battery is one narrow map + one tiny aggregation exchange") {
+    // every rule (incl. the sorted-array fold for max_run) must stay
+    // array-side: no Generate (explode), no Join, and exactly one hash
+    // exchange — the (lang × source) aggregation; a second exchange means
+    // the max-run computation regressed to an explode + re-aggregation
+    val plan = staticPlan(graft.ops.TextOps.t10GopherRules(spark, sf))
+    assert(!plan.contains("Generate"), "t10 explodes — rules left the array side")
+    assert(!plan.contains("Join"), "t10 joins — a rule recomputed via self-join")
+    val exchanges = "hashpartitioning\\(".r.findAllIn(plan).length
+    assert(exchanges == 1, s"t10 has $exchanges hash exchanges, expected 1")
+  }
+
+  test("t11 span mining: no count-distinct Expand, distributed top-k") {
+    // n_docs must come from the per-(doc,span) pre-collapse (count(1) on
+    // the second aggregate), not a countDistinct Expand; and the limit
+    // must plan as a distributed TakeOrderedAndProject
+    val plan = staticPlan(graft.ops.TextOps.t11DupSpans(spark, sf))
+    assert(!plan.contains("Expand"), "t11 plans an Expand — countDistinct crept in")
+    assert(!plan.contains("Join"), "t11 joins — span counting regressed to a self-join")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "t11 limit is not a distributed TakeOrderedAndProject")
   }
 
   test("no gate query plans a mid-pipeline CollectLimit") {
