@@ -73,12 +73,14 @@ object SparkEntry {
     "d8_decontamination" -> (DedupOps.d8Decontamination _),
     "d9_simhash_near_dup" -> (DedupOps.d9SimhashNearDup _),
     "d10_dup_clusters" -> (DedupOps.d10DupClusters _),
+    "d11_dedup_impact" -> (DedupOps.d11DedupImpact _),
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
     "d6_quantize" -> (SimilarityOps.d6Quantize _),
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
     "s3_ann_ivf" -> (SimilarityOps.s3AnnIvf _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
     "s5_ann_pq" -> (SimilarityOps.s5AnnPq _),
+    "s6_ann_ivfpq" -> (SimilarityOps.s6AnnIvfPq _),
     "t1_lang_id" -> (TextOps.t1LangId _),
     "t2_text_quality" -> (TextOps.t2Quality _),
     "t3_token_count" -> (TextOps.t3TokenCount _),
@@ -185,16 +187,30 @@ object SparkEntry {
     * edge set, min-reachable-label per node via a recursive CTE (DuckDB's
     * transitive closure ≡ the engine's propagation fixpoint), component
     * sizes by window count. */
-  private def dupClustersSql: String =
-    s"""WITH RECURSIVE $lshCandCte,
+  private def dupClusterCte: String =
+    s"""$lshCandCte,
        |pr AS (SELECT c.a_id, c.b_id, count(*) AS i FROM cand c JOIN sh s1 ON s1.doc_id = c.a_id JOIN sh s2 ON s2.doc_id = c.b_id AND s2.s = s1.s GROUP BY 1, 2),
        |vp AS (SELECT a_id, b_id FROM pr JOIN sz x ON x.doc_id = a_id JOIN sz y ON y.doc_id = b_id WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.7),
        |nodes AS (SELECT a_id AS id FROM vp UNION SELECT b_id FROM vp),
        |edges AS (SELECT a_id AS s, b_id AS d FROM vp UNION SELECT b_id, a_id FROM vp),
        |reach(id, lbl) AS (SELECT id, id FROM nodes UNION SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
-       |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  private def dupClustersSql: String =
+    s"""WITH RECURSIVE $dupClusterCte
        |SELECT doc_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
+
+  /** Mirror of DedupOps.d11DedupImpact (d10's clusters left-joined onto
+    * the corpus, keep-one-per-cluster accounting per lang × source). */
+  private def dedupImpactSql: String =
+    s"""WITH RECURSIVE $dupClusterCte,
+       |j AS (SELECT d.lang, d.source, d.doc_id, lab.cluster_id FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id)
+       |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+       |CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |CAST(count(*) - sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM j GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   /** Mirror of TextOps.t10GopherRules (integer-exact rule thresholds;
     * max_run recomputed by explicit token counting — same integer). */
@@ -231,6 +247,23 @@ object SparkEntry {
        |SELECT span, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occ AS BIGINT) AS n_occ
        |FROM a WHERE n_docs >= 2 ORDER BY n_docs DESC, n_occ DESC, span LIMIT ${TextOps.TopSpans}""".stripMargin
   }
+
+  /** Mirror of SimilarityOps.s6AnnIvfPq: s3's cell assignment composed
+    * with s5's codes — probe the query's cell, score by ADC. */
+  private def ivfPqSql: String =
+    s"""WITH $embCte,
+       |$pqCte,
+       |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+       |ac AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+       |ar AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+       |asn AS (SELECT vec_id, v, nrm, label, cell FROM ar WHERE arn = 1),
+       |f AS (SELECT a.vec_id, a.label, a.cell, e.codes, e.rnrm FROM asn a JOIN enc e USING (vec_id)),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
+       |p AS (SELECT q.q_id, f.vec_id AS n_id, ${adcSql("q.qv", "f.codes")} / (q.qn * f.rnrm) AS c
+       |  FROM q JOIN f USING (cell) CROSS JOIN cbn WHERE f.vec_id <> q.q_id),
+       |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+       |SELECT q_id, n_id, round(c, 4) AS adc_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
   /** Mirror of SimilarityOps.signBucket. */
   private val bucketSql: String =
@@ -534,6 +567,7 @@ object SparkEntry {
          |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
     "d3_dedup_minhash_lsh" -> minhashSql,
     "d10_dup_clusters" -> dupClustersSql,
+    "d11_dedup_impact" -> dedupImpactSql,
     "t10_gopher_rules" -> gopherRulesSql,
     "t11_dup_spans" -> dupSpansSql,
     "d6_quantize" ->
@@ -563,6 +597,7 @@ object SparkEntry {
          |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4 ORDER BY a_id, b_id""".stripMargin
     },
     "s5_ann_pq" -> pqAnnSql,
+    "s6_ann_ivfpq" -> ivfPqSql,
     "s2_ann_bucket" ->
       s"""WITH $embCte,
          |bkt AS (SELECT vec_id, v, nrm, label, $bucketSql AS bucket FROM n),
@@ -608,9 +643,13 @@ object SparkEntry {
          |pqp AS (SELECT q.q_id, e.vec_id AS n_id, ${adcSql("q.qv", "e.codes")} / (q.qn * e.rnrm) AS c FROM q JOIN enc e ON e.vec_id <> q.q_id CROSS JOIN cbn),
          |pqr AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM pqp),
          |pqtop AS (SELECT q_id, n_id FROM pqr WHERE rnk <= 3),
-         |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop UNION ALL SELECT q_id, n_id, 'ivf_np2' AS method FROM itop2 UNION ALL SELECT q_id, n_id, 'ivf_np4' AS method FROM itop4 UNION ALL SELECT q_id, n_id, 'pq' AS method FROM pqtop),
+         |fpq AS (SELECT a.vec_id, a.label, a.cell, e.codes, e.rnrm FROM asn a JOIN enc e USING (vec_id)),
+         |fp AS (SELECT q.q_id, f.vec_id AS n_id, ${adcSql("q.qv", "f.codes")} / (q.qn * f.rnrm) AS c FROM iq q JOIN fpq f USING (cell) CROSS JOIN cbn WHERE f.vec_id <> q.q_id),
+         |fr AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM fp),
+         |ftop AS (SELECT q_id, n_id FROM fr WHERE rnk <= 3),
+         |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop UNION ALL SELECT q_id, n_id, 'ivf_np2' AS method FROM itop2 UNION ALL SELECT q_id, n_id, 'ivf_np4' AS method FROM itop4 UNION ALL SELECT q_id, n_id, 'pq' AS method FROM pqtop UNION ALL SELECT q_id, n_id, 'ivfpq' AS method FROM ftop),
          |qs AS (SELECT DISTINCT q_id FROM exact),
-         |mth AS (SELECT unnest(['bucket', 'ivf', 'ivf_np2', 'ivf_np4', 'pq']) AS method),
+         |mth AS (SELECT unnest(['bucket', 'ivf', 'ivf_np2', 'ivf_np4', 'pq', 'ivfpq']) AS method),
          |h AS (SELECT a.q_id, a.method, count(*) AS hits FROM appr a JOIN exact x ON x.q_id = a.q_id AND x.n_id = a.n_id GROUP BY 1, 2)
          |SELECT qs.q_id AS q_id, mth.method AS method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, round(coalesce(h.hits, 0) / 3.0, 4) AS recall
          |FROM qs CROSS JOIN mth LEFT JOIN h ON h.q_id = qs.q_id AND h.method = mth.method

@@ -371,4 +371,30 @@ object DedupOps {
       .select("a_id", "b_id", "hamming")
       .orderBy("a_id", "b_id")
   }
+
+  /** d11 dedup impact report — the ledger a pipeline owner reads before
+    * committing a dedup pass: per (lang, source), how many docs exist,
+    * how many sit in a near-dup cluster, how many the keep-one-per-
+    * cluster policy (keep = the cluster's min doc_id, d10's canonical
+    * survivor) would drop, and how many survive.
+    *
+    * Scale design: the cluster table is near-dup members only — tiny
+    * relative to the corpus by the nature of dedup — so it joins in as a
+    * BROADCAST hash join and the corpus side never shuffles; one
+    * (lang × source)-keyed aggregation follows. The expensive part
+    * (pair generation + clustering) is d10, already bounded. */
+  def d11DedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = d10DupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    Sources.table(spark, dir, "documents")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), 1L)
+          .otherwise(0L)).as("n_dropped"))
+      .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+      .orderBy("lang", "source")
+  }
 }

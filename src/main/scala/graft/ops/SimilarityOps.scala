@@ -211,6 +211,7 @@ object SimilarityOps {
       .unionByName(recallOf(s3AnnIvfProbe(spark, dir, nprobe = 2), "ivf_np2"))
       .unionByName(recallOf(s3AnnIvfProbe(spark, dir, nprobe = 4), "ivf_np4"))
       .unionByName(recallOf(s5AnnPq(spark, dir), "pq"))
+      .unionByName(recallOf(s6AnnIvfPq(spark, dir), "ivfpq"))
       .orderBy("q_id", "method")
   }
 
@@ -283,6 +284,53 @@ object SimilarityOps {
     val q = all.filter(col("label") === 1)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val pairs = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("adc", aggregate(
+        transform(col("codes"), (cd, m) =>
+          ipFold(subVec(col("qv"), m), element_at(element_at(col("cbs"), m + 1), cd + 1))),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("c", col("adc") / (col("qn") * col("rnrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("adc_sim"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** s6 IVF-PQ: the two approximations composed the way a production
+    * vector index (the FAISS IVF-PQ layout) composes them — IVF cell
+    * partitioning bounds WHICH rows a query touches (s3's probe: corpus
+    * rows live in exactly one coarse cell, queries search their own
+    * cell), and PQ codes bound WHAT is read per touched row (s5's ADC:
+    * 8 bytes of codes, never the floats). At 100 TB that is the
+    * difference between scanning the corpus and scanning
+    * 1/[[IvfCells]] of a 32×-compressed corpus.
+    *
+    * Plan shape: both codebooks are 1-row broadcast attaches; assignment
+    * and encoding are one narrow map; the search is the same equi-join on
+    * cell id as s3 — swapping the scoring kernel changes no exchange.
+    * s4's `ivfpq` rows price the composed recall loss against each
+    * approximation alone. */
+  def s6AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    val seeds = all.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val centArr = seeds
+      .select(struct(col("c_id"), col("cv"), col("cn")).as("cent"))
+      .agg(array_sort(collect_list(col("cent"))).as("cents"))
+    val coded = all
+      .crossJoin(broadcast(centArr)).crossJoin(broadcast(pqCodebook(all)))
+      .withColumn("cell", element_at(rankedCells(col("cents"), col("v"), col("nrm"), 1), 1))
+      .withColumn("codes", pqCodes(col("cbs"), col("v")))
+      .withColumn("rnrm", sqrt(aggregate(
+        transform(col("codes"), (cd, m) => {
+          val c = element_at(element_at(col("cbs"), m + 1), cd + 1)
+          ipFold(c, c)
+        }), lit(0.0), (acc, x) => acc + x)))
+    val q = coded.filter(col("label") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    val pairs = coded.select("vec_id", "cell", "cbs", "codes", "rnrm")
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc", aggregate(
         transform(col("codes"), (cd, m) =>
           ipFold(subVec(col("qv"), m), element_at(element_at(col("cbs"), m + 1), cd + 1))),

@@ -237,6 +237,29 @@ class InvariantSpec extends AnyFunSuite {
     assert(hits >= top.getLong(1))
   }
 
+  test("d11 impact ledger is consistent with d10's clusters") {
+    val d11 = DedupOps.d11DedupImpact(spark, sf)
+    assert(d11.agg(sum("n_docs")).collect()(0).getLong(0) == nDocs)
+    // per group: kept + dropped = docs; dropped ≤ clustered
+    assert(d11.filter(col("n_kept") + col("n_dropped") =!= col("n_docs")).count() == 0)
+    assert(d11.filter(col("n_dropped") > col("n_clustered")).count() == 0)
+    // totals tie to d10 exactly: every cluster keeps exactly one doc
+    val d10 = DedupOps.d10DupClusters(spark, sf)
+    val members = d10.count()
+    val clusters = d10.select("cluster_id").distinct().count()
+    val t = d11.agg(sum("n_clustered"), sum("n_dropped")).collect()(0)
+    assert(t.getLong(0) == members)
+    assert(t.getLong(1) == members - clusters)
+  }
+
+  test("s6 IVF-PQ emits exactly 3 ranked rows per query from its own cell") {
+    val df = SimilarityOps.s6AnnIvfPq(spark, sf)
+    val perQ = df.groupBy("q_id").agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+    assert(perQ.count() > 0)
+    assert(perQ.filter(col("n") =!= 3 || col("mx") =!= 3).count() == 0)
+    assert(df.filter(abs(col("adc_sim")) > 1.5).count() == 0)
+  }
+
   test("s5 PQ-ANN emits exactly 3 ranked rows per query; codes reconstruct") {
     val df = SimilarityOps.s5AnnPq(spark, sf)
     val perQ = df.groupBy("q_id").agg(count(lit(1)).as("n"), max("rnk").as("mx"))
