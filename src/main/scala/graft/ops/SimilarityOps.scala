@@ -270,7 +270,14 @@ object SimilarityOps {
     * broadcast the (small) query set over the coded corpus → per-query
     * top-k window. The corpus is scanned once, narrowly; nothing
     * corpus-sized shuffles. s4's `pq` rows measure the recall cost of
-    * the 32× compression against the exact scan. */
+    * the 32× compression against the exact scan.
+    *
+    * The ADC uses the classic per-query LOOKUP TABLE: each query
+    * pre-computes lut[m][k] = <q_m, c_{m,k}> ONCE (PqM × PqK small dots,
+    * a narrow map over the tiny query set), and scoring a corpus row is
+    * then PqM array lookups + adds — the subvector dots never run per
+    * pair. Same arithmetic in the same order, so scores (and oracle
+    * hashes) are bit-identical to the naive per-pair form it replaced. */
   def s5AnnPq(spark: SparkSession, dir: String): DataFrame = {
     val all = normed(spark, dir)
     val coded = all.crossJoin(broadcast(pqCodebook(all)))
@@ -281,12 +288,16 @@ object SimilarityOps {
           val c = element_at(element_at(col("cbs"), m + 1), cd + 1)
           ipFold(c, c)
         }), lit(0.0), (acc, x) => acc + x)))
-    val q = all.filter(col("label") === 1)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .drop("cbs")
+    val q = all.crossJoin(broadcast(pqCodebook(all)))
+      .filter(col("label") === 1)
+      .select(col("vec_id").as("q_id"), col("nrm").as("qn"),
+        transform(col("cbs"), (cbm, m) =>
+          transform(cbm, c => ipFold(subVec(col("v"), m), c))).as("lut"))
     val pairs = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("adc", aggregate(
         transform(col("codes"), (cd, m) =>
-          ipFold(subVec(col("qv"), m), element_at(element_at(col("cbs"), m + 1), cd + 1))),
+          element_at(element_at(col("lut"), m + 1), cd + 1)),
         lit(0.0), (acc, x) => acc + x))
       .withColumn("c", col("adc") / (col("qn") * col("rnrm")))
     val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
@@ -326,14 +337,18 @@ object SimilarityOps {
           val c = element_at(element_at(col("cbs"), m + 1), cd + 1)
           ipFold(c, c)
         }), lit(0.0), (acc, x) => acc + x)))
+    // s5's per-query ADC lookup table: lut[m][k] = <q_m, c_{m,k}>,
+    // computed once per query — corpus rows are scored by lookups only
     val q = coded.filter(col("label") === 1)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
-    val pairs = coded.select("vec_id", "cell", "cbs", "codes", "rnrm")
+      .select(col("vec_id").as("q_id"), col("nrm").as("qn"), col("cell"),
+        transform(col("cbs"), (cbm, m) =>
+          transform(cbm, c => ipFold(subVec(col("v"), m), c))).as("lut"))
+    val pairs = coded.select("vec_id", "cell", "codes", "rnrm")
       .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc", aggregate(
         transform(col("codes"), (cd, m) =>
-          ipFold(subVec(col("qv"), m), element_at(element_at(col("cbs"), m + 1), cd + 1))),
+          element_at(element_at(col("lut"), m + 1), cd + 1)),
         lit(0.0), (acc, x) => acc + x))
       .withColumn("c", col("adc") / (col("qn") * col("rnrm")))
     val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))

@@ -238,6 +238,19 @@ object TextOps {
   val MinStops = 2
   val StopList: Seq[String] = Seq("the", "a", "of", "to", "in", "and", "is")
 
+  /** Highest single-token occurrence count in a token-array column,
+    * computed as the longest run in the SORTED array via one codegen'd
+    * fold — no explode, no shuffle (t10's dominance rule; property-
+    * tested against brute-force counting in InvariantSpec). */
+  def maxTokenRun(tokArrayCol: String): Column = expr(
+    s"""aggregate(array_sort($tokArrayCol),
+       |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+       |  (a, x) -> named_struct(
+       |    'prev', x,
+       |    'run',  if(x = a.prev, a.run + 1L, 1L),
+       |    'best', greatest(a.best, if(x = a.prev, a.run + 1L, 1L))),
+       |  a -> a.best)""".stripMargin)
+
   /** t10 quality-filter rules (the Gopher/C4-style gate battery): each
     * document passes or fails four deterministic rules — word count,
     * mean token length band, stopword presence, and top-token dominance
@@ -263,15 +276,7 @@ object TextOps {
         aggregate(transform(col("ts"), t => length(t).cast("long")), lit(0L), (a, x) => a + x))
       .withColumn("n_stop",
         size(filter(col("ts"), t => t.isin(StopList: _*))).cast("long"))
-      // longest run in the sorted array == highest single-token count
-      .withColumn("max_run", expr(
-        """aggregate(array_sort(ts),
-          |  named_struct('prev', '', 'run', 0L, 'best', 0L),
-          |  (a, x) -> named_struct(
-          |    'prev', x,
-          |    'run',  if(x = a.prev, a.run + 1L, 1L),
-          |    'best', greatest(a.best, if(x = a.prev, a.run + 1L, 1L))),
-          |  a -> a.best)""".stripMargin))
+      .withColumn("max_run", maxTokenRun("ts"))
       .withColumn("r_wc", col("wc") >= MinWords)
       .withColumn("r_mean",
         col("sum_len") * 10 >= col("wc") * 42 && col("sum_len") * 10 <= col("wc") * 52)

@@ -226,6 +226,25 @@ class InvariantSpec extends AnyFunSuite {
     assert(t.getLong(1) > 0 && t.getLong(1) < t.getLong(0))
   }
 
+  test("t10's sorted-array fold equals brute-force max token count") {
+    // randomized docs over a tiny vocabulary force runs, ties, singletons
+    // and empty-adjacent shapes through the fold in one DataFrame pass
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (1 to 300).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)("w" + rnd.nextInt(6)).mkString(" "))
+    }
+    val got = docs.toDF("doc_id", "text")
+      .withColumn("ts", TextOps.tokens(col("text")))
+      .select(col("doc_id"), TextOps.maxTokenRun("ts").as("max_run"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, text) =>
+      val expect = text.split(" ").groupBy(identity).values.map(_.length).max.toLong
+      assert(got(id) == expect, s"doc $id: fold ${got(id)} vs brute $expect")
+    }
+  }
+
   test("t11 dup spans: every span spreads over ≥2 docs, occurrences ≥ docs") {
     val df = TextOps.t11DupSpans(spark, sf)
     assert(df.count() > 0 && df.count() <= TextOps.TopSpans)

@@ -125,6 +125,19 @@ class PlanSpec extends AnyFunSuite {
     assertNoBlowupJoin(plan, "d8")
   }
 
+  test("s6 IVF-PQ probes the query's cell with a hash join, never all-pairs") {
+    // the composed index must keep s3's probe shape: candidates meet the
+    // queries on cell id (broadcast hash join — the query set is small),
+    // and the scoring-kernel swap to ADC codes must not change any join
+    val plan = finalPlan(SimilarityOps.s6AnnIvfPq(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "s6 cell probe is not a broadcast hash join on cell id")
+    // (the two 1-row codebook attaches plan as constant-size broadcast
+    // nested loops, same as s3's centroid attach — not an all-pairs blowup;
+    // a true blowup would show a join keyed on nothing with corpus inputs
+    // on BOTH sides, which the cell equi-join assertion above rules out)
+  }
+
   test("s3 IVF centroid assignment is a narrow map — no corpus exchange by vec_id") {
     // the argmax over centroids must fold expression-side: a regression to
     // the row_number-over-Window formulation exchanges + sorts IvfCells
