@@ -257,7 +257,9 @@ object SimilarityOps {
       (array_position(dists, array_min(dists)) - 1).cast("int")
     })
 
-  /** s5 PQ-ANN: asymmetric-distance (ADC) top-3 — the FAISS-style scan
+  /** s5 PQ-ANN: asymmetric-distance (ADC) top-3 (product quantization —
+    * Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011; the ADC lookup-table form) — the FAISS-style scan
     * that makes 100 TB vector search RAM-resident: the corpus is stored
     * as [[PqM]] byte-sized codes (8 bytes/vector instead of 256 bytes of
     * floats, 32× compression), and each query scores a corpus row by
