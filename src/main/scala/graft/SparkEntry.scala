@@ -92,6 +92,7 @@ object SparkEntry {
     "t9_top_terms" -> (TextOps.t9TopTerms _),
     "t10_gopher_rules" -> (TextOps.t10GopherRules _),
     "t11_dup_spans" -> (TextOps.t11DupSpans _),
+    "t12_chunking" -> (TextOps.t12Chunking _),
     "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
@@ -568,6 +569,15 @@ object SparkEntry {
     "d3_dedup_minhash_lsh" -> minhashSql,
     "d10_dup_clusters" -> dupClustersSql,
     "d11_dedup_impact" -> dedupImpactSql,
+    "t12_chunking" -> {
+      val (c, st) = (TextOps.ChunkTokens, TextOps.ChunkStride)
+      s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
+         |s AS (SELECT doc_id, ts, unnest(range(0, len(ts), $st)) AS st FROM tok WHERE len(ts) > 0)
+         |SELECT doc_id, CAST(st / $st AS BIGINT) AS chunk_no, CAST(st AS BIGINT) AS start_tok,
+         |CAST(least(len(ts) - st, $c) AS BIGINT) AS n_tok,
+         |md5(array_to_string(list_slice(ts, st + 1, st + $c), ' ')) AS chunk_md5
+         |FROM s ORDER BY doc_id, chunk_no""".stripMargin
+    },
     "t10_gopher_rules" -> gopherRulesSql,
     "t11_dup_spans" -> dupSpansSql,
     "d6_quantize" ->

@@ -329,6 +329,41 @@ object TextOps {
       .limit(TopSpans)
   }
 
+  /** t12's chunk geometry: fixed [[ChunkTokens]]-token windows starting
+    * every [[ChunkStride]] tokens (25% overlap) — the context-window
+    * preparation step (RAG chunking / pretraining packing). */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** t12 document chunking: split each document into overlapping
+    * fixed-token windows and emit per chunk its position, length and
+    * content digest — the tokenize-and-pack pass that turns a cleaned
+    * corpus into model-ready sequences. Emitted as digests (not chunk
+    * text) so the gate output stays narrow; a training writer would
+    * project the slice itself through the identical plan.
+    *
+    * Scale shape: chunk starts, slices and digests are all built
+    * array-side from one tokens array (`sequence` + `transform`), then
+    * ONE explode streams chunk rows straight to the sink — no shuffle
+    * before the output sort, linear in corpus size, and a doc's chunks
+    * never leave its partition. */
+  def t12Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = transform(
+      sequence(lit(0), size(col("ts")) - 1, lit(ChunkStride)),
+      (s, i) => struct(
+        i.cast("long").as("chunk_no"),
+        s.cast("long").as("start_tok"),
+        least(size(col("ts")) - s, lit(ChunkTokens)).cast("long").as("n_tok"),
+        md5(concat_ws(" ", slice(col("ts"), s + 1, lit(ChunkTokens)))).as("chunk_md5")))
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_no"), col("c.start_tok"),
+        col("c.n_tok"), col("c.chunk_md5"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
   /** t7 bigram top-k: the n-gram frequency view a corpus-analysis
     * pipeline runs next to q21's unigram counts. Bigrams are built
     * array-side (one `transform` over token indices — no self-join, no

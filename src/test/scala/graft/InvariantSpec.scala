@@ -245,6 +245,21 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("t12 chunks tile each document: aligned starts, full coverage") {
+    val df = TextOps.t12Chunking(spark, sf)
+    assert(df.filter(col("start_tok") =!= col("chunk_no") * TextOps.ChunkStride).count() == 0)
+    assert(df.filter(col("n_tok") < 1 || col("n_tok") > TextOps.ChunkTokens).count() == 0)
+    // last chunk reaches exactly the document's token count
+    val cover = df.groupBy("doc_id")
+      .agg(max(col("start_tok") + col("n_tok")).as("covered"), min("start_tok").as("first"))
+    val toks = Sources.table(spark, sf, "documents")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    assert(cover.join(toks, "doc_id")
+      .filter(col("covered") =!= col("n") || col("first") =!= 0).count() == 0)
+    assert(cover.count() == toks.count())
+  }
+
   test("t11 dup spans: every span spreads over ≥2 docs, occurrences ≥ docs") {
     val df = TextOps.t11DupSpans(spark, sf)
     assert(df.count() > 0 && df.count() <= TextOps.TopSpans)
