@@ -166,9 +166,9 @@ class PlanSpec extends AnyFunSuite {
     // allowed is the final orderBy's range partitioning; a
     // hashpartitioning Exchange means a groupBy/join/window crept in
     val narrow = Seq("t1_lang_id", "t2_text_quality", "t3_token_count",
-      "t4_fingerprint", "t5_redact", "t8_repetition", "d6_quantize",
-      "m1_multimodal_meta", "q02_cast_projection", "q19_scalar_suite",
-      "q42_date_battery")
+      "t4_fingerprint", "t5_redact", "t8_repetition", "t12_chunking",
+      "d6_quantize", "m1_multimodal_meta", "q02_cast_projection",
+      "q19_scalar_suite", "q42_date_battery")
     // NOTE the pattern: FormattedMode prints the node as "Exchange (n)"
     // and its arguments ("hashpartitioning(...)") on a separate line, so
     // grepping "Exchange hashpartitioning" matches NOTHING and the lock
