@@ -378,16 +378,21 @@ object DedupOps {
     * cluster policy (keep = the cluster's min doc_id, d10's canonical
     * survivor) would drop, and how many survive.
     *
-    * Scale design: the cluster table is near-dup members only — tiny
-    * relative to the corpus by the nature of dedup — so it joins in as a
-    * BROADCAST hash join and the corpus side never shuffles; one
+    * Scale design: the cluster table is NOT assumed small. At heavy dup
+    * rates (web crawls commonly put 30-50% of docs in near-dup clusters)
+    * cluster membership is corpus-fraction-sized — billions of rows at
+    * 100 TB — so a forced broadcast would OOM the driver. The join is
+    * therefore left unhinted: AQE picks a broadcast when the cluster
+    * side measures small at runtime (it does at fixture scale) and falls
+    * back to a shuffle-on-doc_id sort-merge join otherwise — the same
+    * single doc_id exchange d10 already pays per propagation round; one
     * (lang × source)-keyed aggregation follows. The expensive part
     * (pair generation + clustering) is d10, already bounded. */
   def d11DedupImpact(spark: SparkSession, dir: String): DataFrame = {
     val clusters = d10DupClusters(spark, dir)
       .select(col("doc_id"), col("cluster_id"))
     Sources.table(spark, dir, "documents")
-      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .groupBy("lang", "source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -125,6 +125,25 @@ class PlanSpec extends AnyFunSuite {
     assertNoBlowupJoin(plan, "d8")
   }
 
+  test("d11 never forces a broadcast of the cluster side") {
+    // cluster membership is corpus-fraction-sized at heavy dup rates
+    // (30-50% of a web crawl), so a broadcast() hint on it OOMs the
+    // driver at 100 TB. The join must stay unhinted: AQE may still
+    // *choose* a broadcast at fixture scale (that shows up only in the
+    // physical plan), but the logical plan must carry no forced
+    // strategy=broadcast hint on the d10 cluster table.
+    val df = DedupOps.d11DedupImpact(spark, sf)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "d11 carries a forced broadcast hint — unbounded side would OOM the driver")
+  }
+
+  test("the forced-broadcast detector fires on the hinted formulation") {
+    val docs = Sources.table(spark, sf, "documents").select("doc_id", "lang")
+    val hinted = docs.join(broadcast(docs.select("doc_id")), Seq("doc_id"), "left")
+    assert(hinted.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "hinted join lacks strategy=broadcast in the optimized plan — detector cannot fire")
+  }
+
   test("s6 IVF-PQ probes the query's cell with a hash join, never all-pairs") {
     // the composed index must keep s3's probe shape: candidates meet the
     // queries on cell id (broadcast hash join — the query set is small),
