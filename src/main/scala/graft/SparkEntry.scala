@@ -81,6 +81,7 @@ object SparkEntry {
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
     "s5_ann_pq" -> (SimilarityOps.s5AnnPq _),
     "s6_ann_ivfpq" -> (SimilarityOps.s6AnnIvfPq _),
+    "s7_ann_recall_clustered" -> (SimilarityOps.s7AnnRecallClustered _),
     "t1_lang_id" -> (TextOps.t1LangId _),
     "t2_text_quality" -> (TextOps.t2Quality _),
     "t3_token_count" -> (TextOps.t3TokenCount _),
@@ -316,6 +317,56 @@ object SparkEntry {
        |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
        |SELECT q_id, n_id, round(c, 4) AS adc_sim, CAST(rnk AS BIGINT) AS rnk
        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  /** Mirror of SimilarityOps.clusteredNormed: the planted-cluster
+    * derivation of the embeddings table (s7). Same CTE names as
+    * [[embCte]] so the whole ANN-recall chain is reusable verbatim. */
+  private val clusteredEmbCte =
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0, label, CAST(vec_id % ${SimilarityOps.ClusterK} AS INT) AS cl FROM embeddings),
+       |e AS (SELECT vec_id, list_transform(range(len(v0)), i -> v0[i+1] + CASE WHEN i % ${SimilarityOps.ClusterK} = cl THEN ${SimilarityOps.ClusterAmp} ELSE 0.0 END) AS v, label FROM e0),
+       |n AS (SELECT vec_id, v, label, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  /** The full ANN-recall CTE chain (exact top-3 + all six approximate
+    * paths + per-(query, method) hit counts), parameterized on the
+    * embedding CTE so s4 (raw vectors) and s7 (planted clusters) share
+    * one SQL body. Ends with `qs` / `mth` / `h` ready for a final
+    * SELECT. */
+  private def annRecallCtes(cte: String): String =
+    s"""WITH $cte,
+       |$pqCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE label = 1),
+       |xp AS (SELECT q_id, vec_id AS n_id, list_inner_product(qv, v) / (qn * nrm) AS c FROM q JOIN n ON vec_id <> q_id),
+       |xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM xp),
+       |exact AS (SELECT q_id, n_id FROM xr WHERE rnk <= 3),
+       |bkt AS (SELECT vec_id, v, nrm, label, $bucketSql AS bucket FROM n),
+       |bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM bkt WHERE label = 1),
+       |bp AS (SELECT q_id, b.vec_id AS n_id, list_inner_product(qv, b.v) / (qn * b.nrm) AS c FROM bq q JOIN bkt b USING (bucket) WHERE b.vec_id <> q_id),
+       |br AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM bp),
+       |btop AS (SELECT q_id, n_id FROM br WHERE rnk <= 3),
+       |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+       |ac AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+       |ar AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+       |asn AS (SELECT vec_id, v, nrm, label, cell FROM ar WHERE arn = 1),
+       |iq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
+       |ip AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM iq q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
+       |ir AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM ip),
+       |itop AS (SELECT q_id, n_id FROM ir WHERE rnk <= 3),
+       |${Seq(2, 4).map(np =>
+          s"""iq$np AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM ar WHERE label = 1 AND arn <= $np),
+             |ip$np AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM iq$np q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
+             |ir$np AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM ip$np),
+             |itop$np AS (SELECT q_id, n_id FROM ir$np WHERE rnk <= 3)""".stripMargin).mkString("", ",\n", ",")}
+       |pqp AS (SELECT q.q_id, e.vec_id AS n_id, ${adcSql("q.qv", "e.codes")} / (q.qn * e.rnrm) AS c FROM q JOIN enc e ON e.vec_id <> q.q_id CROSS JOIN cbn),
+       |pqr AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM pqp),
+       |pqtop AS (SELECT q_id, n_id FROM pqr WHERE rnk <= 3),
+       |fpq AS (SELECT a.vec_id, a.label, a.cell, e.codes, e.rnrm FROM asn a JOIN enc e USING (vec_id)),
+       |fp AS (SELECT q.q_id, f.vec_id AS n_id, ${adcSql("q.qv", "f.codes")} / (q.qn * f.rnrm) AS c FROM iq q JOIN fpq f USING (cell) CROSS JOIN cbn WHERE f.vec_id <> q.q_id),
+       |fr AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM fp),
+       |ftop AS (SELECT q_id, n_id FROM fr WHERE rnk <= 3),
+       |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop UNION ALL SELECT q_id, n_id, 'ivf_np2' AS method FROM itop2 UNION ALL SELECT q_id, n_id, 'ivf_np4' AS method FROM itop4 UNION ALL SELECT q_id, n_id, 'pq' AS method FROM pqtop UNION ALL SELECT q_id, n_id, 'ivfpq' AS method FROM ftop),
+       |qs AS (SELECT DISTINCT q_id FROM exact),
+       |mth AS (SELECT unnest(['bucket', 'ivf', 'ivf_np2', 'ivf_np4', 'pq', 'ivfpq']) AS method),
+       |h AS (SELECT a.q_id, a.method, count(*) AS hits FROM appr a JOIN exact x ON x.q_id = a.q_id AND x.n_id = a.n_id GROUP BY 1, 2)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for x2_ml_score (model training is
@@ -626,44 +677,16 @@ object SparkEntry {
          |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
          |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "s4_ann_recall" ->
-      s"""WITH $embCte,
-         |$pqCte,
-         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE label = 1),
-         |xp AS (SELECT q_id, vec_id AS n_id, list_inner_product(qv, v) / (qn * nrm) AS c FROM q JOIN n ON vec_id <> q_id),
-         |xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM xp),
-         |exact AS (SELECT q_id, n_id FROM xr WHERE rnk <= 3),
-         |bkt AS (SELECT vec_id, v, nrm, label, $bucketSql AS bucket FROM n),
-         |bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM bkt WHERE label = 1),
-         |bp AS (SELECT q_id, b.vec_id AS n_id, list_inner_product(qv, b.v) / (qn * b.nrm) AS c FROM bq q JOIN bkt b USING (bucket) WHERE b.vec_id <> q_id),
-         |br AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM bp),
-         |btop AS (SELECT q_id, n_id FROM br WHERE rnk <= 3),
-         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
-         |ac AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
-         |ar AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
-         |asn AS (SELECT vec_id, v, nrm, label, cell FROM ar WHERE arn = 1),
-         |iq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
-         |ip AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM iq q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
-         |ir AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM ip),
-         |itop AS (SELECT q_id, n_id FROM ir WHERE rnk <= 3),
-         |${Seq(2, 4).map(np =>
-            s"""iq$np AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM ar WHERE label = 1 AND arn <= $np),
-               |ip$np AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM iq$np q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
-               |ir$np AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM ip$np),
-               |itop$np AS (SELECT q_id, n_id FROM ir$np WHERE rnk <= 3)""".stripMargin).mkString("", ",\n", ",")}
-         |pqp AS (SELECT q.q_id, e.vec_id AS n_id, ${adcSql("q.qv", "e.codes")} / (q.qn * e.rnrm) AS c FROM q JOIN enc e ON e.vec_id <> q.q_id CROSS JOIN cbn),
-         |pqr AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM pqp),
-         |pqtop AS (SELECT q_id, n_id FROM pqr WHERE rnk <= 3),
-         |fpq AS (SELECT a.vec_id, a.label, a.cell, e.codes, e.rnrm FROM asn a JOIN enc e USING (vec_id)),
-         |fp AS (SELECT q.q_id, f.vec_id AS n_id, ${adcSql("q.qv", "f.codes")} / (q.qn * f.rnrm) AS c FROM iq q JOIN fpq f USING (cell) CROSS JOIN cbn WHERE f.vec_id <> q.q_id),
-         |fr AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM fp),
-         |ftop AS (SELECT q_id, n_id FROM fr WHERE rnk <= 3),
-         |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop UNION ALL SELECT q_id, n_id, 'ivf_np2' AS method FROM itop2 UNION ALL SELECT q_id, n_id, 'ivf_np4' AS method FROM itop4 UNION ALL SELECT q_id, n_id, 'pq' AS method FROM pqtop UNION ALL SELECT q_id, n_id, 'ivfpq' AS method FROM ftop),
-         |qs AS (SELECT DISTINCT q_id FROM exact),
-         |mth AS (SELECT unnest(['bucket', 'ivf', 'ivf_np2', 'ivf_np4', 'pq', 'ivfpq']) AS method),
-         |h AS (SELECT a.q_id, a.method, count(*) AS hits FROM appr a JOIN exact x ON x.q_id = a.q_id AND x.n_id = a.n_id GROUP BY 1, 2)
+      s"""${annRecallCtes(embCte)}
          |SELECT qs.q_id AS q_id, mth.method AS method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, round(coalesce(h.hits, 0) / 3.0, 4) AS recall
          |FROM qs CROSS JOIN mth LEFT JOIN h ON h.q_id = qs.q_id AND h.method = mth.method
          |ORDER BY qs.q_id, mth.method""".stripMargin,
+    "s7_ann_recall_clustered" ->
+      s"""${annRecallCtes(clusteredEmbCte)}
+         |SELECT mth.method AS method, CAST(count(*) AS BIGINT) AS n_q, CAST(sum(coalesce(h.hits, 0)) AS BIGINT) AS total_hits,
+         |round(CAST(sum(coalesce(h.hits, 0)) AS DOUBLE) / CAST(3 * count(*) AS DOUBLE), 4) AS mean_recall
+         |FROM qs CROSS JOIN mth LEFT JOIN h ON h.q_id = qs.q_id AND h.method = mth.method
+         |GROUP BY mth.method ORDER BY method""".stripMargin,
     "t1_lang_id" -> {
       val scores = TextOps.langPatterns.map { case (l, p) =>
         s"len(regexp_extract_all(lower(text), '$p')) AS s_$l"
