@@ -22,7 +22,8 @@ object Plans {
   /** Gate entries whose function runs a streaming replay when invoked. */
   val StreamingGates: Set[String] = Set(
     "q07_tumbling_window", "q08_sliding_window", "q09_session_window",
-    "q24_stream_score", "q37_stream_join", "q38_static_enrich")
+    "q24_stream_score", "q37_stream_join", "q38_static_enrich",
+    "d12_stream_minhash")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

@@ -74,6 +74,7 @@ object SparkEntry {
     "d9_simhash_near_dup" -> (DedupOps.d9SimhashNearDup _),
     "d10_dup_clusters" -> (DedupOps.d10DupClusters _),
     "d11_dedup_impact" -> (DedupOps.d11DedupImpact _),
+    "d12_stream_minhash" -> (graft.streaming.IncrementalDedup.d12StreamMinhash _),
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
     "d6_quantize" -> (SimilarityOps.d6Quantize _),
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
@@ -618,6 +619,10 @@ object SparkEntry {
          |FROM pr JOIN sz x ON x.doc_id = a_id JOIN sz y ON y.doc_id = b_id
          |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
     "d3_dedup_minhash_lsh" -> minhashSql,
+    // d12 is d3 run incrementally over a replayed stream; stream ≡ batch
+    // means the SAME oracle must match, and checking it against d3's SQL
+    // is exactly the equivalence claim.
+    "d12_stream_minhash" -> minhashSql,
     "d10_dup_clusters" -> dupClustersSql,
     "d11_dedup_impact" -> dedupImpactSql,
     "t12_chunking" -> {

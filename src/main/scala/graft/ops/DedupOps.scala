@@ -32,7 +32,7 @@ object DedupOps {
     * the set is identical but the plan sheds a full Exchange of the
     * shingle stream — and this subtree is recomputed several times per
     * dedup query (see d2's plan notes), so the saving multiplies. */
-  private def shingles(docs: DataFrame): DataFrame =
+  private[graft] def shingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
@@ -41,7 +41,7 @@ object DedupOps {
       ))).as("shingle"))
 
   /** Exact Jaccard for given candidate pairs (a_id < b_id). */
-  private def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+  private[graft] def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val s1 = sh.select(col("doc_id").as("a_id"), col("shingle"))
     val s2 = sh.select(col("doc_id").as("b_id"), col("shingle"))
@@ -161,7 +161,11 @@ object DedupOps {
     * the shared candidate stage of d3 (Jaccard verify) and d7 (edit-
     * distance verify). Candidates meet on (band index, band value), so
     * generation is an equi-join, never all-pairs. */
-  private def lshCandidates(sh: DataFrame): DataFrame = {
+  /** Banded MinHash signature rows (doc_id, bi, bv) — the per-doc
+    * constant-size index entries LSH candidates meet on. Factored out so
+    * the streaming incremental dedup (d12) can append exactly these rows
+    * to its persisted band store. */
+  private[graft] def bandRows(sh: DataFrame): DataFrame = {
     val sig = signatures(sh)
     val rows = MinhashK / Bands
     val bandCols = (0 until Bands).map { b =>
@@ -169,8 +173,12 @@ object DedupOps {
         md5(concat_ws("|",
           (b * rows until (b + 1) * rows).map(j => col(s"h$j").cast("string")): _*)).as("bv"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.bi"), col("band.bv"))
+  }
+
+  private def lshCandidates(sh: DataFrame): DataFrame = {
+    val bands = bandRows(sh)
     bands.as("x").join(bands.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -95,6 +95,20 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(finalCounts == batch)
   }
 
+  test("d12 incremental MinHash dedup: multi-batch replay ≡ batch d3") {
+    // the incremental band/shingle store must emit exactly the batch
+    // pairs, each exactly once, across a genuinely multi-batch replay —
+    // and in the batch where the pair's later doc arrived, so the union
+    // over batches is the full d3 answer with no dedup pass at read time
+    val batch = rows(graft.ops.DedupOps.d3MinhashLsh(spark, sf))
+    val (streamDf, nBatches) =
+      graft.streaming.IncrementalDedup.d12WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.IncrementalDedup.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    assert(batch.nonEmpty)
+    assert(rows(streamDf) == batch)
+  }
+
   test("stream-static enrichment join ≡ batch join") {
     // q38's gate path IS the streaming side: broadcast static dim,
     // update-mode upserts through the idempotent materialized sink.
