@@ -101,6 +101,7 @@ object SparkEntry {
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
     "x3_ml_eval" -> (ScoringPipeline.x3MlEval _),
     "x4_ivf_kmeans" -> (SimilarityOps.x4IvfKmeans _),
+    "x6_pq_trained" -> (SimilarityOps.x6PqTrained _),
     "x5_sketch_agg" -> (Relational.x5SketchAgg _)
   )
 

@@ -349,8 +349,14 @@ object SimilarityOps {
   def s5AnnPq(spark: SparkSession, dir: String): DataFrame =
     s5From(normed(spark, dir))
 
-  private def s5From(all: DataFrame): DataFrame = {
-    val coded = all.crossJoin(broadcast(pqCodebook(all)))
+  private def s5From(all: DataFrame): DataFrame =
+    pqAdcScan(all, pqCodebook(all))
+
+  /** The PQ encode + ADC scan, parameterized by the codebook frame (one
+    * row, `cbs[m][k]` nested array) — which is exactly why a TRAINED
+    * codebook (x6) drops in without a plan change, the s3/x4 move. */
+  private def pqAdcScan(all: DataFrame, codebook: DataFrame): DataFrame = {
+    val coded = all.crossJoin(broadcast(codebook))
       .withColumn("codes", pqCodes(col("cbs"), col("v")))
       // reconstructed norm: sqrt(Σ_m ||c_{m,code_m}||²) — codes-only
       .withColumn("rnrm", sqrt(aggregate(
@@ -359,7 +365,7 @@ object SimilarityOps {
           ipFold(c, c)
         }), lit(0.0), (acc, x) => acc + x)))
       .drop("cbs")
-    val q = all.crossJoin(broadcast(pqCodebook(all)))
+    val q = all.crossJoin(broadcast(codebook))
       .filter(col("label") === 1)
       .select(col("vec_id").as("q_id"), col("nrm").as("qn"),
         transform(col("cbs"), (cbm, m) =>
@@ -375,6 +381,37 @@ object SimilarityOps {
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("adc_sim"), col("rnk"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** x6: s5's ADC scan with a TRAINED codebook — per-subspace KMeans
+    * (k = [[PqK]], seed-pinned per subspace), the way a production PQ
+    * index is actually built (Jégou et al., TPAMI 2011 §II.C: one
+    * k-means per subquantizer). Proves s5's "codebooks drop in" claim
+    * exactly as x4 proved s3's: the trained centers land in the same
+    * one-row `cbs[m][k]` frame, and the encode/ADC plan is byte-for-byte
+    * [[pqAdcScan]] — no exchange changes. Training is [[PqM]] tiny
+    * KMeans fits (at corpus scale: on a driver-bounded SAMPLE — the
+    * codebook is KBs regardless of corpus size); like x2/x3/x4 the entry
+    * is rows-only at the gate (training isn't SQL-expressible) and
+    * golden-pinned + determinism-tested in MlGoldenSpec. */
+  def x6PqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    pqAdcScan(all, trainedPqCodebook(all))
+  }
+
+  /** Per-subspace KMeans codebook in the [[pqCodebook]] layout
+    * (`cbs[m][k]`, one row). Centers are collected to a literal — the
+    * codebook is PqM × PqK × PqSubDim doubles (KBs) by construction. */
+  private def trainedPqCodebook(all: DataFrame): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val cbs: Seq[Seq[Seq[Double]]] = (0 until PqM).map { m =>
+      val sub = all.select(
+        array_to_vector(slice(col("v"), m * PqSubDim + 1, PqSubDim)).as("features"))
+      new KMeans().setK(PqK).setSeed(7L + m).setMaxIter(10).setTol(1e-6)
+        .fit(sub).clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+    all.sparkSession.range(1).select(typedLit(cbs).as("cbs"))
   }
 
   /** s6 IVF-PQ: the two approximations composed the way a production

@@ -58,4 +58,33 @@ class MlGoldenSpec extends AnyFunSuite {
     assert(x4.select("q_id", "n_id").join(exact, Seq("q_id", "n_id")).count() > 0,
       "trained-quantizer probe retrieved no true neighbours at all")
   }
+
+  test("x6 trained-PQ is deterministic across invocations (seed-pinned per subspace)") {
+    val a = rows(graft.ops.SimilarityOps.x6PqTrained(spark, sf))
+    val b = rows(graft.ops.SimilarityOps.x6PqTrained(spark, sf))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("x6 scans trained codes with the same output contract as s5, better recall") {
+    import org.apache.spark.sql.functions._
+    val x6 = graft.ops.SimilarityOps.x6PqTrained(spark, sf)
+    val s5 = graft.ops.SimilarityOps.s5AnnPq(spark, sf)
+    assert(x6.schema.catalogString == s5.schema.catalogString,
+      "trained codebook changed the ADC scan's output schema")
+    val bad = x6.groupBy("q_id").agg(count(lit(1)).as("n"), max("rnk").as("mr"))
+      .filter(col("n") > 3 || col("mr") > 3).count()
+    assert(bad == 0, "a query returned more than top-3 under the trained codebook")
+    // golden recall pins (47 queries × top-3 at sf0.001): KMeans codebooks
+    // recall 33/141 true neighbours vs 22/141 for the deterministic-seed
+    // codebooks — training must keep strictly beating the seed trick
+    val exact = graft.ops.SimilarityOps.q22KnnCosine(spark, sf)
+      .filter(col("rnk") <= 3).select("q_id", "n_id")
+    val trainedHits = x6.select("q_id", "n_id").join(exact, Seq("q_id", "n_id")).count()
+    val seedHits = s5.select("q_id", "n_id").join(exact, Seq("q_id", "n_id")).count()
+    assert(trainedHits == 33L, s"trained-PQ hits drifted: $trainedHits")
+    assert(seedHits == 22L, s"seed-PQ hits drifted: $seedHits")
+    assert(trainedHits > seedHits,
+      "trained codebooks no longer beat the deterministic-seed codebooks")
+  }
 }
