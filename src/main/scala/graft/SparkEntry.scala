@@ -98,6 +98,7 @@ object SparkEntry {
     "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
+    "m4_wav_meta" -> (MultimodalOps.m4WavMeta _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
     "x3_ml_eval" -> (ScoringPipeline.x3MlEval _),
     "x4_ivf_kmeans" -> (SimilarityOps.x4IvfKmeans _),
@@ -770,6 +771,18 @@ object SparkEntry {
     "m1_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |lower(substring(hex(encode(text)), 1, 16)) AS head_hex, md5(text) AS content_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // closed forms of m4's PARSED WAV header fields: the engine builds a
+    // spec-conformant RIFF/WAVE container and parses it back; the oracle
+    // derives what the parse must find (params are functions of doc_id,
+    // data length is the text's byte length, duration is integer-exact)
+    "m4_wav_meta" ->
+      """SELECT doc_id AS media_id,
+        |CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+        |CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+        |CAST(16 AS BIGINT) AS bit_depth,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes,
+        |CAST((octet_length(encode(text)) * 1000) // (8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
     "m3_frame_sample" -> {
       val k = MultimodalOps.FrameCount; val fb = MultimodalOps.FrameBytes

@@ -10,11 +10,14 @@ import graft.io.Sources
   * columns with a typed metadata struct; decode / feature-extraction runs
   * batched per partition.
   *
-  * The container ships no image/audio codecs, so `fakeDecode` stands in
-  * for the real decoder — a deterministic byte-level featurizer with the
-  * same Spark-side contract (binary in, fixed-width feature vector +
-  * metadata out). Swapping in a real codec changes ONE function; the
-  * schema, batching, and partitioning stay as tested here.
+  * The container ships no image/audio codec libraries, so m2's
+  * `fakeDecode` stands in for a library decoder — a deterministic
+  * byte-level featurizer with the same Spark-side contract (binary in,
+  * fixed-width feature vector + metadata out). m4 then puts a REAL
+  * hand-written codec behind the identical seam: a spec-conformant
+  * RIFF/WAVE builder + parser (little-endian fields, chunk walking, pad
+  * bytes), oracle-checked field by field — proving the seam carries an
+  * actual binary format, not only the stand-in.
   */
 object MultimodalOps {
 
@@ -107,6 +110,125 @@ object MultimodalOps {
         md5(lower(hex(expr(s"substring(payload, f.off + 1, $FrameBytes)"))))
           .as("frame_md5"))
       .orderBy("media_id", "frame_no")
+  }
+
+  // ---- m4: a REAL container format behind the decode seam ------------
+
+  /** m4 runs an actual binary-format codec through the same per-partition
+    * seam m2 tests with `fakeDecode`: each doc's text bytes are wrapped
+    * into a spec-conformant PCM WAV file (RIFF container: little-endian
+    * chunk sizes, word-aligned chunks with pad bytes, a leading
+    * non-audio chunk so the reader must genuinely walk the chunk list),
+    * and the decoder parses the container back per the spec — magic
+    * validation, LE field reads, chunk skip/align — never by position
+    * arithmetic shared with the builder. The audio parameters derive
+    * deterministically from doc_id, so the DuckDB oracle checks the
+    * PARSED fields against their closed forms: any bug in builder or
+    * parser (a wrong pad, a misread offset) breaks the hash. */
+  val WavBits = 16
+
+  private[graft] def wavChannels(docId: Long): Int = (1 + docId % 2).toInt
+  private[graft] def wavRate(docId: Long): Int = (8000 * (1 + docId % 3)).toInt
+
+  /** Build a minimal spec-conformant WAV: RIFF(WAVE) with a custom
+    * "note" chunk (the lang tag — odd lengths exercise RIFF's pad-byte
+    * rule), the 16-byte PCM "fmt " chunk, and a "data" chunk holding the
+    * text bytes as samples. */
+  private[graft] def buildWav(docId: Long, lang: String, data: Array[Byte]): Array[Byte] = {
+    val channels = wavChannels(docId)
+    val rate = wavRate(docId)
+    val note = lang.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val notePad = note.length % 2
+    val dataPad = data.length % 2
+    val riffSize = 4 + (8 + note.length + notePad) + (8 + 16) + (8 + data.length + dataPad)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(riffSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("note".getBytes("US-ASCII")); buf.putInt(note.length); buf.put(note)
+    if (notePad == 1) buf.put(0.toByte)
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+    buf.putShort(1.toShort) // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(rate)
+    buf.putInt(rate * channels * (WavBits / 8)) // byte rate
+    buf.putShort((channels * (WavBits / 8)).toShort) // block align
+    buf.putShort(WavBits.toShort)
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(data.length); buf.put(data)
+    if (dataPad == 1) buf.put(0.toByte)
+    buf.array()
+  }
+
+  /** Parsed WAV header facts (all long-typed for the oracle). */
+  private[graft] final case class WavMeta(
+    nChannels: Long, sampleRate: Long, bitDepth: Long,
+    dataBytes: Long, durationMs: Long)
+
+  /** Parse a WAV per the RIFF spec: validate magics, then walk chunks
+    * (LE sizes, word alignment) until `data`. Unknown chunks are skipped
+    * by their declared size — the reader never assumes the builder's
+    * layout. */
+  private[graft] def parseWav(bytes: Array[Byte]): WavMeta = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val a = new Array[Byte](4); buf.get(a); new String(a, "US-ASCII")
+    }
+    require(tag() == "RIFF", "not a RIFF container")
+    buf.getInt // riff size (validated implicitly: chunk walk must not overrun)
+    require(tag() == "WAVE", "not a WAVE form")
+    var channels = -1L; var rate = -1L; var bits = -1L; var dataLen = -1L
+    while (dataLen < 0 && buf.remaining() >= 8) {
+      val id = tag()
+      val size = buf.getInt
+      id match {
+        case "fmt " =>
+          val start = buf.position()
+          val audioFormat = buf.getShort
+          require(audioFormat == 1, s"not PCM: format $audioFormat")
+          channels = buf.getShort.toLong
+          rate = buf.getInt.toLong
+          buf.getInt // byte rate (derivable)
+          buf.getShort // block align (derivable)
+          bits = buf.getShort.toLong
+          buf.position(start + size + (size % 2))
+        case "data" =>
+          dataLen = size.toLong
+        case _ =>
+          buf.position(buf.position() + size + (size % 2))
+      }
+    }
+    require(dataLen >= 0, "no data chunk")
+    require(channels > 0 && rate > 0 && bits > 0, "data chunk before fmt")
+    val byteRate = rate * channels * (bits / 8)
+    WavMeta(channels, rate, bits, dataLen, dataLen * 1000L / byteRate)
+  }
+
+  /** m4: wrap each doc's bytes into a WAV (builder) and decode the
+    * container back per-partition (parser) — the m2 seam with a real
+    * codec in it. The oracle recomputes every parsed field from its
+    * closed form over `documents`. */
+  def m4WavMeta(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_channels", LongType),
+      StructField("sample_rate", LongType),
+      StructField("bit_depth", LongType),
+      StructField("data_bytes", LongType),
+      StructField("duration_ms", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text").cast("binary").as("data"))
+      .mapPartitions { rows =>
+        // codec init once per partition (the ProducerFinal.scala:66 move)
+        rows.map { r =>
+          val wav = buildWav(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+          val m = parseWav(wav)
+          Row(r.getLong(0), m.nChannels, m.sampleRate, m.bitDepth,
+            m.dataBytes, m.durationMs)
+        }
+      }(enc)
+      .orderBy("media_id")
   }
 
   /** m1: metadata + content-hash projection over the media table —

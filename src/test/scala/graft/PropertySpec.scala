@@ -31,3 +31,38 @@ object DecodeProps extends Properties("fakeDecode") {
     math.abs(h.sum - bs.length.toDouble / n) < 1e-9
   }
 }
+
+/** The m4 WAV codec: the parser must recover exactly what the builder
+  * encoded, across odd/even chunk lengths (RIFF pad-byte rule) and any
+  * payload contents — and reject non-RIFF bytes instead of misreading. */
+object WavCodecProps extends Properties("wavCodec") {
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+  private val langGen: Gen[String] =
+    Gen.oneOf("en", "es", "de", "fr", "und", "x", "pt-BR")
+  private val idGen: Gen[Long] = Gen.choose(0L, 1000000L)
+
+  property("parse inverts build for every field") =
+    forAll(idGen, langGen, bytesGen) { (id, lang, data) =>
+      val m = MultimodalOps.parseWav(MultimodalOps.buildWav(id, lang, data))
+      val ch = MultimodalOps.wavChannels(id).toLong
+      val rate = MultimodalOps.wavRate(id).toLong
+      m.nChannels == ch && m.sampleRate == rate && m.bitDepth == 16L &&
+        m.dataBytes == data.length.toLong &&
+        m.durationMs == data.length.toLong * 1000L / (rate * ch * 2L)
+    }
+
+  property("total file length follows the RIFF size field + 8") =
+    forAll(idGen, langGen, bytesGen) { (id, lang, data) =>
+      val wav = MultimodalOps.buildWav(id, lang, data)
+      val le = java.nio.ByteBuffer.wrap(wav, 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      wav.length == le + 8
+    }
+
+  property("rejects payloads without the RIFF magic") = forAll(bytesGen) { bs =>
+    bs.length >= 4 && bs.startsWith("RIFF".getBytes("US-ASCII")) ||
+      scala.util.Try(MultimodalOps.parseWav(bs)).isFailure
+  }
+}
