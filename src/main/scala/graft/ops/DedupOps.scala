@@ -198,7 +198,14 @@ object DedupOps {
   /** Iteration cap for [[d10DupClusters]]: min-label propagation needs
     * at most diameter(component) rounds, and near-dup components are
     * shallow by nature (a dup cluster is one document plus its variants,
-    * diameter ≲ a handful); 32 is a generous ceiling, converge-checked. */
+    * diameter ≲ a handful); 32 is a generous ceiling, converge-checked.
+    * The guard FAILS LOUDLY (require) rather than emitting a partial
+    * clustering — a silent partial would under-drop dups downstream. If
+    * a corpus ever produces genuinely chained clusters (diameter > 32),
+    * the fix is the large-star/small-star pointer-doubling variant
+    * (Kiveris et al., "Connected Components in MapReduce", SoCC 2014),
+    * which converges in O(log diameter) rounds on the same
+    * join + min-agg per round plan shape. */
   val MaxClusterIters = 32
 
   /** d10 near-dup clustering — the step after pair generation that every

@@ -59,8 +59,11 @@ object StatefulOps {
     // watermark metadata, and the analyzer rejects EventTimeTimeout when
     // no child output attribute carries it — so ts rides along untouched
     // and the micros conversion happens inside the state function
+    // floorDiv, not /: getTime truncates toward zero, so a pre-1970
+    // fractional second would otherwise land on the wrong microsecond
+    // (unix_micros semantics = floor)
     def micros(ts: java.sql.Timestamp): Long =
-      ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
     events
       .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
       .groupByKey(_._1)

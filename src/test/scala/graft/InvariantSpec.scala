@@ -264,10 +264,14 @@ class InvariantSpec extends AnyFunSuite {
     val df = TextOps.t11DupSpans(spark, sf)
     assert(df.count() > 0 && df.count() <= TextOps.TopSpans)
     assert(df.filter(col("n_docs") < 2 || col("n_occ") < col("n_docs")).count() == 0)
-    // spot-check the top span against a direct corpus count
+    // spot-check the top span against a direct corpus count — matched on
+    // the same normalized token stream the spans are built from (a raw
+    // text.contains would miss spans crossing punctuation/case/multi-space
+    // and fail spuriously on such fixtures)
     val top = df.collect()(0)
     val hits = Sources.table(spark, sf, "documents")
-      .filter(col("text").contains(top.getString(0))).count()
+      .filter(concat_ws(" ", TextOps.tokens(col("text"))).contains(top.getString(0)))
+      .count()
     assert(hits >= top.getLong(1))
   }
 
