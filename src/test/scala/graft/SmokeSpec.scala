@@ -13,7 +13,8 @@ class SmokeSpec extends AnyFunSuite {
     "d5_embed_near_dup")
 
   test("every query key has an oracle or is a declared rows-only check") {
-    val rowsOnly = Set("x2_ml_score", "x3_ml_eval", "x4_ivf_kmeans", "x5_sketch_agg")
+    val rowsOnly = Set("x2_ml_score", "x3_ml_eval", "x4_ivf_kmeans",
+      "x5_sketch_agg", "x6_pq_trained")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracle entries without a query: ${o -- q}")
