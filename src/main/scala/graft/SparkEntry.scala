@@ -83,6 +83,7 @@ object SparkEntry {
     "s5_ann_pq" -> (SimilarityOps.s5AnnPq _),
     "s6_ann_ivfpq" -> (SimilarityOps.s6AnnIvfPq _),
     "s7_ann_recall_clustered" -> (SimilarityOps.s7AnnRecallClustered _),
+    "s8_ann_ivfpq_res" -> (SimilarityOps.s8AnnIvfPqRes _),
     "t1_lang_id" -> (TextOps.t1LangId _),
     "t2_text_quality" -> (TextOps.t2Quality _),
     "t3_token_count" -> (TextOps.t3TokenCount _),
@@ -304,10 +305,35 @@ object SparkEntry {
   }
 
   /** The ADC score of query subvectors against a coded row (DuckDB
-    * fragment; same m-order fold as the engine). */
-  private def adcSql(qv: String, codes: String): String = {
+    * fragment; same m-order fold as the engine). `cbs` names the
+    * codebook CTE column — the raw-vector book for s5/s6, the residual
+    * book for s8. */
+  private def adcSql(qv: String, codes: String, cbs: String = "cbs"): String = {
     val (m, d) = (SimilarityOps.PqM, SimilarityOps.PqSubDim)
-    s"list_sum(list_transform(range($m), m -> list_inner_product(list_slice($qv, m*$d+1, m*$d+$d), cbs[m+1][$codes[m+1]+1])))"
+    s"list_sum(list_transform(range($m), m -> list_inner_product(list_slice($qv, m*$d+1, m*$d+$d), $cbs[m+1][$codes[m+1]+1])))"
+  }
+
+  /** Mirror of SimilarityOps.s8From's residual encode + IVFADC scan.
+    * Assumes `seeds` and `asn` (the IVF assignment) are in scope; yields
+    * `renc` (codes + encode-time reconstructed norm), `rq` (queries with
+    * their ⟨q,c⟩ constant) and `rr2` (ranked ADC candidates). */
+  private def residualPqCtes: String = {
+    val (m, d, k) = (SimilarityOps.PqM, SimilarityOps.PqSubDim, SimilarityOps.PqK)
+    s"""rbase AS (SELECT a.vec_id, a.v, a.nrm, a.label, a.cell, s.cv FROM asn a JOIN seeds s ON s.c_id = a.cell),
+       |rres AS (SELECT vec_id, v, nrm, label, cell, cv, list_transform(range(len(v)), i -> v[i+1] - cv[i+1]) AS r FROM rbase),
+       |rcbsub AS (SELECT vec_id AS rk, m, list_slice(r, m*$d+1, m*$d+$d) AS sub FROM rres CROSS JOIN (SELECT unnest(range($m)) AS m) WHERE vec_id >= ${SimilarityOps.IvfCells} AND vec_id < ${SimilarityOps.IvfCells + k}),
+       |rcbm AS (SELECT m, list(sub ORDER BY rk) AS cbm FROM rcbsub GROUP BY m),
+       |rcbn AS (SELECT list(cbm ORDER BY m) AS rcbs FROM rcbm),
+       |rsub AS (SELECT vec_id, m, list_slice(r, m*$d+1, m*$d+$d) AS sv FROM rres CROSS JOIN (SELECT unnest(range($m)) AS m)),
+       |rdist AS (SELECT vec_id, m, list_transform(rcbs[m+1], c -> list_sum(list_transform(range($d), i -> (sv[i+1]-c[i+1])*(sv[i+1]-c[i+1])))) AS dl FROM rsub CROSS JOIN rcbn),
+       |rcode AS (SELECT vec_id, m, CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS cd FROM rdist),
+       |rcodes AS (SELECT vec_id, list(cd ORDER BY m) AS codes FROM rcode GROUP BY vec_id),
+       |renc AS (SELECT rr.vec_id, rr.label, rr.cell, rr.v, rr.nrm, rr.cv, rcodes.codes,
+       |  sqrt(list_inner_product(rr.cv, rr.cv) + list_sum(list_transform(range($m), m -> 2.0*list_inner_product(list_slice(rr.cv, m*$d+1, m*$d+$d), rcbs[m+1][codes[m+1]+1]) + list_inner_product(rcbs[m+1][codes[m+1]+1], rcbs[m+1][codes[m+1]+1])))) AS encnorm
+       |  FROM rres rr JOIN rcodes USING (vec_id) CROSS JOIN rcbn),
+       |rq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell, list_inner_product(v, cv) AS qc FROM renc WHERE label = 1),
+       |rp AS (SELECT q.q_id, e.vec_id AS n_id, (q.qc + ${adcSql("q.qv", "e.codes", "rcbs")}) / (q.qn * e.encnorm) AS c FROM rq q JOIN renc e USING (cell) CROSS JOIN rcbn WHERE e.vec_id <> q.q_id),
+       |rr2 AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM rp)""".stripMargin
   }
 
   /** Mirror of SimilarityOps.s5AnnPq. */
@@ -320,6 +346,18 @@ object SparkEntry {
        |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
        |SELECT q_id, n_id, round(c, 4) AS adc_sim, CAST(rnk AS BIGINT) AS rnk
        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  /** Mirror of SimilarityOps.s8AnnIvfPqRes: IVF assignment, then the
+    * residual-encoded ADC scan. */
+  private def ivfPqResSql: String =
+    s"""WITH $embCte,
+       |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+       |ac AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+       |ar AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+       |asn AS (SELECT vec_id, v, nrm, label, cell FROM ar WHERE arn = 1),
+       |$residualPqCtes
+       |SELECT q_id, n_id, round(c, 4) AS adc_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM rr2 WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
   /** Mirror of SimilarityOps.clusteredNormed: the planted-cluster
     * derivation of the embeddings table (s7). Same CTE names as
@@ -366,9 +404,11 @@ object SparkEntry {
        |fp AS (SELECT q.q_id, f.vec_id AS n_id, ${adcSql("q.qv", "f.codes")} / (q.qn * f.rnrm) AS c FROM iq q JOIN fpq f USING (cell) CROSS JOIN cbn WHERE f.vec_id <> q.q_id),
        |fr AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM fp),
        |ftop AS (SELECT q_id, n_id FROM fr WHERE rnk <= 3),
-       |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop UNION ALL SELECT q_id, n_id, 'ivf_np2' AS method FROM itop2 UNION ALL SELECT q_id, n_id, 'ivf_np4' AS method FROM itop4 UNION ALL SELECT q_id, n_id, 'pq' AS method FROM pqtop UNION ALL SELECT q_id, n_id, 'ivfpq' AS method FROM ftop),
+       |$residualPqCtes,
+       |rtop AS (SELECT q_id, n_id FROM rr2 WHERE rnk <= 3),
+       |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop UNION ALL SELECT q_id, n_id, 'ivf_np2' AS method FROM itop2 UNION ALL SELECT q_id, n_id, 'ivf_np4' AS method FROM itop4 UNION ALL SELECT q_id, n_id, 'pq' AS method FROM pqtop UNION ALL SELECT q_id, n_id, 'ivfpq' AS method FROM ftop UNION ALL SELECT q_id, n_id, 'ivfpq_res' AS method FROM rtop),
        |qs AS (SELECT DISTINCT q_id FROM exact),
-       |mth AS (SELECT unnest(['bucket', 'ivf', 'ivf_np2', 'ivf_np4', 'pq', 'ivfpq']) AS method),
+       |mth AS (SELECT unnest(['bucket', 'ivf', 'ivf_np2', 'ivf_np4', 'pq', 'ivfpq', 'ivfpq_res']) AS method),
        |h AS (SELECT a.q_id, a.method, count(*) AS hits FROM appr a JOIN exact x ON x.q_id = a.q_id AND x.n_id = a.n_id GROUP BY 1, 2)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -666,6 +706,7 @@ object SparkEntry {
     },
     "s5_ann_pq" -> pqAnnSql,
     "s6_ann_ivfpq" -> ivfPqSql,
+    "s8_ann_ivfpq_res" -> ivfPqResSql,
     "s2_ann_bucket" ->
       s"""WITH $embCte,
          |bkt AS (SELECT vec_id, v, nrm, label, $bucketSql AS bucket FROM n),
