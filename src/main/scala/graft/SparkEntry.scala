@@ -75,6 +75,7 @@ object SparkEntry {
     "d10_dup_clusters" -> (DedupOps.d10DupClusters _),
     "d11_dedup_impact" -> (DedupOps.d11DedupImpact _),
     "d12_stream_minhash" -> (graft.streaming.IncrementalDedup.d12StreamMinhash _),
+    "d13_consensus_near_dup" -> (DedupOps.d13ConsensusNearDup _),
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
     "d6_quantize" -> (SimilarityOps.d6Quantize _),
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
@@ -358,6 +359,19 @@ object SparkEntry {
        |$residualPqCtes
        |SELECT q_id, n_id, round(c, 4) AS adc_sim, CAST(rnk AS BIGINT) AS rnk
        |FROM rr2 WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  /** Mirror of SimilarityOps.d5EmbedNearDup (shared by the d13 oracle). */
+  private def embedNearDupSql: String = {
+    val bandSelects = (0 until SimilarityOps.SignBands)
+      .map(b => s"SELECT vec_id, $b AS bi, ${bandSql(b)} AS bv FROM n")
+      .mkString(" UNION ALL ")
+    s"""WITH $embCte,
+       |band AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id FROM band x JOIN band y ON x.bi = y.bi AND x.bv = y.bv AND x.vec_id < y.vec_id)
+       |SELECT c.a_id, c.b_id, round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+       |FROM cand c JOIN n a ON a.vec_id = c.a_id JOIN n b ON b.vec_id = c.b_id
+       |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4 ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** Mirror of SimilarityOps.clusteredNormed: the planted-cluster
     * derivation of the embeddings table (s7). Same CTE names as
@@ -693,17 +707,18 @@ object SparkEntry {
          |tr AS (SELECT doc_id, g FROM g WHERE doc_id % ${DedupOps.EvalMod} <> 0)
          |SELECT tr.doc_id, CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs, CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_grams
          |FROM tr JOIN ev ON ev.g = tr.g GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
-    "d5_embed_near_dup" -> {
-      val bandSelects = (0 until SimilarityOps.SignBands)
-        .map(b => s"SELECT vec_id, $b AS bi, ${bandSql(b)} AS bv FROM n")
-        .mkString(" UNION ALL ")
-      s"""WITH $embCte,
-         |band AS ($bandSelects),
-         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id FROM band x JOIN band y ON x.bi = y.bi AND x.bv = y.bv AND x.vec_id < y.vec_id)
-         |SELECT c.a_id, c.b_id, round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
-         |FROM cand c JOIN n a ON a.vec_id = c.a_id JOIN n b ON b.vec_id = c.b_id
-         |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4 ORDER BY a_id, b_id""".stripMargin
-    },
+    "d5_embed_near_dup" -> embedNearDupSql,
+    // pairs flagged by either modality, with provenance: nested-WITH
+    // subqueries reuse the two pair chains verbatim, so d13's oracle IS
+    // "d3's oracle ⋈full d5's oracle" by construction
+    "d13_consensus_near_dup" ->
+      s"""WITH p3 AS ($minhashSql), p5 AS ($embedNearDupSql)
+         |SELECT coalesce(p3.a_id, p5.a_id) AS a_id, coalesce(p3.b_id, p5.b_id) AS b_id,
+         |CASE WHEN p3.a_id IS NOT NULL AND p5.a_id IS NOT NULL THEN 'both'
+         |     WHEN p3.a_id IS NOT NULL THEN 'text' ELSE 'embedding' END AS modality,
+         |coalesce(p3.jaccard, -1.0) AS jaccard, coalesce(p5.cos_sim, -1.0) AS cos_sim
+         |FROM p3 FULL JOIN p5 ON p3.a_id = p5.a_id AND p3.b_id = p5.b_id
+         |ORDER BY a_id, b_id""".stripMargin,
     "s5_ann_pq" -> pqAnnSql,
     "s6_ann_ivfpq" -> ivfPqSql,
     "s8_ann_ivfpq_res" -> ivfPqResSql,

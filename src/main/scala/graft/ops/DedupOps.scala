@@ -387,6 +387,31 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** d13 consensus near-dup: one pair ledger across modalities — d3's
+    * text pairs (MinHash-LSH, J ≥ 0.7) full-outer-joined with d5's
+    * embedding pairs (sign-LSH, cos ≥ 0.4), each pair tagged with its
+    * provenance (`both` / `text` / `embedding`). This is the review
+    * table a dedup owner actually triages: `both` is safe to drop,
+    * single-modality pairs are where text dedup misses semantic dups
+    * (and vice versa). Absent scores surface as −1.0 sentinels, not
+    * NULLs, so the ledger hashes deterministically.
+    *
+    * Scale design: both pair generators are the already-bounded LSH
+    * plans; the consensus join shuffles only pair-sized rows on the
+    * (a_id, b_id) key. Nothing corpus-sized moves. */
+  def d13ConsensusNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val text = d3MinhashLsh(spark, dir)
+    val embed = SimilarityOps.d5EmbedNearDup(spark, dir)
+    text.join(embed, Seq("a_id", "b_id"), "full_outer")
+      .select(col("a_id"), col("b_id"),
+        when(col("jaccard").isNotNull && col("cos_sim").isNotNull, "both")
+          .when(col("jaccard").isNotNull, "text")
+          .otherwise("embedding").as("modality"),
+        coalesce(col("jaccard"), lit(-1.0)).as("jaccard"),
+        coalesce(col("cos_sim"), lit(-1.0)).as("cos_sim"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** d11 dedup impact report — the ledger a pipeline owner reads before
     * committing a dedup pass: per (lang, source), how many docs exist,
     * how many sit in a near-dup cluster, how many the keep-one-per-

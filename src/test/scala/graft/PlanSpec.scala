@@ -157,6 +157,15 @@ class PlanSpec extends AnyFunSuite {
     // on BOTH sides, which the cell equi-join assertion above rules out)
   }
 
+  test("s8 residual IVF-PQ keeps s6's cell-probe shape") {
+    // the residual encode is a narrow map on top of assignment; the
+    // search must remain the same equi-join on cell id as s6 — swapping
+    // the scoring kernel to residual codes changes no exchange
+    val plan = finalPlan(SimilarityOps.s8AnnIvfPqRes(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "s8 cell probe is not a broadcast hash join on cell id")
+  }
+
   test("s3 IVF centroid assignment is a narrow map — no corpus exchange by vec_id") {
     // the argmax over centroids must fold expression-side: a regression to
     // the row_number-over-Window formulation exchanges + sorts IvfCells

@@ -10,7 +10,7 @@ class SmokeSpec extends AnyFunSuite {
   /** Near-dup candidate queries may legitimately find no pairs in the
     * 50-doc fixture; everything else must produce rows. */
   private val mayBeEmpty = Set("d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
-    "d5_embed_near_dup")
+    "d5_embed_near_dup", "d13_consensus_near_dup")
 
   test("every query key has an oracle or is a declared rows-only check") {
     val rowsOnly = Set("x2_ml_score", "x3_ml_eval", "x4_ivf_kmeans",
