@@ -195,18 +195,86 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** Iteration cap for [[d10DupClusters]]: min-label propagation needs
-    * at most diameter(component) rounds, and near-dup components are
-    * shallow by nature (a dup cluster is one document plus its variants,
-    * diameter ≲ a handful); 32 is a generous ceiling, converge-checked.
-    * The guard FAILS LOUDLY (require) rather than emitting a partial
-    * clustering — a silent partial would under-drop dups downstream. If
-    * a corpus ever produces genuinely chained clusters (diameter > 32),
-    * the fix is the large-star/small-star pointer-doubling variant
-    * (Kiveris et al., "Connected Components in MapReduce", SoCC 2014),
-    * which converges in O(log diameter) rounds on the same
-    * join + min-agg per round plan shape. */
+  /** Iteration cap for [[connectedComponents]]: the alternating
+    * large-star/small-star rounds converge in O(log n) rounds in
+    * practice (O(log² n) proven; Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC 2014), so 32 rounds cover components
+    * of ~2³² nodes — far beyond any single dup cluster. The guard FAILS
+    * LOUDLY (require) rather than emitting a partial clustering — a
+    * silent partial would under-drop dups downstream. */
   val MaxClusterIters = 32
+
+  /** Distributed connected components over an undirected edge list via
+    * alternating large-star / small-star contractions (Kiveris et al.,
+    * SoCC 2014). Input: pair rows (a, b), any orientation, self-loops
+    * ignored. Output: one row per node appearing in any edge —
+    * (id, lbl) with lbl = the smallest node id in its component.
+    *
+    * Each round rewires edges toward per-neighbourhood minima:
+    * large-star hangs every larger neighbour of u under
+    * min(Γ(u) ∪ {u}); small-star then re-hangs u and its smaller
+    * neighbours under the same min. Both steps preserve connectivity
+    * and strictly shrink path lengths geometrically, so rounds scale
+    * with log(component size), NOT diameter — a 10⁶-doc chained
+    * cluster (each doc similar only to its neighbours, the templated-
+    * page pathology) converges in ~20 rounds where naive min-label
+    * propagation needs 10⁶.
+    *
+    * Scale design: every step is a groupBy-min + an equi-join on the
+    * SAME grouping key over pair-sized rows (never corpus-sized), so
+    * each round is one hash shuffle of the current edge set;
+    * `localCheckpoint` truncates lineage per round (a reliable
+    * `checkpoint` does the same on a cluster). Convergence = exact edge-
+    * set fixpoint (two except-counts over the contracted star edges —
+    * tiny by the time it matters); the alternating fixpoint IS the
+    * star graph node→component-min, so no label table is carried
+    * between rounds at all. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // directed high→low (u > v), deduped; the invariant every round below
+    // preserves: large-star emits (bigger, min) and small-star re-emits
+    // (node, min) with node > min, so edges stay canonically oriented
+    var edges = pairs.toDF("a", "b")
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty
+    var iters = 0
+    while (!converged && iters < MaxClusterIters) {
+      // large-star: per node u over its full neighbourhood (both
+      // orientations), m = min(Γ(u) ∪ {u}); hang each larger neighbour
+      // on m. Strictly-larger keeps orientation and drops nothing: the
+      // (smaller, m) links are small-star's job.
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: per node u over its smaller neighbours (ls is
+      // already high→low), m = min; re-hang u and every non-min
+      // neighbour directly on m — the contraction that flattens chains
+      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(ssMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      // exact fixpoint: the round changed nothing ⟺ edge sets equal
+      // (both sides distinct, so one except + a count comparison suffice)
+      converged = ss.count() == edges.count() && ss.except(edges).isEmpty
+      edges = ss
+      iters += 1
+    }
+    require(converged, s"connectedComponents did not converge in $MaxClusterIters rounds")
+    // fixpoint is a star forest: every non-min node points straight at
+    // its component min; the min itself labels itself
+    edges.select(col("u").as("id"), col("v").as("lbl"))
+      .union(edges.select(col("v")).distinct()
+        .select(col("v").as("id"), col("v").as("lbl")))
+  }
 
   /** d10 near-dup clustering — the step after pair generation that every
     * dedup pipeline actually ships: d3's verified pairs (J ≥ 0.7) are an
@@ -216,47 +284,16 @@ object DedupOps {
     * plus the component size; docs in no pair are not emitted (their
     * cluster is trivially themselves).
     *
-    * Algorithm: distributed min-label propagation to a fixpoint — each
-    * round, every node takes the min of its own label and its
-    * neighbours' labels; when a round changes nothing the labels ARE the
-    * per-component minima. This is the DataFrame form of the classic
-    * iterative connected-components (GraphX/Pregel do the same rounds);
-    * a driver-side convergence probe per round is inherent to any
-    * fixpoint algorithm and moves one boolean, not data.
-    *
-    * Scale design: each round is one shuffle-on-id join (edges ⋈ labels,
-    * both hash-partitioned on the same key) + one min-aggregation — no
-    * broadcast of anything corpus-sized, no collect. `localCheckpoint`
-    * truncates the growing lineage each round (on a cluster, a reliable
-    * `checkpoint` to the checkpoint dir does the same job); rounds are
-    * bounded by component diameter (shallow here — see
-    * [[MaxClusterIters]]), not corpus size. */
+    * The fixpoint engine is [[connectedComponents]] (alternating
+    * large-star/small-star) — log-round convergence regardless of
+    * component diameter, so chained clusters (templated pages, each
+    * similar only to its neighbours) no longer threaten the iteration
+    * cap the way they did under min-label propagation. */
   def d10DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(Sources.table(spark, dir, "documents"))
     val pairs = jaccard(lshCandidates(sh), sh)
       .filter(col("jac") >= 0.7).select("a_id", "b_id")
-    val edges = pairs
-      .union(pairs.select(col("b_id"), col("a_id")))
-      .toDF("src", "dst")
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
-    var converged = false
-    var iters = 0
-    while (!converged && iters < MaxClusterIters) {
-      val best = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst").as("id2")).agg(min("lbl").as("nbl"))
-      val next = labels.join(best, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"),
-          (col("nbl") < col("lbl")).as("chg"))
-        .localCheckpoint()
-      converged = next.filter(col("chg")).isEmpty
-      labels = next.select("id", "lbl")
-      iters += 1
-    }
-    require(converged || labels.isEmpty, s"d10 did not converge in $MaxClusterIters rounds")
+    val labels = connectedComponents(pairs)
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))

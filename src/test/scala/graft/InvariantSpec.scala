@@ -212,6 +212,24 @@ class InvariantSpec extends AnyFunSuite {
     assert(got.filter(g => g._1 == g._2).map(_._2).toSet == expect.values.toSet)
   }
 
+  test("connectedComponents flattens a 1000-node path within the log-round cap") {
+    // diameter 999: min-label propagation would need 999 rounds and trip
+    // MaxClusterIters (32); the large-star/small-star contraction must
+    // land the whole chain in one cluster labelled by node 0 well inside
+    // the cap — this is the chained-cluster (templated-page) pathology
+    import spark.implicits._
+    val path = spark.range(999).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val labels = DedupOps.connectedComponents(path)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 1000)
+    assert(labels.values.forall(_ == 0L))
+    // and a forest of disjoint chains keeps its components separate
+    val twoChains = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("a", "b")
+    val got = DedupOps.connectedComponents(twoChains)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("t10 rule ledger: groups partition tokenized docs, p_all ≤ each rule") {
     val df = TextOps.t10GopherRules(spark, sf)
     val tokenized = Sources.table(spark, sf, "documents")
