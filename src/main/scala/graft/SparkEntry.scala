@@ -97,6 +97,8 @@ object SparkEntry {
     "t10_gopher_rules" -> (TextOps.t10GopherRules _),
     "t11_dup_spans" -> (TextOps.t11DupSpans _),
     "t12_chunking" -> (TextOps.t12Chunking _),
+    "t13_seq_packing" -> (TextOps.t13SeqPacking _),
+    "t14_mix_sample" -> (TextOps.t14MixSample _),
     "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
@@ -689,6 +691,30 @@ object SparkEntry {
          |CAST(least(len(ts) - st, $c) AS BIGINT) AS n_tok,
          |md5(array_to_string(list_slice(ts, st + 1, st + $c), ' ')) AS chunk_md5
          |FROM s ORDER BY doc_id, chunk_no""".stripMargin
+    },
+    "t13_seq_packing" -> {
+      val (b, sd) = (TextOps.SeqTokens, TextOps.ShardDocs)
+      s"""WITH tok AS (SELECT source, doc_id, CAST(doc_id // $sd AS BIGINT) AS shard,
+         |CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tok FROM documents),
+         |p AS (SELECT source, doc_id, shard, n_tok,
+         |CAST(coalesce(sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |FROM tok WHERE n_tok > 0)
+         |SELECT source, shard, doc_id, n_tok, start_tok,
+         |CAST(start_tok // $b AS BIGINT) AS first_seq,
+         |CAST((start_tok + n_tok - 1) // $b AS BIGINT) AS last_seq,
+         |CAST((start_tok + n_tok - 1) // $b - start_tok // $b + 1 AS BIGINT) AS n_seqs
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "t14_mix_sample" -> {
+      val (m, mul) = (TextOps.MixHashMod, TextOps.MixHashMul)
+      s"""WITH d AS (SELECT source, doc_id, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w FROM documents),
+         |cnt AS (SELECT source, min(w) AS w, count(*) AS n_docs FROM d GROUP BY source),
+         |c AS (SELECT min(n_docs / w) AS c FROM cnt),
+         |r AS (SELECT source, w, n_docs, least(1.0, w * c.c / n_docs) AS rate FROM cnt, c)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(sum(CASE WHEN CAST(d.doc_id % $m * $mul % $m AS DOUBLE) < r.rate * $m THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |round(min(r.rate), 6) AS rate
+         |FROM d JOIN r ON r.source = d.source GROUP BY d.source ORDER BY d.source""".stripMargin
     },
     "t10_gopher_rules" -> gopherRulesSql,
     "t11_dup_spans" -> dupSpansSql,

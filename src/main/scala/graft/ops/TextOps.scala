@@ -364,6 +364,97 @@ object TextOps {
       .orderBy("doc_id", "chunk_no")
   }
 
+  /** t13's packing geometry: the training context-window budget and the
+    * per-shard document span. Packing (concatenate the token stream,
+    * split every [[SeqTokens]]) is sequential BY NATURE within a
+    * stream, so the scalable form packs independent shards: docs are
+    * assigned to shards by doc_id range, and each (source, shard)
+    * stream packs on its own. [[ShardDocs]] bounds the per-partition
+    * sort — at 100 TB the same two constants give millions of bounded
+    * shards instead of one unsortable global stream. */
+  val SeqTokens = 128L
+  val ShardDocs = 100L
+
+  /** t13 sequence packing ledger: the concat-and-split step that turns a
+    * cleaned corpus into fixed-length training sequences (each shard's
+    * token streams are laid end-to-end and cut every [[SeqTokens]]
+    * tokens). Per document: its shard, token count, offset in the
+    * shard's packed stream, and the first/last sequence ids it lands in
+    * — n_seqs > 1 marks documents split across a context boundary,
+    * exactly what a packing QA pass audits before training.
+    *
+    * Scale shape: one narrow tokenize map, then a running sum windowed
+    * over (source, shard) ordered by doc_id — one hash exchange on the
+    * shard key plus an in-partition sort of ≤ [[ShardDocs]] docs.
+    * Nothing global: a shard's ledger never sees another shard's rows,
+    * so the plan is embarrassingly parallel in the shard count (the
+    * output orderBy is gate canonicalization only). */
+  def t13SeqPacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Sources.table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        floor(col("doc_id") / lit(ShardDocs)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("first_seq", floor(col("start_tok") / lit(SeqTokens)))
+      .withColumn("last_seq",
+        floor((col("start_tok") + col("n_tok") - 1) / lit(SeqTokens)))
+      .select(col("source"), col("shard"), col("doc_id"), col("n_tok"),
+        col("start_tok"), col("first_seq"), col("last_seq"),
+        (col("last_seq") - col("first_seq") + 1).as("n_seqs"))
+      .orderBy("doc_id")
+  }
+
+  /** t14's sampling hash modulus and multiplier (Knuth's multiplicative
+    * constant). The keep/drop decision is pure 64-bit integer
+    * arithmetic — `(doc_id mod 2³¹) · 2654435761 mod 2³¹` — so ANY
+    * engine replays the exact same sample: no RNG state, no seed
+    * plumbing, resumable mid-corpus. (The doc_id is folded mod 2³¹
+    * first so the product stays inside a signed 64-bit long.) */
+  val MixHashMod = 2147483648L
+  val MixHashMul = 2654435761L
+
+  /** t14 mixture sampling: the data-mixing step of a training pipeline —
+    * downsample each source so the blended corpus approaches target
+    * mixture weights, keeping as much data as possible without
+    * upsampling. Weights derive from the source name ((srcN mod 4) + 1,
+    * so they generalize across scale factors); the binding constraint
+    * C = min(n_s / w_s) sets the largest feasible blend, and
+    * rate_s = min(1, w_s · C / n_s) keeps the binding source whole.
+    * Per-doc keep/drop is the deterministic integer hash above, so the
+    * reported n_kept is EXACT and replayable, not an expectation.
+    *
+    * Scale shape: one tiny per-source count aggregation (|sources|
+    * rows, broadcast back by AQE), one narrow hash-filter map over the
+    * corpus, one ledger aggregation. The corpus is read once and never
+    * shuffled on a wide key. */
+  def t14MixSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        (substring(col("source"), 4, 10).cast("long") % 4 + 1).as("w"))
+    val counts = docs.groupBy("source").agg(
+      first(col("w")).as("w"), count(lit(1)).as("n_docs"))
+    // the binding constraint is a global min over the |sources|-row count
+    // table — a single-partition window over 20 rows, NOT a cross join
+    // (which would plan a nested-loop node and trip the blowup detector)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val rates = counts
+      .withColumn("c", min(col("n_docs") / col("w")).over(all))
+      .select(col("source"), col("w"), col("n_docs"),
+        least(lit(1.0), col("w") * col("c") / col("n_docs")).as("rate"))
+    docs.join(rates.select("source", "rate"), "source")
+      .withColumn("u", col("doc_id") % MixHashMod * MixHashMul % MixHashMod)
+      .withColumn("kept", col("u").cast("double") < col("rate") * MixHashMod)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        round(first(col("rate")), 6).as("rate"))
+      .orderBy("source")
+  }
+
   /** t7 bigram top-k: the n-gram frequency view a corpus-analysis
     * pipeline runs next to q21's unigram counts. Bigrams are built
     * array-side (one `transform` over token indices — no self-join, no

@@ -221,6 +221,36 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"t10 has $exchanges hash exchanges, expected 1")
   }
 
+  test("t13 packing is one shard-key exchange + in-partition sort, no join") {
+    // the running sum must window over (source, shard) ONLY: one hash
+    // exchange, bounded per-partition sort, no join, no explode — a
+    // second hash exchange or a global window means packing stopped
+    // being embarrassingly parallel in the shard count
+    val plan = staticPlan(graft.ops.TextOps.t13SeqPacking(spark, sf))
+    assert(!plan.contains("Join"), "t13 joins — the ledger regressed to a self-join")
+    assert(!plan.contains("Generate"), "t13 explodes — tokenize left the array side")
+    val exchanges = "hashpartitioning\\(".r.findAllIn(plan).length
+    assert(exchanges == 1, s"t13 has $exchanges hash exchanges, expected 1")
+    assert(plan.contains("hashpartitioning(source"),
+      "t13's window does not partition by the shard key")
+  }
+
+  test("t14 mixture sampling joins its rate table by broadcast, corpus unshuffled") {
+    // the per-source rate table is |sources| rows; attaching it to the
+    // corpus must be a broadcast hash join — a sort-merge join here
+    // means the whole corpus shuffles for a 20-row dimension
+    val full = finalPlan(graft.ops.TextOps.t14MixSample(spark, sf))
+    // AQE's formatted explain appends the pre-adaptive "Initial Plan"
+    // (which legitimately carries a SortMergeJoin before runtime stats
+    // demote it) — judge only the executed section
+    val plan = full.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      "t14 rate attach is not a broadcast hash join")
+    assert(!plan.contains("SortMergeJoin"),
+      "t14 shuffles the corpus to meet its 20-row rate table")
+    assertNoBlowupJoin(plan, "t14")
+  }
+
   test("t11 span mining: no count-distinct Expand, distributed top-k") {
     // n_docs must come from the per-(doc,span) pre-collapse (count(1) on
     // the second aggregate), not a countDistinct Expand; and the limit
