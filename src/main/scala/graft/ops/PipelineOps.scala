@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.io.Sources
+
+/** The composed corpus-preparation run (SURVEY.md §2.5 p1): the d/t
+  * operators chained the way a pretraining data pass actually chains
+  * them — hold out the benchmark split, drop low-quality docs, drop
+  * exact duplicates, drop near-dup cluster members, drop benchmark-
+  * contaminated docs, and account for every document along the way.
+  *
+  * The point of the gate is COMPOSITION: each stage reuses the same
+  * code path its standalone gate verifies (t10's per-doc rule verdicts,
+  * d1's normalized digest, d10's cluster table, d8's contamination
+  * set), so the ledger is correct-by-construction relative to the
+  * already-oracle-checked parts, and the oracle re-derives the whole
+  * funnel in one nested SQL statement.
+  */
+object PipelineOps {
+
+  /** p1 pipeline ledger: per (lang, source), the document funnel
+    * `n_docs → n_eval (held out) → n_fail_quality → n_exact_dup →
+    * n_near_dup → n_contam → n_kept` plus the surviving token count —
+    * each stage counted among the survivors of the previous one, so the
+    * columns sum to n_docs exactly (InvariantSpec locks this).
+    *
+    * Stage semantics: eval docs (doc_id ≡ 0 mod [[DedupOps.EvalMod]])
+    * leave first — they are the benchmark, not training data. Quality
+    * is t10's four gopher rules (empty docs fail). Exact dedup keeps
+    * the smallest doc_id per normalized-text digest AMONG eligible docs
+    * (a duplicate whose twin was already dropped survives — dropping it
+    * would lose the last copy). Near-dup applies d10's global keep-one
+    * decision; contamination applies d8's eval-overlap set.
+    *
+    * Scale shape: the funnel head is one narrow rule map + a per-group
+    * count. The tail shuffles digests (32-byte keys) for the exact-dup
+    * window, then attaches two SMALL-by-construction tables (d10's
+    * clusters ≈ near-dup members only, d8's contaminated set) by
+    * doc_id joins AQE is free to broadcast — the corpus itself is
+    * never joined to anything corpus-sized. */
+  def p1PipelineLedger(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    val rules = TextOps.gopherPerDoc(docs)
+      .select(col("doc_id"), col("wc"),
+        (col("r_wc") && col("r_mean") && col("r_stop") && col("r_top")).as("q"))
+    val flagged = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(TextOps.normText(col("text"))).as("norm_key"),
+        (col("doc_id") % DedupOps.EvalMod === 0).as("is_eval"))
+      .join(rules, Seq("doc_id"), "left")
+      .withColumn("q", coalesce(col("q"), lit(false)))
+      .withColumn("wc", coalesce(col("wc"), lit(0L)))
+    val elig = flagged.filter(!col("is_eval") && col("q"))
+    val keepExact =
+      col("doc_id") === min("doc_id").over(Window.partitionBy("norm_key"))
+    val clusters = DedupOps.d10DupClusters(spark, dir).select("doc_id", "cluster_id")
+    val contam = DedupOps.d8Decontamination(spark, dir)
+      .select(col("doc_id"), lit(true).as("ct"))
+    val staged = elig
+      .withColumn("keep_exact", keepExact)
+      .join(clusters, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(!col("keep_exact"), "exact")
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), "near")
+          .when(coalesce(col("ct"), lit(false)), "contam")
+          .otherwise("kept"))
+    val head = flagged.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("is_eval"), 1L).otherwise(0L)).as("n_eval"),
+      sum(when(!col("is_eval") && !col("q"), 1L).otherwise(0L)).as("n_fail_quality"))
+    val tail = staged.groupBy("lang", "source").agg(
+      sum(when(col("stage") === "exact", 1L).otherwise(0L)).as("n_exact_dup"),
+      sum(when(col("stage") === "near", 1L).otherwise(0L)).as("n_near_dup"),
+      sum(when(col("stage") === "contam", 1L).otherwise(0L)).as("n_contam"),
+      sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("stage") === "kept", col("wc")).otherwise(0L)).as("tok_kept"))
+    head.join(tail, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("n_exact_dup", "n_near_dup", "n_contam", "n_kept", "tok_kept"))
+      .orderBy("lang", "source")
+  }
+}

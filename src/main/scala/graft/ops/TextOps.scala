@@ -266,22 +266,28 @@ object TextOps {
     * computed by a fold over the *sorted* token array — is a codegen'd
     * narrow map per document; the only exchange is the final tiny
     * (lang × source)-keyed aggregation. At 100 TB this is one scan. */
+  /** Per-document gopher-rule evaluation (tokenized docs only, wc > 0):
+    * the narrow-map core of [[t10GopherRules]], exposed so the composed
+    * pipeline ledger (p1) can reuse the IDENTICAL per-doc verdicts its
+    * quality stage claims. */
+  private[graft] def gopherPerDoc(docs: DataFrame): DataFrame = docs
+    .withColumn("ts", tokens(col("text")))
+    .withColumn("wc", size(col("ts")).cast("long"))
+    .filter(col("wc") > 0)
+    .withColumn("sum_len",
+      aggregate(transform(col("ts"), t => length(t).cast("long")), lit(0L), (a, x) => a + x))
+    .withColumn("n_stop",
+      size(filter(col("ts"), t => t.isin(StopList: _*))).cast("long"))
+    .withColumn("max_run", maxTokenRun("ts"))
+    .withColumn("r_wc", col("wc") >= MinWords)
+    .withColumn("r_mean",
+      col("sum_len") * 10 >= col("wc") * 42 && col("sum_len") * 10 <= col("wc") * 52)
+    .withColumn("r_stop", col("n_stop") >= MinStops)
+    .withColumn("r_top", col("max_run") * 8 <= col("wc"))
+
   def t10GopherRules(spark: SparkSession, dir: String): DataFrame = {
     val pass = (c: Column) => sum(when(c, 1L).otherwise(0L))
-    Sources.table(spark, dir, "documents")
-      .withColumn("ts", tokens(col("text")))
-      .withColumn("wc", size(col("ts")).cast("long"))
-      .filter(col("wc") > 0)
-      .withColumn("sum_len",
-        aggregate(transform(col("ts"), t => length(t).cast("long")), lit(0L), (a, x) => a + x))
-      .withColumn("n_stop",
-        size(filter(col("ts"), t => t.isin(StopList: _*))).cast("long"))
-      .withColumn("max_run", maxTokenRun("ts"))
-      .withColumn("r_wc", col("wc") >= MinWords)
-      .withColumn("r_mean",
-        col("sum_len") * 10 >= col("wc") * 42 && col("sum_len") * 10 <= col("wc") * 52)
-      .withColumn("r_stop", col("n_stop") >= MinStops)
-      .withColumn("r_top", col("max_run") * 8 <= col("wc"))
+    gopherPerDoc(Sources.table(spark, dir, "documents"))
       .groupBy("lang", "source")
       .agg(
         count(lit(1)).as("n_docs"),

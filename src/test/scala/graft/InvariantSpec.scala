@@ -212,6 +212,37 @@ class InvariantSpec extends AnyFunSuite {
     assert(got.filter(g => g._1 == g._2).map(_._2).toSet == expect.values.toSet)
   }
 
+  test("p1 funnel partitions every document exactly once") {
+    val df = PipelineOps.p1PipelineLedger(spark, sf)
+    // stages are mutually exclusive and exhaustive: they sum to n_docs
+    val bad = df.filter(
+      col("n_eval") + col("n_fail_quality") + col("n_exact_dup") +
+        col("n_near_dup") + col("n_contam") + col("n_kept") =!= col("n_docs"))
+    assert(bad.count() == 0)
+    assert(df.agg(sum("n_docs")).collect()(0).getLong(0) == nDocs)
+    // the funnel must tie to the standalone gates it claims to compose:
+    // quality failures = gopherPerDoc's per-doc verdicts restricted to
+    // non-eval docs (empty docs fail; eval docs leave the funnel first,
+    // so their failures count as n_eval, not n_fail_quality); near-dup
+    // drops ≤ d10's non-canonical members (p1 only drops among quality
+    // survivors)
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    val expFail = docs.select("doc_id")
+      .join(
+        TextOps.gopherPerDoc(docs).select(col("doc_id"),
+          (col("r_wc") && col("r_mean") && col("r_stop") && col("r_top")).as("q")),
+        Seq("doc_id"), "left")
+      .filter(col("doc_id") % DedupOps.EvalMod =!= 0 && !coalesce(col("q"), lit(false)))
+      .count()
+    val p1 = df.agg(sum("n_fail_quality"), sum("n_near_dup"), sum("n_kept"))
+      .collect()(0)
+    assert(p1.getLong(0) == expFail)
+    val d10Drop = DedupOps.d10DupClusters(spark, sf)
+      .filter(col("doc_id") =!= col("cluster_id")).count()
+    assert(p1.getLong(1) <= d10Drop)
+    assert(p1.getLong(2) > 0, "pipeline kept nothing — fixture degenerate")
+  }
+
   test("connectedComponents flattens a 1000-node path within the log-round cap") {
     // diameter 999: min-label propagation would need 999 rounds and trip
     // MaxClusterIters (32); the large-star/small-star contraction must
