@@ -38,7 +38,12 @@ object Bench {
         try SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] warmup $q failed: ${e.getMessage}") }
       }
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the run for fast perf-tuning
+    // loops; unset = full suite (the driver's mode)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     for (pass <- 1 to Passes; name <- names if !failed.contains(name)) {

@@ -406,13 +406,30 @@ object SimilarityOps {
   private def trainedPqCodebook(all: DataFrame): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val cbs: Seq[Seq[Seq[Double]]] = (0 until PqM).map { m =>
-      val sub = all.select(
-        array_to_vector(slice(col("v"), m * PqSubDim + 1, PqSubDim)).as("features"))
-      new KMeans().setK(PqK).setSeed(7L + m).setMaxIter(10).setTol(1e-6)
-        .fit(sub).clusterCenters.map(_.toArray.toSeq).toSeq
-    }
-    all.sparkSession.range(1).select(typedLit(cbs).as("cbs"))
+    // one projected+cached pass feeds all PqM fits: without it every fit
+    // re-reads the parquet and re-normalizes (PqM scans); with it the
+    // corpus is read once and each fit iterates over a PqM×PqSubDim-wide
+    // cached frame — at 100 TB training would run on a driver-bounded
+    // sample, but the read-once shape is the same
+    val subs = all.select((0 until PqM).map(m =>
+      array_to_vector(slice(col("v"), m * PqSubDim + 1, PqSubDim)).as(s"f$m")): _*)
+      .cache()
+    try {
+      // the PqM fits are independent and individually seed-pinned, so
+      // submitting them concurrently changes nothing about the result —
+      // only the wall clock: sequential fits pay ~PqM × iters × job
+      // latency, concurrent ones pay ~one fit
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fits = (0 until PqM).map { m => Future {
+        new KMeans().setK(PqK).setSeed(7L + m).setMaxIter(10).setTol(1e-6)
+          .setFeaturesCol(s"f$m")
+          .fit(subs).clusterCenters.map(_.toArray.toSeq).toSeq
+      }}
+      val cbs: Seq[Seq[Seq[Double]]] = Await.result(Future.sequence(fits), Duration.Inf)
+      all.sparkSession.range(1).select(typedLit(cbs).as("cbs"))
+    } finally subs.unpersist(blocking = false)
   }
 
   /** s6 IVF-PQ: the two approximations composed the way a production
