@@ -85,6 +85,7 @@ object SparkEntry {
     "s6_ann_ivfpq" -> (SimilarityOps.s6AnnIvfPq _),
     "s7_ann_recall_clustered" -> (SimilarityOps.s7AnnRecallClustered _),
     "s8_ann_ivfpq_res" -> (SimilarityOps.s8AnnIvfPqRes _),
+    "s9_ann_rerank" -> (SimilarityOps.s9AnnRerank _),
     "t1_lang_id" -> (TextOps.t1LangId _),
     "t2_text_quality" -> (TextOps.t2Quality _),
     "t3_token_count" -> (TextOps.t3TokenCount _),
@@ -260,8 +261,11 @@ object SparkEntry {
 
   /** Mirror of SimilarityOps.s6AnnIvfPq: s3's cell assignment composed
     * with s5's codes — probe the query's cell, score by ADC. */
-  private def ivfPqSql: String =
-    s"""WITH $embCte,
+  /** Shared CTE prefix of the s6/s9 oracles: IVF assignment + PQ encode
+    * + per-cell ADC ranking (`r` = the ranked candidate stream, the
+    * mirror of SimilarityOps.ivfPqAdcRanked). */
+  private def ivfPqCtes: String =
+    s"""$embCte,
        |$pqCte,
        |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
        |ac AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
@@ -271,9 +275,23 @@ object SparkEntry {
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
        |p AS (SELECT q.q_id, f.vec_id AS n_id, ${adcSql("q.qv", "f.codes")} / (q.qn * f.rnrm) AS c
        |  FROM q JOIN f USING (cell) CROSS JOIN cbn WHERE f.vec_id <> q.q_id),
-       |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+       |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)""".stripMargin
+
+  private def ivfPqSql: String =
+    s"""WITH $ivfPqCtes
        |SELECT q_id, n_id, round(c, 4) AS adc_sim, CAST(rnk AS BIGINT) AS rnk
        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  /** Mirror of SimilarityOps.s9From: ADC shortlist → exact-cosine
+    * re-rank of the shortlist only. */
+  private def ivfPqRerankSql: String =
+    s"""WITH $ivfPqCtes,
+       |short AS (SELECT q_id, n_id, rnk AS adc_rnk FROM r WHERE rnk <= ${SimilarityOps.RerankR}),
+       |ex AS (SELECT s.q_id, s.n_id, s.adc_rnk, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c
+       |  FROM short s JOIN q ON q.q_id = s.q_id JOIN asn a ON a.vec_id = s.n_id),
+       |rr3 AS (SELECT q_id, n_id, adc_rnk, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM ex)
+       |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk, CAST(adc_rnk AS BIGINT) AS adc_rnk
+       |FROM rr3 WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
   /** Mirror of SimilarityOps.signBucket. */
   private val bucketSql: String =
@@ -421,11 +439,15 @@ object SparkEntry {
        |fp AS (SELECT q.q_id, f.vec_id AS n_id, ${adcSql("q.qv", "f.codes")} / (q.qn * f.rnrm) AS c FROM iq q JOIN fpq f USING (cell) CROSS JOIN cbn WHERE f.vec_id <> q.q_id),
        |fr AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM fp),
        |ftop AS (SELECT q_id, n_id FROM fr WHERE rnk <= 3),
+       |rrs AS (SELECT q_id, n_id FROM fr WHERE rnk <= ${SimilarityOps.RerankR}),
+       |rrx AS (SELECT s.q_id, s.n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM rrs s JOIN iq q ON q.q_id = s.q_id JOIN asn a ON a.vec_id = s.n_id),
+       |rrr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM rrx),
+       |rrtop AS (SELECT q_id, n_id FROM rrr WHERE rnk <= 3),
        |$residualPqCtes,
        |rtop AS (SELECT q_id, n_id FROM rr2 WHERE rnk <= 3),
-       |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop UNION ALL SELECT q_id, n_id, 'ivf_np2' AS method FROM itop2 UNION ALL SELECT q_id, n_id, 'ivf_np4' AS method FROM itop4 UNION ALL SELECT q_id, n_id, 'pq' AS method FROM pqtop UNION ALL SELECT q_id, n_id, 'ivfpq' AS method FROM ftop UNION ALL SELECT q_id, n_id, 'ivfpq_res' AS method FROM rtop),
+       |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop UNION ALL SELECT q_id, n_id, 'ivf_np2' AS method FROM itop2 UNION ALL SELECT q_id, n_id, 'ivf_np4' AS method FROM itop4 UNION ALL SELECT q_id, n_id, 'pq' AS method FROM pqtop UNION ALL SELECT q_id, n_id, 'ivfpq' AS method FROM ftop UNION ALL SELECT q_id, n_id, 'ivfpq_res' AS method FROM rtop UNION ALL SELECT q_id, n_id, 'ivfpq_rr' AS method FROM rrtop),
        |qs AS (SELECT DISTINCT q_id FROM exact),
-       |mth AS (SELECT unnest(['bucket', 'ivf', 'ivf_np2', 'ivf_np4', 'pq', 'ivfpq', 'ivfpq_res']) AS method),
+       |mth AS (SELECT unnest(['bucket', 'ivf', 'ivf_np2', 'ivf_np4', 'pq', 'ivfpq', 'ivfpq_res', 'ivfpq_rr']) AS method),
        |h AS (SELECT a.q_id, a.method, count(*) AS hits FROM appr a JOIN exact x ON x.q_id = a.q_id AND x.n_id = a.n_id GROUP BY 1, 2)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -774,6 +796,7 @@ object SparkEntry {
     "s5_ann_pq" -> pqAnnSql,
     "s6_ann_ivfpq" -> ivfPqSql,
     "s8_ann_ivfpq_res" -> ivfPqResSql,
+    "s9_ann_rerank" -> ivfPqRerankSql,
     "s2_ann_bucket" ->
       s"""WITH $embCte,
          |bkt AS (SELECT vec_id, v, nrm, label, $bucketSql AS bucket FROM n),

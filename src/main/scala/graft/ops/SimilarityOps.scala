@@ -246,6 +246,7 @@ object SimilarityOps {
       .unionByName(recallOf(s5From(all), "pq"))
       .unionByName(recallOf(s6From(all), "ivfpq"))
       .unionByName(recallOf(s8From(all), "ivfpq_res"))
+      .unionByName(recallOf(s9From(all), "ivfpq_rr"))
       .orderBy("q_id", "method")
   }
 
@@ -449,7 +450,16 @@ object SimilarityOps {
   def s6AnnIvfPq(spark: SparkSession, dir: String): DataFrame =
     s6From(normed(spark, dir))
 
-  private def s6From(all: DataFrame): DataFrame = {
+  private def s6From(all: DataFrame): DataFrame =
+    ivfPqAdcRanked(all)
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("adc_sim"), col("rnk"))
+      .orderBy("q_id", "rnk")
+
+  /** The IVF-PQ candidate stream, ADC-ranked per query (s6's plan up to
+    * the keep-k cut): `(q_id, vec_id, c, rnk)`. s6 keeps rnk ≤ 3; s9
+    * keeps rnk ≤ [[RerankR]] and re-ranks those by exact cosine. */
+  private def ivfPqAdcRanked(all: DataFrame): DataFrame = {
     val seeds = all.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     val centArr = seeds
@@ -480,8 +490,46 @@ object SimilarityOps {
       .withColumn("c", col("adc") / (col("qn") * col("rnrm")))
     val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
     pairs.withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /** s9 shortlist size: candidates the ADC pass hands to the exact
+    * re-rank, per query. */
+  val RerankR = 10
+
+  /** s9: retrieve-then-rerank — the production two-stage ANN serve path
+    * (FAISS's IVFADC + refine; Jégou et al., TPAMI 2011 §V.A): s6's
+    * IVF-PQ ADC scan shortlists [[RerankR]] candidates per query reading
+    * ONLY 8-byte codes, then exact floats are fetched for just those
+    * Q × R rows and the final top-3 is exact-cosine ordered. At 100 TB
+    * the distinction is what makes PQ usable end-to-end: the corpus-wide
+    * pass touches codes (32× compressed), and full vectors are read for
+    * a per-query CONSTANT number of rows — a point-fetch equi-join on
+    * vec_id, never a second corpus-scan shape.
+    *
+    * `adc_rnk` rides along in the output so the reordering the re-rank
+    * performs is visible (and oracle-checked) per row. */
+  def s9AnnRerank(spark: SparkSession, dir: String): DataFrame =
+    s9From(normed(spark, dir))
+
+  private def s9From(all: DataFrame): DataFrame = {
+    val short = ivfPqAdcRanked(all)
+      .filter(col("rnk") <= RerankR)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk").as("adc_rnk"))
+    val qs = all.filter(col("label") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = all.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+    // the exact-float fetch: the shortlist (Q × R rows, tiny by
+    // construction) equi-joins the corpus on vec_id — AQE broadcasts
+    // the shortlist side, so full vectors are read once for shortlisted
+    // rows only, never re-scanned per query
+    val ex = short.join(corpus, Seq("n_id"))
+      .join(broadcast(qs), Seq("q_id"))
+      .withColumn("c", ipFold(col("qv"), col("nv")) / (col("qn") * col("nn")))
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("n_id"))
+    ex.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
-      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("adc_sim"), col("rnk"))
+      .select(col("q_id"), col("n_id"), r4(col("c")).as("cos_sim"),
+        col("rnk"), col("adc_rnk").cast("long").as("adc_rnk"))
       .orderBy("q_id", "rnk")
   }
 

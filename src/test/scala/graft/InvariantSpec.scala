@@ -347,6 +347,32 @@ class InvariantSpec extends AnyFunSuite {
     assert(df.filter(abs(col("adc_sim")) > 1.5).count() == 0)
   }
 
+  test("s9 rerank: 3 rows/query from the ADC shortlist; exact-cos dominates s6's picks") {
+    val s9 = SimilarityOps.s9AnnRerank(spark, sf)
+    val perQ = s9.groupBy("q_id").agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+    assert(perQ.count() > 0)
+    assert(perQ.filter(col("n") =!= 3 || col("mx") =!= 3).count() == 0)
+    assert(s9.filter(col("adc_rnk") < 1 || col("adc_rnk") > SimilarityOps.RerankR).count() == 0)
+    // dominance is a theorem, not a hope: s6's 3 picks are inside the
+    // shortlist (RerankR ≥ 3, same ADC order), and s9 keeps the
+    // exact-cosine-best 3 of the shortlist — so per query s9's summed
+    // exact cosine ≥ the summed exact cosine of s6's picks
+    val emb = Sources.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def exactCosSum(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .join(emb.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
+      .join(emb.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
+      .withColumn("c", SimilarityOps.dot(col("qv"), col("nv")) /
+        (sqrt(SimilarityOps.dot(col("qv"), col("qv"))) *
+          sqrt(SimilarityOps.dot(col("nv"), col("nv")))))
+      .groupBy("q_id").agg(sum("c").as("s"))
+    val bad = exactCosSum(s9.select("q_id", "n_id"))
+      .join(exactCosSum(SimilarityOps.s6AnnIvfPq(spark, sf).select("q_id", "n_id"))
+        .withColumnRenamed("s", "s6s"), Seq("q_id"))
+      .filter(col("s") < col("s6s") - 1e-9)
+    assert(bad.count() == 0, "rerank picked an exact-cosine-worse set than ADC top-3")
+  }
+
   test("s5 PQ-ANN emits exactly 3 ranked rows per query; codes reconstruct") {
     val df = SimilarityOps.s5AnnPq(spark, sf)
     val perQ = df.groupBy("q_id").agg(count(lit(1)).as("n"), max("rnk").as("mx"))

@@ -157,6 +157,18 @@ class PlanSpec extends AnyFunSuite {
     // on BOTH sides, which the cell equi-join assertion above rules out)
   }
 
+  test("s9 rerank keeps the cell probe and fetches floats by equi-join only") {
+    // two joins carry the whole operator: the ADC probe on cell id and
+    // the exact-float fetch on vec_id — both must be hash joins. The
+    // fetch joining corpus-side floats against a Q×R shortlist must not
+    // degrade to a nested loop (a second corpus-scan shape at 100 TB).
+    val plan = finalPlan(SimilarityOps.s9AnnRerank(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "s9 lost its broadcast hash joins (cell probe / shortlist fetch)")
+    // (the 1-row codebook/centroid attaches plan as constant-size BNLJs,
+    // same as s3/s6 — not an all-pairs blowup)
+  }
+
   test("s8 residual IVF-PQ keeps s6's cell-probe shape") {
     // the residual encode is a narrow map on top of assignment; the
     // search must remain the same equi-join on cell id as s6 — swapping
