@@ -100,6 +100,7 @@ object SparkEntry {
     "t12_chunking" -> (TextOps.t12Chunking _),
     "t13_seq_packing" -> (TextOps.t13SeqPacking _),
     "t14_mix_sample" -> (TextOps.t14MixSample _),
+    "t15_source_overlap" -> (TextOps.t15SourceOverlap _),
     "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
@@ -739,6 +740,16 @@ object SparkEntry {
          |round(min(r.rate), 6) AS rate
          |FROM d JOIN r ON r.source = d.source GROUP BY d.source ORDER BY d.source""".stripMargin
     },
+    "t15_source_overlap" ->
+      """WITH tk AS (SELECT source, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
+        |gs AS (SELECT DISTINCT source, unnest(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5]))) AS g FROM tk WHERE len(ts) >= 5),
+        |sz AS (SELECT source, count(*) AS n FROM gs GROUP BY source),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared FROM gs a JOIN gs b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+        |SELECT x.source AS source_a, y.source AS source_b, x.n AS n_grams_a, y.n AS n_grams_b,
+        |CAST(coalesce(pr.n_shared, 0) AS BIGINT) AS n_shared,
+        |round(CAST(coalesce(pr.n_shared, 0) AS DOUBLE) / (x.n + y.n - coalesce(pr.n_shared, 0)), 6) AS jaccard
+        |FROM sz x JOIN sz y ON x.source < y.source LEFT JOIN pr ON pr.source_a = x.source AND pr.source_b = y.source
+        |ORDER BY source_a, source_b""".stripMargin,
     // the composed funnel: every stage's CTE is the SAME derivation its
     // standalone oracle uses (tok/sh/cand/lab from the d3→d10 chain, the
     // gopher metrics from t10's mirror, the gram overlap from d8's), so

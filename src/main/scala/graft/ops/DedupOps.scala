@@ -337,14 +337,7 @@ object DedupOps {
     * `array_distinct` runs array-side before the explode. */
   def d8Decontamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.table(spark, dir, "documents")
-    def grams(df: DataFrame): DataFrame = df
-      .withColumn("ts", TextOps.tokens(col("text")))
-      .filter(size(col("ts")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(0), size(col("ts")) - 5),
-        i => md5(concat_ws(" ",
-          col("ts")(i), col("ts")(i + 1), col("ts")(i + 2),
-          col("ts")(i + 3), col("ts")(i + 4)))))).as("g"))
+    def grams(df: DataFrame): DataFrame = TextOps.gram5(df, col("doc_id"))
     val evalG = grams(docs.filter(col("doc_id") % EvalMod === 0))
       .select(col("doc_id").as("eval_id"), col("g"))
     val trainG = grams(docs.filter(col("doc_id") % EvalMod =!= 0))

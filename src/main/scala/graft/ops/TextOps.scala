@@ -25,6 +25,19 @@ object TextOps {
   def normText(c: Column): Column =
     trim(lower(regexp_replace(c, "\\s+", " ")))
 
+  /** Distinct word-5-gram digests per row, keyed by `keys` — the overlap
+    * unit shared by d8 (per train/eval doc) and t15 (per source). One
+    * narrow map per document: tokenize, window, digest, array-side
+    * dedup, then a single explode. */
+  private[graft] def gram5(df: DataFrame, keys: Column*): DataFrame = df
+    .withColumn("ts", tokens(col("text")))
+    .filter(size(col("ts")) >= 5)
+    .select(keys :+ explode(array_distinct(transform(
+      sequence(lit(0), size(col("ts")) - 5),
+      i => md5(concat_ws(" ",
+        col("ts")(i), col("ts")(i + 1), col("ts")(i + 2),
+        col("ts")(i + 3), col("ts")(i + 4)))))).as("g"): _*)
+
   /** Q20 text-dedup: docs per (lang, source) before/after normalization. */
   def q20TextDedup(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "documents")
@@ -477,4 +490,37 @@ object TextOps {
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram"))
       .limit(20)
+
+  /** t15 source-overlap matrix: for every source pair, the distinct
+    * word-5-gram sets' intersection size and Jaccard — the
+    * mixture-design QA pass that tells you whether two "different"
+    * sources are actually the same crawl (d8 answers train-vs-eval;
+    * this answers source-vs-source before t14 assigns mixture weights).
+    *
+    * Scale shape: one (source, gram) shuffle builds the distinct sets;
+    * the intersection is a gram-keyed equi-join whose per-key fan-out is
+    * bounded by the SOURCE COUNT (a gram in k sources yields C(k,2) ≤
+    * C(n_sources,2) pair rows — corpus size never enters the bound);
+    * the final matrix is n_sources² rows, driver-trivial. The pair
+    * frame (per-source set sizes) is rows-per-source tiny, so its
+    * inequality self-join is a constant-size nested loop, not a
+    * corpus-shape blowup. */
+  def t15SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    val sg = gram5(docs, col("source")).distinct()
+    val sz = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = sg.as("a")
+      .join(sg.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    sz.as("x").join(sz.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.n").as("n_grams_a"), col("y.n").as("n_grams_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("jaccard", round(
+        col("n_shared").cast("double") /
+          (col("n_grams_a") + col("n_grams_b") - col("n_shared")), 6))
+      .orderBy("source_a", "source_b")
+  }
 }

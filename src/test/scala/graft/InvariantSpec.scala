@@ -243,6 +243,20 @@ class InvariantSpec extends AnyFunSuite {
     assert(p1.getLong(2) > 0, "pipeline kept nothing — fixture degenerate")
   }
 
+  test("t15 overlap matrix: full pair triangle, intersections bounded, jaccard in [0,1]") {
+    val df = TextOps.t15SourceOverlap(spark, sf)
+    val nSources = Sources.table(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(df.count() == nSources * (nSources - 1) / 2)
+    assert(df.filter(col("n_shared") > least(col("n_grams_a"), col("n_grams_b"))).count() == 0)
+    assert(df.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    // a source's gram-set size is one number, whatever row it appears in
+    val szs = df.select(col("source_a").as("s"), col("n_grams_a").as("n"))
+      .unionByName(df.select(col("source_b").as("s"), col("n_grams_b").as("n")))
+      .distinct().groupBy("s").count()
+    assert(szs.filter(col("count") =!= 1).count() == 0)
+  }
+
   test("connectedComponents flattens a 1000-node path within the log-round cap") {
     // diameter 999: min-label propagation would need 999 rounds and trip
     // MaxClusterIters (32); the large-star/small-star contraction must
