@@ -106,6 +106,7 @@ object SparkEntry {
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
     "m4_wav_meta" -> (MultimodalOps.m4WavMeta _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
+    "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
     "x3_ml_eval" -> (ScoringPipeline.x3MlEval _),
     "x4_ivf_kmeans" -> (SimilarityOps.x4IvfKmeans _),
@@ -199,6 +200,22 @@ object SparkEntry {
     * edge set, min-reachable-label per node via a recursive CTE (DuckDB's
     * transitive closure ≡ the engine's propagation fixpoint), component
     * sizes by window count. */
+  /** Funnel-head CTEs shared by the p1/p2 oracles (require `tok` and
+    * `documents` in scope): per-doc gopher verdict (`qd`), flags (`fl`:
+    * eval holdout + normalized digest + quality), and the eligible set
+    * with its per-digest min doc_id (`elig`). */
+  private def funnelHeadCtes: String = {
+    val stops = TextOps.StopList.map(s => s"'$s'").mkString(", ")
+    s"""mq AS (SELECT doc_id, len(ts) AS wc, ts,
+       |  list_sum(list_transform(ts, x -> length(x))) AS sum_len,
+       |  len(list_filter(ts, x -> x IN ($stops))) AS n_stop FROM tok WHERE len(ts) > 0),
+       |oc2 AS (SELECT doc_id, t, count(*) AS c FROM (SELECT doc_id, unnest(ts) AS t FROM mq) GROUP BY doc_id, t),
+       |mr2 AS (SELECT doc_id, max(c) AS max_run FROM oc2 GROUP BY doc_id),
+       |qd AS (SELECT mq.doc_id, wc, (wc >= ${TextOps.MinWords} AND sum_len * 10 >= wc * 42 AND sum_len * 10 <= wc * 52 AND n_stop >= ${TextOps.MinStops} AND mr2.max_run * 8 <= wc) AS q FROM mq JOIN mr2 USING (doc_id)),
+       |fl AS (SELECT d.doc_id, d.lang, d.source, md5(trim(lower(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS norm_key, d.doc_id % ${DedupOps.EvalMod} = 0 AS is_eval, coalesce(qd.q, false) AS q, coalesce(qd.wc, 0) AS wc FROM documents d LEFT JOIN qd ON qd.doc_id = d.doc_id),
+       |elig AS (SELECT fl.*, min(doc_id) OVER (PARTITION BY norm_key) AS min_id FROM fl WHERE NOT is_eval AND q)""".stripMargin
+  }
+
   private def dupClusterCte: String =
     s"""$lshCandCte,
        |pr AS (SELECT c.a_id, c.b_id, count(*) AS i FROM cand c JOIN sh s1 ON s1.doc_id = c.a_id JOIN sh s2 ON s2.doc_id = c.b_id AND s2.s = s1.s GROUP BY 1, 2),
@@ -755,16 +772,8 @@ object SparkEntry {
     // gopher metrics from t10's mirror, the gram overlap from d8's), so
     // a drift in any stage shows up here too
     "p1_pipeline" -> {
-      val stops = TextOps.StopList.map(s => s"'$s'").mkString(", ")
       s"""WITH RECURSIVE $dupClusterCte,
-         |mq AS (SELECT doc_id, len(ts) AS wc, ts,
-         |  list_sum(list_transform(ts, x -> length(x))) AS sum_len,
-         |  len(list_filter(ts, x -> x IN ($stops))) AS n_stop FROM tok WHERE len(ts) > 0),
-         |oc2 AS (SELECT doc_id, t, count(*) AS c FROM (SELECT doc_id, unnest(ts) AS t FROM mq) GROUP BY doc_id, t),
-         |mr2 AS (SELECT doc_id, max(c) AS max_run FROM oc2 GROUP BY doc_id),
-         |qd AS (SELECT mq.doc_id, wc, (wc >= ${TextOps.MinWords} AND sum_len * 10 >= wc * 42 AND sum_len * 10 <= wc * 52 AND n_stop >= ${TextOps.MinStops} AND mr2.max_run * 8 <= wc) AS q FROM mq JOIN mr2 USING (doc_id)),
-         |fl AS (SELECT d.doc_id, d.lang, d.source, md5(trim(lower(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS norm_key, d.doc_id % ${DedupOps.EvalMod} = 0 AS is_eval, coalesce(qd.q, false) AS q, coalesce(qd.wc, 0) AS wc FROM documents d LEFT JOIN qd ON qd.doc_id = d.doc_id),
-         |elig AS (SELECT fl.*, min(doc_id) OVER (PARTITION BY norm_key) AS min_id FROM fl WHERE NOT is_eval AND q),
+         |$funnelHeadCtes,
          |gg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))) AS g FROM tok WHERE len(ts) >= 5),
          |ctd AS (SELECT DISTINCT t2.doc_id FROM gg t2 JOIN (SELECT DISTINCT g FROM gg WHERE doc_id % ${DedupOps.EvalMod} = 0) e2 ON e2.g = t2.g WHERE t2.doc_id % ${DedupOps.EvalMod} <> 0),
          |st AS (SELECT e.lang, e.source, e.wc, CASE WHEN e.doc_id <> e.min_id THEN 'exact' WHEN lab.cluster_id IS NOT NULL AND lab.cluster_id <> e.doc_id THEN 'near' WHEN ctd.doc_id IS NOT NULL THEN 'contam' ELSE 'kept' END AS stage FROM elig e LEFT JOIN lab ON lab.doc_id = e.doc_id LEFT JOIN ctd ON ctd.doc_id = e.doc_id),
@@ -775,6 +784,17 @@ object SparkEntry {
          |CAST(coalesce(n_contam, 0) AS BIGINT) AS n_contam, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, CAST(coalesce(tok_kept, 0) AS BIGINT) AS tok_kept
          |FROM hd LEFT JOIN tl ON tl.lang = hd.lang AND tl.source = hd.source ORDER BY hd.lang, hd.source""".stripMargin
     },
+    // the stream ledger must equal the BATCH derivation of its stages —
+    // same funnel-head CTEs as p1, minus the near-dup/contam tail
+    "p2_stream_funnel" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
+         |$funnelHeadCtes,
+         |st AS (SELECT lang, source, wc, CASE WHEN doc_id <> min_id THEN 'exact' ELSE 'kept' END AS stage FROM elig),
+         |hd AS (SELECT lang, source, count(*) AS n_docs, sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS n_eval, sum(CASE WHEN NOT is_eval AND NOT q THEN 1 ELSE 0 END) AS n_fail_quality FROM fl GROUP BY 1, 2),
+         |tl AS (SELECT lang, source, sum(CASE WHEN stage = 'exact' THEN 1 ELSE 0 END) AS n_exact_dup, sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS n_kept, sum(CASE WHEN stage = 'kept' THEN wc ELSE 0 END) AS tok_kept FROM st GROUP BY 1, 2)
+         |SELECT hd.lang, hd.source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_eval AS BIGINT) AS n_eval, CAST(n_fail_quality AS BIGINT) AS n_fail_quality,
+         |CAST(coalesce(n_exact_dup, 0) AS BIGINT) AS n_exact_dup, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, CAST(coalesce(tok_kept, 0) AS BIGINT) AS tok_kept
+         |FROM hd LEFT JOIN tl ON tl.lang = hd.lang AND tl.source = hd.source ORDER BY hd.lang, hd.source""".stripMargin,
     "t10_gopher_rules" -> gopherRulesSql,
     "t11_dup_spans" -> dupSpansSql,
     "d6_quantize" ->

@@ -41,18 +41,27 @@ object PipelineOps {
     * clusters ≈ near-dup members only, d8's contaminated set) by
     * doc_id joins AQE is free to broadcast — the corpus itself is
     * never joined to anything corpus-sized. */
-  def p1PipelineLedger(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Sources.table(spark, dir, "documents")
+  /** The funnel head, per document: `(doc_id, lang, source, norm_key,
+    * is_eval, q, wc)` — eval-holdout flag, t10's quality verdict (empty
+    * docs fail), d1's normalized digest. Entirely narrow (the rules join
+    * is doc_id-aligned and Catalyst collapses it over one scan); shared
+    * by batch p1 and the per-micro-batch body of streaming p2. */
+  private[graft] def headFlags(docs: DataFrame): DataFrame = {
     val rules = TextOps.gopherPerDoc(docs)
       .select(col("doc_id"), col("wc"),
         (col("r_wc") && col("r_mean") && col("r_stop") && col("r_top")).as("q"))
-    val flagged = docs
+    docs
       .select(col("doc_id"), col("lang"), col("source"),
         md5(TextOps.normText(col("text"))).as("norm_key"),
         (col("doc_id") % DedupOps.EvalMod === 0).as("is_eval"))
       .join(rules, Seq("doc_id"), "left")
       .withColumn("q", coalesce(col("q"), lit(false)))
       .withColumn("wc", coalesce(col("wc"), lit(0L)))
+  }
+
+  def p1PipelineLedger(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    val flagged = headFlags(docs)
     val elig = flagged.filter(!col("is_eval") && col("q"))
     val keepExact =
       col("doc_id") === min("doc_id").over(Window.partitionBy("norm_key"))

@@ -109,6 +109,58 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(rows(streamDf) == batch)
   }
 
+  test("p2 streaming funnel head: multi-batch replay ≡ batch p1 stages") {
+    import org.apache.spark.sql.functions._
+    // the streamed ledger's head stages must equal batch p1's exactly:
+    // p1 labels 'exact' FIRST among eligible docs, so its n_exact_dup is
+    // the same min-doc_id-per-digest count p2's first-arrival store
+    // implements, and p2's n_kept must equal everything p1's tail stages
+    // (near/contam/kept) still hold — the funnel prefix is stage-exact
+    val (streamDf, nBatches) =
+      graft.streaming.StreamFunnel.p2WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamFunnel.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val p1 = graft.ops.PipelineOps.p1PipelineLedger(spark, sf)
+      .select(col("lang"), col("source"), col("n_docs"), col("n_eval"),
+        col("n_fail_quality"), col("n_exact_dup"),
+        (col("n_near_dup") + col("n_contam") + col("n_kept")).as("n_kept"))
+    val joined = streamDf.drop("tok_kept").as("s")
+      .join(p1.as("b"), Seq("lang", "source"), "full")
+    val bad = joined.filter(
+      col("s.n_docs") =!= col("b.n_docs") || col("s.n_eval") =!= col("b.n_eval") ||
+        col("s.n_fail_quality") =!= col("b.n_fail_quality") ||
+        col("s.n_exact_dup") =!= col("b.n_exact_dup") ||
+        col("s.n_kept") =!= col("b.n_kept"))
+    assert(bad.count() == 0, "stream funnel head diverged from batch p1 stages")
+  }
+
+  test("p2 cross-batch dedup: planted duplicates are dropped, originals kept") {
+    import org.apache.spark.sql.functions._
+    // the natural fixtures contain no exact text duplicates, so the key
+    // store never fires on them — plant copies of eligible docs at HIGH
+    // doc_ids (they land in later range-batches than their originals,
+    // forcing the dedup through the persisted store, not the
+    // within-batch window) and require exactly the copies to drop
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    val flagged = graft.ops.PipelineOps.headFlags(docs)
+    assert(flagged.filter(!col("is_eval") && col("q"))
+      .groupBy("norm_key").count().filter(col("count") > 1).count() == 0,
+      "fixture unexpectedly has eligible exact dups — planting logic needs revisiting")
+    val eligIds = flagged.filter(!col("is_eval") && col("q"))
+      .orderBy("doc_id").limit(5).select("doc_id")
+    val copies = docs.join(eligIds, Seq("doc_id"))
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)) // % EvalMod preserved
+    val planted = docs.unionByName(copies)
+    val (streamDf, nBatches) = graft.streaming.StreamFunnel.p2From(planted)
+    assert(nBatches == graft.streaming.StreamFunnel.SplitFiles)
+    val nExact = streamDf.agg(sum("n_exact_dup")).collect()(0).getLong(0)
+    assert(nExact == 5, s"expected the 5 planted copies to drop, got $nExact")
+    // and the ledger still balances doc-for-doc
+    assert(streamDf.filter(
+      col("n_eval") + col("n_fail_quality") + col("n_exact_dup") + col("n_kept")
+        =!= col("n_docs")).count() == 0)
+  }
+
   test("stream-static enrichment join ≡ batch join") {
     // q38's gate path IS the streaming side: broadcast static dim,
     // update-mode upserts through the idempotent materialized sink.
