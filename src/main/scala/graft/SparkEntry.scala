@@ -76,6 +76,7 @@ object SparkEntry {
     "d11_dedup_impact" -> (DedupOps.d11DedupImpact _),
     "d12_stream_minhash" -> (graft.streaming.IncrementalDedup.d12StreamMinhash _),
     "d13_consensus_near_dup" -> (DedupOps.d13ConsensusNearDup _),
+    "d14_bloom_decontam" -> (DedupOps.d14BloomDecontamination _),
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
     "d6_quantize" -> (SimilarityOps.d6Quantize _),
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
@@ -180,6 +181,17 @@ object SparkEntry {
     s"""WITH $simhashSumsCte
        |SELECT doc_id, $fp AS simhash FROM s ORDER BY doc_id""".stripMargin
   }
+
+  /** Mirror of DedupOps.d8Decontamination — and, verbatim, the d14
+    * oracle: the bloom prefilter is a pure work-discarder (exact verify
+    * behind it), so both entries must hash-match this one derivation. */
+  private def decontaminationSql: String =
+    s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))) AS g FROM tok WHERE len(ts) >= 5),
+       |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % ${DedupOps.EvalMod} = 0),
+       |tr AS (SELECT doc_id, g FROM g WHERE doc_id % ${DedupOps.EvalMod} <> 0)
+       |SELECT tr.doc_id, CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs, CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_grams
+       |FROM tr JOIN ev ON ev.g = tr.g GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   /** Mirror of DedupOps.d9SimhashNearDup (integer fingerprint, byte
     * bands, bit_count(xor) verify). */
@@ -805,13 +817,11 @@ object SparkEntry {
         |FROM m ORDER BY vec_id""".stripMargin,
     "d4_simhash" -> simhashSql,
     "d9_simhash_near_dup" -> simhashNearDupSql,
-    "d8_decontamination" ->
-      s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
-         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))) AS g FROM tok WHERE len(ts) >= 5),
-         |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % ${DedupOps.EvalMod} = 0),
-         |tr AS (SELECT doc_id, g FROM g WHERE doc_id % ${DedupOps.EvalMod} <> 0)
-         |SELECT tr.doc_id, CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs, CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_grams
-         |FROM tr JOIN ev ON ev.g = tr.g GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "d8_decontamination" -> decontaminationSql,
+    // d14 is d8's answer via a bloom prefilter + exact verify — the
+    // sketch can only discard work, never change the result, so the
+    // oracle is IDENTICAL by design (shared SQL, not a lookalike copy)
+    "d14_bloom_decontam" -> decontaminationSql,
     "d5_embed_near_dup" -> embedNearDupSql,
     // pairs flagged by either modality, with provenance: nested-WITH
     // subqueries reuse the two pair chains verbatim, so d13's oracle IS

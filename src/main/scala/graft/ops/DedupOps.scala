@@ -349,6 +349,49 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** d14's prefilter false-positive rate. Verification is exact, so fpp
+    * trades only wasted verify-join traffic, never correctness — it can
+    * be relaxed (bits ∝ ln(1/fpp)) if the filter must shrink further. */
+  val BloomFpp = 0.01
+
+  /** d14 bloom-prefiltered decontamination: d8's exact answer, computed
+    * the way it survives an eval side too big to broadcast as an exact
+    * set. d8 ships every distinct eval 5-gram digest to every executor —
+    * fine for MB-scale benchmarks, but the eval suite grows with every
+    * benchmark added (32 bytes × 100M grams = 3.2 GB, past broadcast
+    * comfort). Here the eval side travels as a fixed-fpp Bloom filter
+    * (~1.2 GB per *billion* grams at 1%), the train grams are prefiltered
+    * through it in a narrow map that kills ≥ 99% of them (true overlap is
+    * rare by construction — that is the point of decontamination), and
+    * only the tiny surviving stream pays an exact equi-join against the
+    * eval gram table, which drops the filter's false positives before
+    * they can reach the output. Output ≡ d8, same oracle.
+    *
+    * Scale notes: the bloom build is one pass over the (small) eval side
+    * collapsing to a driver-held sketch whose size is set by fpp, not by
+    * corpus anything; the prefilter is a per-row probe against a
+    * task-broadcast read-only bitset (a UDF, documented non-codegen —
+    * one virtual call per gram, dwarfed by the md5 beside it); the
+    * verify join shuffles only prefilter survivors. */
+  def d14BloomDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    val evalG = TextOps.gram5(docs.filter(col("doc_id") % EvalMod === 0), col("doc_id"))
+      .select(col("doc_id").as("eval_id"), col("g"))
+    // expectedNumItems: the (eval_id, g) row count upper-bounds distinct
+    // grams — an overestimate only widens the filter, never weakens it
+    val bloom = evalG.stat.bloomFilter("g", math.max(evalG.count(), 1000L), BloomFpp)
+    val bBloom = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bBloom.value.mightContainString(g))
+    TextOps.gram5(docs.filter(col("doc_id") % EvalMod =!= 0), col("doc_id"))
+      .filter(mightContain(col("g")))
+      .join(evalG, "g")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("g")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   val SimhashBits = 32
 
   /** Per-doc SimHash bit votes s_0..s_31: each token's md5 contributes

@@ -172,6 +172,16 @@ class InvariantSpec extends AnyFunSuite {
     assert(df.filter(col("n_eval_docs") > col("n_shared_grams")).count() == 0)
   }
 
+  test("d14 bloom-prefiltered decontamination ≡ d8 exactly (FPs never surface)") {
+    // the bloom prefilter may pass false-positive grams, but the exact
+    // verify join behind it must drop every one — row-for-row equality
+    // with d8 is the whole contract
+    val d8 = DedupOps.d8Decontamination(spark, sf).collect().toSeq
+    val d14 = DedupOps.d14BloomDecontamination(spark, sf).collect().toSeq
+    assert(d8.nonEmpty, "fixture has no contamination — equality would be vacuous")
+    assert(d14 == d8)
+  }
+
   test("d9 banding is complete: output equals brute-force hamming ≤ 3") {
     // the pigeonhole claim (≤3 differing bits over 4 disjoint bytes leave
     // one byte equal) makes the banded candidate stage EXACT — provable

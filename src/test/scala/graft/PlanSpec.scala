@@ -125,6 +125,12 @@ class PlanSpec extends AnyFunSuite {
     assertNoBlowupJoin(plan, "d8")
   }
 
+  test("d14 verify join stays an equi-join on grams, never all-pairs") {
+    // the prefilter UDF is the scale lever; the residual exact join must
+    // still meet on the gram digest (equi-join), not degrade to a BNLJ
+    assertNoBlowupJoin(finalPlan(DedupOps.d14BloomDecontamination(spark, sf)), "d14")
+  }
+
   test("d11 never forces a broadcast of the cluster side") {
     // cluster membership is corpus-fraction-sized at heavy dup rates
     // (30-50% of a web crawl), so a broadcast() hint on it OOMs the
