@@ -76,11 +76,16 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"min":$mins,"passes":$Passes,"raw":$raw,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // Stdout is shared with Spark/JVM noise and tail-captures have
-    // truncated it in driver runs; an env-pointed file is the lossless
-    // machine-readable channel.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    // truncated it in driver runs; a file is the lossless
+    // machine-readable channel. SPARK_GRAFT_BENCH_OUT picks the path;
+    // unset, the full line still lands at a fixed repo path so a
+    // truncated stdout capture never loses the run.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_latest.raw.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
   }
