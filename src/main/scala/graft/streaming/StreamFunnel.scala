@@ -128,7 +128,12 @@ object StreamFunnel {
             .otherwise(col("st")))
         .select("doc_id", "lang", "source", "stage", "wc")
       labeled.write.mode("overwrite").parquet(s"$labelStore/batch_id=$batchId")
+      // the store must stay a SET: append only keys not already registered
+      // by a prior batch, else a digest seen in >=2 prior batches would
+      // fan out the left join above on its third arrival (duplicating
+      // that doc's label rows and inflating n_docs / n_exact_dup)
       elig.select("norm_key").distinct()
+        .join(prior, Seq("norm_key"), "left_anti")
         .write.mode("overwrite").parquet(s"$keyStore/batch_id=$batchId")
     } finally { flagged.unpersist(); () }
   }

@@ -161,6 +161,48 @@ class StreamEquivSpec extends AnyFunSuite {
         =!= col("n_docs")).count() == 0)
   }
 
+  test("p2 key store stays a set: 3 copies of one doc across 3 batches") {
+    import org.apache.spark.sql.functions._
+    // regression: the store must register each digest ONCE. If every batch
+    // appended all its eligible keys, a digest present in >=2 prior batches
+    // would fan out the dedup join on its next arrival, duplicating label
+    // rows (n_docs inflates). Force the scenario: stretch doc_ids by 11
+    // (11 ≡ 1 mod EvalMod=10, so eval holdout is preserved and gaps open
+    // up between ids), then plant copies of one eligible doc at ~30%, ~55%
+    // and ~90% of the id range — three DIFFERENT later range-batches.
+    val M = graft.ops.DedupOps.EvalMod
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+      .withColumn("doc_id", col("doc_id") * (M + 1))
+    val flagged = graft.ops.PipelineOps.headFlags(docs)
+    val orig = flagged.filter(!col("is_eval") && col("q"))
+      .agg(min("doc_id")).collect()(0).getLong(0)
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val taken = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    def placeNear(target: Long): Long = {
+      var c = target - (target % M) + (orig % M) // c ≡ orig (mod M): not eval
+      while (taken.contains(c)) c += M
+      c
+    }
+    val copyIds = Seq(placeNear(maxId * 3 / 10), placeNear(maxId * 55 / 100),
+      placeNear(maxId * 9 / 10))
+    assert(copyIds.distinct.size == 3 && copyIds.forall(_ > orig))
+    val original = docs.filter(col("doc_id") === orig)
+    val copies = copyIds.map(id =>
+      original.withColumn("doc_id", lit(id))).reduce(_ unionByName _)
+    val planted = docs.unionByName(copies)
+    val (streamDf, nBatches) = graft.streaming.StreamFunnel.p2From(planted)
+    assert(nBatches == graft.streaming.StreamFunnel.SplitFiles)
+    val totals = streamDf.agg(
+      sum("n_docs").as("nd"), sum("n_exact_dup").as("ne")).collect()(0)
+    assert(totals.getLong(0) == 503L,
+      s"n_docs inflated to ${totals.getLong(0)} — store fan-out regression")
+    assert(totals.getLong(1) == 3L,
+      s"expected the 3 planted copies to drop as exact, got ${totals.getLong(1)}")
+    assert(streamDf.filter(
+      col("n_eval") + col("n_fail_quality") + col("n_exact_dup") + col("n_kept")
+        =!= col("n_docs")).count() == 0)
+  }
+
   test("stream-static enrichment join ≡ batch join") {
     // q38's gate path IS the streaming side: broadcast static dim,
     // update-mode upserts through the idempotent materialized sink.
