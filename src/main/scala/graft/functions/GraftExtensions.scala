@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 
 /** Engine extensions: registers graft's native expressions with the
   * session's function registry, making them first-class in both the
@@ -19,6 +20,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain as INTERNAL
+    // expressions (the machinery behind AQE's runtime bloom-join
+    // injection) without registering them as callable functions. Surface
+    // them under their upstream SQL names so d14's prefilter builds the
+    // filter as a distributed aggregation and probes it codegen-side —
+    // no driver-built sketch, no per-row UDF.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_filter_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => new BloomFilterAggregate(c)
+        case Seq(c, n) => new BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg takes 1 to 3 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "might_contain takes exactly 2 arguments")
+        BloomFilterMightContain(children.head, children(1))
       }))
   }
 }

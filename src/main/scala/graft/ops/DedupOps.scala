@@ -354,6 +354,19 @@ object DedupOps {
     * be relaxed (bits ∝ ln(1/fpp)) if the filter must shrink further. */
   val BloomFpp = 0.01
 
+  /** d14's declared eval-gram capacity. Sizing is a CONFIG, not a
+    * measured count — the filter is built in the same aggregation pass
+    * that scans the eval grams, with no sizing `count()` pass ahead of
+    * it. Overflowing the capacity only degrades prefilter selectivity
+    * (fpp drifts above [[BloomFpp]]); the exact verify join keeps the
+    * output correct regardless. */
+  val BloomCapacity: Long = 1L << 20
+
+  /** Optimal bit count for [[BloomCapacity]] items at [[BloomFpp]]:
+    * n·ln(1/fpp)/ln²2 ≈ 9.59 bits/item → ~1.2 MB. */
+  val BloomNumBits: Long =
+    math.ceil(BloomCapacity * math.log(1 / BloomFpp) / (math.log(2) * math.log(2))).toLong
+
   /** d14 bloom-prefiltered decontamination: d8's exact answer, computed
     * the way it survives an eval side too big to broadcast as an exact
     * set. d8 ships every distinct eval 5-gram digest to every executor —
@@ -367,23 +380,25 @@ object DedupOps {
     * eval gram table, which drops the filter's false positives before
     * they can reach the output. Output ≡ d8, same oracle.
     *
-    * Scale notes: the bloom build is one pass over the (small) eval side
-    * collapsing to a driver-held sketch whose size is set by fpp, not by
-    * corpus anything; the prefilter is a per-row probe against a
-    * task-broadcast read-only bitset (a UDF, documented non-codegen —
-    * one virtual call per gram, dwarfed by the md5 beside it); the
-    * verify join shuffles only prefilter survivors. */
+    * Scale notes: the bloom build is `bloom_filter_agg` — a distributed
+    * aggregation over the eval grams (partial bitsets OR-merged), sized
+    * by the declared capacity/fpp config with NO driver-side sizing pass
+    * or driver-built sketch; the prefilter is Spark's native
+    * `might_contain` expression probing the filter as a scalar subquery
+    * (the same machinery AQE's runtime bloom-join injection uses), so
+    * the probe stays inside whole-stage codegen — no per-row virtual
+    * UDF call. Grams probe as `xxhash64` longs; a 64-bit hash collision
+    * is just one more false positive, which the exact verify join drops.
+    * The verify join shuffles only prefilter survivors. */
   def d14BloomDecontamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.table(spark, dir, "documents")
     val evalG = TextOps.gram5(docs.filter(col("doc_id") % EvalMod === 0), col("doc_id"))
       .select(col("doc_id").as("eval_id"), col("g"))
-    // expectedNumItems: the (eval_id, g) row count upper-bounds distinct
-    // grams — an overestimate only widens the filter, never weakens it
-    val bloom = evalG.stat.bloomFilter("g", math.max(evalG.count(), 1000L), BloomFpp)
-    val bBloom = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => bBloom.value.mightContainString(g))
+    evalG
+      .agg(expr(s"bloom_filter_agg(xxhash64(g), ${BloomCapacity}L, ${BloomNumBits}L)").as("bf"))
+      .createOrReplaceTempView("graft_d14_bloom")
     TextOps.gram5(docs.filter(col("doc_id") % EvalMod =!= 0), col("doc_id"))
-      .filter(mightContain(col("g")))
+      .filter(expr("might_contain((select bf from graft_d14_bloom), xxhash64(g))"))
       .join(evalG, "g")
       .groupBy("doc_id")
       .agg(
