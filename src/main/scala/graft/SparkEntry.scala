@@ -108,6 +108,7 @@ object SparkEntry {
     "m4_wav_meta" -> (MultimodalOps.m4WavMeta _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
+    "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
     "x3_ml_eval" -> (ScoringPipeline.x3MlEval _),
     "x4_ivf_kmeans" -> (SimilarityOps.x4IvfKmeans _),
@@ -806,6 +807,25 @@ object SparkEntry {
          |tl AS (SELECT lang, source, sum(CASE WHEN stage = 'exact' THEN 1 ELSE 0 END) AS n_exact_dup, sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS n_kept, sum(CASE WHEN stage = 'kept' THEN wc ELSE 0 END) AS tok_kept FROM st GROUP BY 1, 2)
          |SELECT hd.lang, hd.source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_eval AS BIGINT) AS n_eval, CAST(n_fail_quality AS BIGINT) AS n_fail_quality,
          |CAST(coalesce(n_exact_dup, 0) AS BIGINT) AS n_exact_dup, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, CAST(coalesce(tok_kept, 0) AS BIGINT) AS tok_kept
+         |FROM hd LEFT JOIN tl ON tl.lang = hd.lang AND tl.source = hd.source ORDER BY hd.lang, hd.source""".stripMargin,
+    // p3 is the funnel with BOTH tail stages online under first-arrival
+    // semantics: near-dup = "a verified pair with a smaller partner
+    // exists" (nr = d3's b_ids, the nested prs CTE reusing minhashSql
+    // verbatim), contamination = d8's eval-gram overlap — the stream's
+    // exact batch replay, stage CASE order matching the per-batch labeler
+    "p3_full_funnel" ->
+      s"""WITH prs AS ($minhashSql),
+         |tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
+         |$funnelHeadCtes,
+         |gg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))) AS g FROM tok WHERE len(ts) >= 5),
+         |ctd AS (SELECT DISTINCT t2.doc_id FROM gg t2 JOIN (SELECT DISTINCT g FROM gg WHERE doc_id % ${DedupOps.EvalMod} = 0) e2 ON e2.g = t2.g WHERE t2.doc_id % ${DedupOps.EvalMod} <> 0),
+         |nr AS (SELECT DISTINCT b_id AS doc_id FROM prs),
+         |st AS (SELECT e.lang, e.source, e.wc, CASE WHEN e.doc_id <> e.min_id THEN 'exact' WHEN nr.doc_id IS NOT NULL THEN 'near' WHEN ctd.doc_id IS NOT NULL THEN 'contam' ELSE 'kept' END AS stage FROM elig e LEFT JOIN nr ON nr.doc_id = e.doc_id LEFT JOIN ctd ON ctd.doc_id = e.doc_id),
+         |hd AS (SELECT lang, source, count(*) AS n_docs, sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS n_eval, sum(CASE WHEN NOT is_eval AND NOT q THEN 1 ELSE 0 END) AS n_fail_quality FROM fl GROUP BY 1, 2),
+         |tl AS (SELECT lang, source, sum(CASE WHEN stage = 'exact' THEN 1 ELSE 0 END) AS n_exact_dup, sum(CASE WHEN stage = 'near' THEN 1 ELSE 0 END) AS n_near_dup, sum(CASE WHEN stage = 'contam' THEN 1 ELSE 0 END) AS n_contam, sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS n_kept, sum(CASE WHEN stage = 'kept' THEN wc ELSE 0 END) AS tok_kept FROM st GROUP BY 1, 2)
+         |SELECT hd.lang, hd.source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_eval AS BIGINT) AS n_eval, CAST(n_fail_quality AS BIGINT) AS n_fail_quality,
+         |CAST(coalesce(n_exact_dup, 0) AS BIGINT) AS n_exact_dup, CAST(coalesce(n_near_dup, 0) AS BIGINT) AS n_near_dup,
+         |CAST(coalesce(n_contam, 0) AS BIGINT) AS n_contam, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, CAST(coalesce(tok_kept, 0) AS BIGINT) AS tok_kept
          |FROM hd LEFT JOIN tl ON tl.lang = hd.lang AND tl.source = hd.source ORDER BY hd.lang, hd.source""".stripMargin,
     "t10_gopher_rules" -> gopherRulesSql,
     "t11_dup_spans" -> dupSpansSql,

@@ -203,6 +203,67 @@ class StreamEquivSpec extends AnyFunSuite {
         =!= col("n_docs")).count() == 0)
   }
 
+  test("p3 full funnel: multi-batch replay ≡ batch p1, all stages") {
+    import org.apache.spark.sql.functions._
+    // precondition for first-arrival ≡ d10's global keep-one on this
+    // fixture: every non-representative cluster member pairs DIRECTLY
+    // with a smaller doc (is a b_id of some verified pair) — a
+    // chain-shaped cluster whose middle member pairs only upward would
+    // void the parity claim (p3's scaladoc documents that price)
+    val laterSides = graft.ops.DedupOps.d3MinhashLsh(spark, sf)
+      .select("b_id").distinct()
+    val orphans = graft.ops.DedupOps.d10DupClusters(spark, sf)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .join(laterSides, col("doc_id") === col("b_id"), "left_anti")
+    assert(orphans.count() == 0,
+      "fixture has a chain-shaped cluster — p3≡p1 parity not expected")
+    val (streamDf, nBatches) =
+      graft.streaming.FullFunnel.p3WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.FullFunnel.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val p1 = rows(graft.ops.PipelineOps.p1PipelineLedger(spark, sf))
+    assert(rows(streamDf) == p1, "online funnel diverged from batch p1")
+  }
+
+  test("p3 planted cross-batch near-dups: stream ≡ batch twin, copies drop as near") {
+    import org.apache.spark.sql.functions._
+    // plant TRUNCATED copies (first ~92% of tokens: J ≈ 0.92 ≥ 0.7 but a
+    // different digest, so they must fall through the exact stage to the
+    // near stage) of 3 long eligible docs at +1M doc_ids — a later
+    // range-batch than every original, forcing the candidate join
+    // through the PERSISTED band store
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    val flagged = graft.ops.PipelineOps.headFlags(docs)
+    val origIds = flagged.filter(!col("is_eval") && col("q") && col("wc") >= 60)
+      .orderBy("doc_id").limit(3).select("doc_id")
+    val copies = docs.join(origIds, Seq("doc_id"))
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)) // % EvalMod kept
+      .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
+      .withColumn("text", concat_ws(" ",
+        expr("slice(toks, 1, cast(size(toks) * 0.92 as int))")))
+      .drop("toks")
+    val planted = docs.unionByName(copies)
+    // the planting must be effective: copies eligible, and each one
+    // Jaccard-verifies against its original at the near threshold
+    val cf = graft.ops.PipelineOps.headFlags(planted)
+      .filter(col("doc_id") >= 1000000L)
+    assert(cf.filter(!col("is_eval") && col("q")).count() == 3,
+      "planted copies not eligible — truncation broke quality/holdout")
+    val copyPairs = origIds.select(col("doc_id").as("a_id"),
+      (col("doc_id") + 1000000L).as("b_id"))
+    val ver = graft.ops.DedupOps.jaccard(copyPairs, graft.ops.DedupOps.shingles(planted))
+      .filter(col("jac") >= 0.7)
+    assert(ver.count() == 3, "planted truncations failed to verify at J >= 0.7")
+    val twin = rows(graft.streaming.FullFunnel.batchTwin(planted))
+    val (streamDf, nBatches) = graft.streaming.FullFunnel.p3From(planted)
+    assert(nBatches == graft.streaming.FullFunnel.SplitFiles)
+    assert(rows(streamDf) == twin, "stream diverged from the batch twin")
+    // the fixture's natural near-dup count is 14 (deterministic md5/LSH,
+    // no RNG anywhere); all 3 copies must drop as near on top of it
+    val nNear = streamDf.agg(sum("n_near_dup")).collect()(0).getLong(0)
+    assert(nNear == 17L, s"expected 14 natural + 3 planted near-dups, got $nNear")
+  }
+
   test("stream-static enrichment join ≡ batch join") {
     // q38's gate path IS the streaming side: broadcast static dim,
     // update-mode upserts through the idempotent materialized sink.
