@@ -40,10 +40,12 @@ import graft.out.Canonical._
   * band value) + verification on candidates only — the corpus text is
   * never rescanned. The stores are the signature/band index a
   * production incremental dedup keeps as compacted tables; at 100 TB
-  * the band store would be bucketed by band value so the candidate
-  * join co-locates without a store-side shuffle (same plan, stored
-  * sorted), and verification would read the shingle store by doc_id —
-  * both reads are key-pruned, neither is corpus-sized per batch.
+  * the band store is partitioned by arrival batch and bucketed by band
+  * value, so the candidate join prunes old batches at the scan and
+  * co-locates without a store-side shuffle — LayoutSpec proves both on
+  * the real written layout (batch-side-only exchange asserted) — and
+  * verification would read the shingle store by doc_id; both reads are
+  * key-pruned, neither is corpus-sized per batch.
   *
   * The gate checks the replayed stream's union of per-batch emissions
   * against the SAME DuckDB oracle as batch d3 — stream ≡ batch is the

@@ -67,6 +67,60 @@ class LayoutSpec extends AnyFunSuite {
     assert(joined.collect().map(_.getString(0)).toSet == Set("click", "purchase"))
   }
 
+  test("d12's band store layout: batch-partitioned + band-bucketed, candidate join has no store-side exchange") {
+    // The scaladoc claim behind d12/p3's 100 TB story, proven on the real
+    // store layout: the persisted MinHash band store is partitioned by
+    // arrival batch (reads prune `batch_id < current` — retry safety AND
+    // partition pruning) and bucketed by the candidate join key, so the
+    // per-batch candidate join shuffles ONLY the incoming batch's band
+    // rows; the store — the side that grows with the corpus — is read
+    // co-located, never re-shuffled.
+    import graft.ops.DedupOps
+    val bands = DedupOps.bandRows(DedupOps.shingles(
+        Sources.table(spark, sf, "documents")))
+      .withColumn("batch_id", (col("doc_id") / lit(125)).cast("int"))
+    // the store grows by per-batch APPENDS, exactly like processBatch
+    bands.filter(col("batch_id") < 2)
+      .write.mode("overwrite").partitionBy("batch_id")
+      .bucketBy(4, "bi", "bv").sortBy("bi", "bv")
+      .saveAsTable("band_store_b")
+    bands.filter(col("batch_id") === 2)
+      .write.mode("append").partitionBy("batch_id")
+      .bucketBy(4, "bi", "bv").sortBy("bi", "bv")
+      .saveAsTable("band_store_b")
+    try {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // single-tree plan (AQE's formatted output repeats the tree as
+      // Final + Initial, double-counting exchanges textually)
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      val store = child.table("band_store_b").filter(col("batch_id") < 3)
+      val batch = DedupOps.bandRows(DedupOps.shingles(
+        Sources.table(child, sf, "documents").filter(col("doc_id") >= 375)))
+      val cand = batch.as("x").join(store.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col("y.doc_id") < col("x.doc_id"))
+        .select(col("y.doc_id").as("a_id"), col("x.doc_id").as("b_id"))
+      cand.collect()
+      val plan = cand.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "store scan does not report a bucketed read")
+      assert(plan.contains("PartitionFilters") && plan.contains("batch_id"),
+        "store scan is not pruned on the batch partition column")
+      // exactly ONE band-key exchange: the batch side. A second would mean
+      // the store — the corpus-sized side at 100 TB — is re-shuffled per
+      // batch, the cost the bucketed layout exists to remove.
+      // FormattedMode prints keys on the node's Arguments line
+      val nBandExchanges = "hashpartitioning\\(bi".r.findAllMatchIn(plan).length
+      assert(nBandExchanges == 1,
+        s"expected 1 band-key exchange (batch side only), got $nBandExchanges")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS band_store_b")
+      ()
+    }
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh.nonEmpty)
