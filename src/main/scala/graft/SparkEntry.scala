@@ -85,6 +85,7 @@ object SparkEntry {
     "s5_ann_pq" -> (SimilarityOps.s5AnnPq _),
     "s6_ann_ivfpq" -> (SimilarityOps.s6AnnIvfPq _),
     "s7_ann_recall_clustered" -> (SimilarityOps.s7AnnRecallClustered _),
+    "s10_ann_recall_structured" -> (SimilarityOps.s10AnnRecallStructured _),
     "s8_ann_ivfpq_res" -> (SimilarityOps.s8AnnIvfPqRes _),
     "s9_ann_rerank" -> (SimilarityOps.s9AnnRerank _),
     "t1_lang_id" -> (TextOps.t1LangId _),
@@ -432,6 +433,20 @@ object SparkEntry {
     s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0, label, CAST(vec_id % ${SimilarityOps.ClusterK} AS INT) AS cl FROM embeddings),
        |e AS (SELECT vec_id, list_transform(range(len(v0)), i -> v0[i+1] + CASE WHEN i % ${SimilarityOps.ClusterK} = cl THEN ${SimilarityOps.ClusterAmp} ELSE 0.0 END) AS v, label FROM e0),
        |n AS (SELECT vec_id, v, label, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  /** Mirror of SimilarityOps.structuredNormed (s10): shrunk noise +
+    * cluster centers + per-subspace quantized displacement, term-for-term
+    * in the engine's evaluation order. */
+  private val structuredEmbCte = {
+    val muls = SimilarityOps.DispMul.mkString("[", ", ", "]")
+    val (k, amp) = (SimilarityOps.ClusterK, SimilarityOps.ClusterAmp)
+    val (d, ns, st) = (SimilarityOps.PqSubDim, SimilarityOps.StructNoise, SimilarityOps.StructDispStep)
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0, label, CAST(vec_id % $k AS INT) AS cl FROM embeddings),
+       |e AS (SELECT vec_id, list_transform(range(len(v0)), i -> v0[i+1] * $ns
+       | + CASE WHEN i % $k = cl THEN $amp ELSE 0.0 END
+       | + CASE WHEN i % $d = ${d - 1} THEN $st * CAST(((vec_id * ($muls)[i // $d + 1]) % 256) // 64 AS DOUBLE) ELSE 0.0 END) AS v, label FROM e0),
+       |n AS (SELECT vec_id, v, label, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
+  }
 
   /** The full ANN-recall CTE chain (exact top-3 + all six approximate
     * paths + per-(query, method) hit counts), parameterized on the
@@ -882,6 +897,12 @@ object SparkEntry {
          |ORDER BY qs.q_id, mth.method""".stripMargin,
     "s7_ann_recall_clustered" ->
       s"""${annRecallCtes(clusteredEmbCte)}
+         |SELECT mth.method AS method, CAST(count(*) AS BIGINT) AS n_q, CAST(sum(coalesce(h.hits, 0)) AS BIGINT) AS total_hits,
+         |round(CAST(sum(coalesce(h.hits, 0)) AS DOUBLE) / CAST(3 * count(*) AS DOUBLE), 4) AS mean_recall
+         |FROM qs CROSS JOIN mth LEFT JOIN h ON h.q_id = qs.q_id AND h.method = mth.method
+         |GROUP BY mth.method ORDER BY method""".stripMargin,
+    "s10_ann_recall_structured" ->
+      s"""${annRecallCtes(structuredEmbCte)}
          |SELECT mth.method AS method, CAST(count(*) AS BIGINT) AS n_q, CAST(sum(coalesce(h.hits, 0)) AS BIGINT) AS total_hits,
          |round(CAST(sum(coalesce(h.hits, 0)) AS DOUBLE) / CAST(3 * count(*) AS DOUBLE), 4) AS mean_recall
          |FROM qs CROSS JOIN mth LEFT JOIN h ON h.q_id = qs.q_id AND h.method = mth.method
