@@ -1007,11 +1007,14 @@ object SparkEntry {
          |FROM d ORDER BY media_id, frame_no""".stripMargin
     },
     "m2_decode_histogram" -> {
-      // Mirror of MultimodalOps.fakeDecode: 8-bin byte histogram over the
-      // UTF-8 payload, normalized, 4 dp. Bytes are recovered from the hex
-      // encoding (DuckDB's substring cannot slice BLOBs directly).
+      // Closed form of m2's decoded-sample histogram: the engine round-
+      // trips the text bytes through the WAV codec (build -> chunk-walk
+      // decode) and histograms the DECODED samples; the oracle recomputes
+      // the 8-bin histogram straight from the UTF-8 bytes the samples
+      // must equal — any codec bug breaks the hash. Bytes are recovered
+      // from the hex encoding (DuckDB's substring cannot slice BLOBs).
       // left join from bt keeps zero-byte documents (engine emits them
-      // with all-zero bins; divisor mirrors fakeDecode's max(len, 1))
+      // with all-zero bins; divisor mirrors byteHistogram's max(len, 1))
       val bins = (0 until 8).map(i =>
         s"round(coalesce(max(CASE WHEN bin = $i THEN cnt END), 0) / CAST(greatest(bt.n, 1) AS DOUBLE), 4) AS b$i"
       ).mkString(", ")

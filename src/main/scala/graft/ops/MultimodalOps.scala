@@ -10,14 +10,13 @@ import graft.io.Sources
   * columns with a typed metadata struct; decode / feature-extraction runs
   * batched per partition.
   *
-  * The container ships no image/audio codec libraries, so m2's
-  * `fakeDecode` stands in for a library decoder — a deterministic
-  * byte-level featurizer with the same Spark-side contract (binary in,
-  * fixed-width feature vector + metadata out). m4 then puts a REAL
-  * hand-written codec behind the identical seam: a spec-conformant
-  * RIFF/WAVE builder + parser (little-endian fields, chunk walking, pad
-  * bytes), oracle-checked field by field — proving the seam carries an
-  * actual binary format, not only the stand-in.
+  * The container ships no image/audio codec libraries, so the codec is a
+  * hand-written, spec-conformant RIFF/WAVE implementation: a builder and
+  * a chunk-walking parser (little-endian fields, pad bytes, magic
+  * validation). BOTH decode gates run it — m4 parses the container's
+  * header fields, m2 decodes the sample bytes out of the container and
+  * featurizes them — so the per-partition decode seam carries an actual
+  * binary format end to end; nothing in the decode path is a stand-in.
   */
 object MultimodalOps {
 
@@ -39,18 +38,38 @@ object MultimodalOps {
         lit("text/plain").as("mime"),
         octet_length(col("text").cast("binary")).cast("long").as("byte_len")).as("meta"))
 
-  /** Deterministic stand-in for a media decoder: 8-bin byte histogram,
-    * normalized. Real pipelines put the codec here, still batched
-    * per-partition so codec init cost amortizes (cf. the per-partition
-    * producer pattern at reference ProducerFinal.scala:66). */
-  def fakeDecode(payload: Array[Byte]): Array[Double] = {
+  /** Feature kernel over DECODED samples: 8-bin byte histogram,
+    * normalized — the fixed-width featurizer a real pipeline runs after
+    * the codec (per-channel stats, embeddings, ... all share this
+    * shape: decoded bytes in, fixed-width vector out). */
+  def byteHistogram(samples: Array[Byte]): Array[Double] = {
     val bins = new Array[Double](8)
-    payload.foreach(b => bins((b & 0xff) / 32) += 1.0)
-    val n = math.max(payload.length, 1)
+    samples.foreach(b => bins((b & 0xff) / 32) += 1.0)
+    val n = math.max(samples.length, 1)
     bins.map(_ / n)
   }
 
-  /** Batched per-partition "decode" producing feature vectors. */
+  /** Wrap documents as an audio media table: each payload is a REAL
+    * RIFF/WAVE container ([[buildWav]]) holding the text bytes as PCM
+    * samples — built per partition, the producer's per-partition
+    * resource pattern (reference ProducerFinal.scala:66). */
+  def asWavMedia(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col("doc_id"), col("lang"), col("text").cast("binary").as("data"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val wav = buildWav(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+          Row(r.getLong(0), wav, Row("audio/wav", wav.length.toLong))
+        }
+      }(enc)
+  }
+
+  /** Batched per-partition decode producing feature vectors: the payload
+    * is parsed as a WAV container ([[decodeWav]] — magic validation,
+    * chunk walk, pad-byte skips), its sample bytes are extracted, and the
+    * featurizer runs over the DECODED samples. `byte_len` in the output
+    * is the decoded sample count (what came OUT of the codec), not the
+    * container size. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType),
@@ -61,22 +80,28 @@ object MultimodalOps {
     media.mapPartitions { rows =>
       // codec/session init would happen once per partition here
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val meta = r.getAs[Row]("meta")
-        Row(r.getLong(0), meta.getString(0), meta.getLong(1), fakeDecode(payload))
+        // positional access: media rows may come straight from another
+        // mapPartitions (schemaless GenericRow), mediaSchema fixes order
+        val samples = decodeWav(r.getAs[Array[Byte]](1))
+        val meta = r.getStruct(2)
+        Row(r.getLong(0), meta.getString(0), samples.length.toLong,
+          byteHistogram(samples))
       }
     }(enc)
   }
 
-  /** m2: the decode path end-to-end, oracle-checkable — runs the
-    * per-partition batched "decoder" (`decodeFeatures`/`fakeDecode`) and
-    * projects the 8-bin normalized byte histogram to columns. The DuckDB
-    * oracle recomputes the same histogram from the UTF-8 bytes, so the
-    * whole mapPartitions plumbing (schema, encoder, batching) is
-    * hash-checked, not just the metadata slice. */
+  /** m2: the decode path end-to-end over a real binary format — wraps
+    * each doc's bytes into a WAV container, runs the per-partition
+    * chunk-walking decoder ([[decodeFeatures]]/[[decodeWav]]), and
+    * projects the 8-bin normalized histogram of the decoded samples to
+    * columns. The DuckDB oracle recomputes the histogram from the
+    * original UTF-8 bytes (the samples' closed form), so a wrong pad
+    * skip, a misread chunk size, or any other codec bug — builder or
+    * parser — breaks the hash, as does any slip in the mapPartitions
+    * plumbing (schema, encoder, batching). */
   def m2DecodeHistogram(spark: SparkSession, dir: String): DataFrame = {
     val feats = decodeFeatures(spark,
-      asMedia(Sources.table(spark, dir, "documents")))
+      asWavMedia(Sources.table(spark, dir, "documents")))
     val bins = (0 until 8).map(i =>
       round(element_at(col("features"), i + 1), 4).as(s"b$i"))
     feats.select((col("media_id") +: col("byte_len") +: bins): _*)
@@ -114,8 +139,8 @@ object MultimodalOps {
 
   // ---- m4: a REAL container format behind the decode seam ------------
 
-  /** m4 runs an actual binary-format codec through the same per-partition
-    * seam m2 tests with `fakeDecode`: each doc's text bytes are wrapped
+  /** m4 runs the header-parsing half of the codec through the same
+    * per-partition seam m2 decodes through: each doc's text bytes are wrapped
     * into a spec-conformant PCM WAV file (RIFF container: little-endian
     * chunk sizes, word-aligned chunks with pad bytes, a leading
     * non-audio chunk so the reader must genuinely walk the chunk list),
@@ -168,7 +193,19 @@ object MultimodalOps {
     * (LE sizes, word alignment) until `data`. Unknown chunks are skipped
     * by their declared size — the reader never assumes the builder's
     * layout. */
-  private[graft] def parseWav(bytes: Array[Byte]): WavMeta = {
+  private[graft] def parseWav(bytes: Array[Byte]): WavMeta = walkWav(bytes)._1
+
+  /** Decode the sample bytes out of a WAV container — the chunk walk
+    * locates `data` per the spec, then the samples are sliced by the
+    * chunk's declared size (never by builder-shared arithmetic). */
+  private[graft] def decodeWav(bytes: Array[Byte]): Array[Byte] = {
+    val (meta, off) = walkWav(bytes)
+    java.util.Arrays.copyOfRange(bytes, off, off + meta.dataBytes.toInt)
+  }
+
+  /** The shared spec walk: parsed header facts + the data chunk's byte
+    * offset. */
+  private def walkWav(bytes: Array[Byte]): (WavMeta, Int) = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(): String = {
@@ -178,6 +215,7 @@ object MultimodalOps {
     buf.getInt // riff size (validated implicitly: chunk walk must not overrun)
     require(tag() == "WAVE", "not a WAVE form")
     var channels = -1L; var rate = -1L; var bits = -1L; var dataLen = -1L
+    var dataOff = -1
     while (dataLen < 0 && buf.remaining() >= 8) {
       val id = tag()
       val size = buf.getInt
@@ -194,6 +232,8 @@ object MultimodalOps {
           buf.position(start + size + (size % 2))
         case "data" =>
           dataLen = size.toLong
+          dataOff = buf.position()
+          require(dataOff + dataLen <= bytes.length, "data chunk overruns file")
         case _ =>
           buf.position(buf.position() + size + (size % 2))
       }
@@ -201,7 +241,7 @@ object MultimodalOps {
     require(dataLen >= 0, "no data chunk")
     require(channels > 0 && rate > 0 && bits > 0, "data chunk before fmt")
     val byteRate = rate * channels * (bits / 8)
-    WavMeta(channels, rate, bits, dataLen, dataLen * 1000L / byteRate)
+    (WavMeta(channels, rate, bits, dataLen, dataLen * 1000L / byteRate), dataOff)
   }
 
   /** m4: wrap each doc's bytes into a WAV (builder) and decode the
