@@ -78,10 +78,10 @@ object Bench {
     // Stdout is shared with Spark/JVM noise and tail-captures have
     // truncated it in driver runs; a file is the lossless
     // machine-readable channel. SPARK_GRAFT_BENCH_OUT picks the path;
-    // unset, the full line still lands at a fixed repo path so a
+    // unset, the full line still lands in the working directory so a
     // truncated stdout capture never loses the run.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_latest.raw.json")
+      new java.io.File(sys.props("user.dir"), "BENCH_latest.raw.json").getPath)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     catch { case e: Exception =>

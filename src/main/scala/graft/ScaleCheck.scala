@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up stress harness (SURVEY §4.2b): generates a deterministic
+  * 10× derivation of the sf0.1 fixture ("sf1": 500 k docs, 200 k
+  * vectors, 10 M events), times the most expensive gates on both, and
+  * prints per-query base/scaled seconds + ratios as one JSON line.
+  *
+  * Fixture derivation (pure narrow maps, no RNG):
+  *  - documents ×10: replica k ≥ 1 rebuilds the text with every third
+  *    token (positions ≡ (k−1) mod 3) reversed then char-rotated by
+  *    (k−1)/3 — every 3-token shingle window covers a replaced
+  *    position, so replicas are near-dup-DISSIMILAR from the original
+  *    and from each other (J ≈ 0 ≪ 0.7), while token count, mean token
+  *    length, and (2/3 of) stopwords survive, keeping gopher-quality
+  *    rates stable. Dedup/funnel structure therefore scales LINEARLY
+  *    (each replica contributes its own near-dup pairs), which is what
+  *    a bigger crawl does — unlike naive copying, which would make the
+  *    pair set itself quadratic and measure output explosion instead
+  *    of scan/shuffle scaling.
+  *  - embeddings ×10: replica k cyclically rotates dims by 7k
+  *    (norm-preserving, distinct); labels are zeroed on replicas so
+  *    the QUERY set stays fixed while the corpus grows — the serve-
+  *    scaling question. vec_id offsets are multiples of 16, preserving
+  *    cluster/seed arithmetic.
+  *  - events ×10: fresh user/event id ranges per replica — per-user
+  *    density (what the stream joins key on) is unchanged.
+  *
+  * Usage: runMain graft.ScaleCheck [baseDir] [scaledDir]
+  */
+object ScaleCheck {
+
+  val Replicas = 10
+  /** The expensive-gate list measured for §4.2b (every gate > ~1.9 s
+    * min at sf0.1, plus the new round-7 composites p3/s10). */
+  val Gates: Seq[String] = Seq(
+    "d2_dedup_ngram_jaccard", "d10_dup_clusters", "d11_dedup_impact",
+    "d12_stream_minhash", "p1_pipeline", "p2_stream_funnel",
+    "p3_full_funnel", "q37_stream_join", "s4_ann_recall",
+    "s7_ann_recall_clustered", "s10_ann_recall_structured", "x6_pq_trained")
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val scaled = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val spark = Engine.local(
+      sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+        .getOrElse(math.min(Runtime.getRuntime.availableProcessors, 32)),
+      "graft-scale")
+    if (!new java.io.File(s"$scaled/documents.parquet").exists())
+      generate(spark, base, scaled)
+    val report = Gates.map { name =>
+      val b = time(spark, name, base)
+      val s = time(spark, name, scaled)
+      (name, b, s)
+    }
+    val qs = report.map { case (n, b, s) =>
+      f""""$n":{"base":$b%.2f,"scaled":$s%.2f,"ratio":${s / b}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale10x","replicas":$Replicas,"queries":$qs}""")
+    spark.stop()
+  }
+
+  /** Min-of-2 noop-write wall seconds (Bench's statistic). */
+  private def time(spark: SparkSession, name: String, dir: String): Double =
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  private def generate(spark: SparkSession, base: String, out: String): Unit = {
+    new java.io.File(out).mkdirs()
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val reps = (0 until Replicas).map { k =>
+      if (k == 0) docs
+      else {
+        val r = (k - 1) % 3
+        val j = (k - 1) / 3
+        // reverse + rotate chars of every third token; rebuild the text
+        val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))
+        val perturbed = transform(toks, (t, i) =>
+          when(pmod(i, lit(3)) === r,
+            concat(substring(reverse(t), j + 1, 1000000), substring(reverse(t), 1, j)))
+            .otherwise(t))
+        docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          .withColumn("text", concat_ws(" ", perturbed))
+      }
+    }
+    reps.reduce(_ unionByName _).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val embReps = (0 until Replicas).map { k =>
+      if (k == 0) emb
+      else {
+        val d = 7 * k % 64
+        emb.withColumn("vec_id", col("vec_id") + lit(k * 1600000L))
+          .withColumn("embedding", concat(
+            slice(col("embedding"), d + 1, 64 - d), slice(col("embedding"), 1, d)))
+          .withColumn("label", lit(0))
+      }
+    }
+    embReps.reduce(_ unionByName _).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val evReps = (0 until Replicas).map { k =>
+      if (k == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(k * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 10000000L))
+    }
+    evReps.reduce(_ unionByName _).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+    // remaining tables pass through unchanged (no measured gate reads them
+    // at scale, but Sources.table must find them)
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+  }
+}

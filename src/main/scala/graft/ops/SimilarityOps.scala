@@ -479,7 +479,9 @@ object SimilarityOps {
           .setFeaturesCol(s"f$m")
           .fit(subs).clusterCenters.map(_.toArray.toSeq).toSeq
       }}
-      val cbs: Seq[Seq[Seq[Double]]] = Await.result(Future.sequence(fits), Duration.Inf)
+      // finite timeout: a wedged fit must fail the gate loudly, not hang it
+      val cbs: Seq[Seq[Seq[Double]]] =
+        Await.result(Future.sequence(fits), Duration(10, "min"))
       all.sparkSession.range(1).select(typedLit(cbs).as("cbs"))
     } finally subs.unpersist(blocking = false)
   }
