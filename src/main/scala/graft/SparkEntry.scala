@@ -114,6 +114,7 @@ object SparkEntry {
     "x3_ml_eval" -> (ScoringPipeline.x3MlEval _),
     "x4_ivf_kmeans" -> (SimilarityOps.x4IvfKmeans _),
     "x6_pq_trained" -> (SimilarityOps.x6PqTrained _),
+    "x7_res_trained" -> (SimilarityOps.x7ResTrained _),
     "x5_sketch_agg" -> (Relational.x5SketchAgg _)
   )
 

@@ -614,7 +614,25 @@ object SimilarityOps {
   def s8AnnIvfPqRes(spark: SparkSession, dir: String): DataFrame =
     s8From(normed(spark, dir))
 
-  private def s8From(all: DataFrame): DataFrame = {
+  private def s8From(all: DataFrame): DataFrame =
+    s8Scan(all, res => pqCodebook(res, lo = IvfCells))
+
+  /** x7: s8's residual scan with a TRAINED residual codebook — the full
+    * production IVFADC build (Jégou §IV.A trains the product quantizer
+    * on residuals): per-subspace seed-pinned KMeans fit over the
+    * residual frame, landing in the same one-row `cbs[m][k]` layout, so
+    * the encode/ADC plan is byte-for-byte [[s8From]]'s. Completes the
+    * trained-quantizer ladder: x4 proved centroids drop into s3, x6
+    * proved codebooks drop into s5, x7 proves they drop into the
+    * RESIDUAL layout. Rows-only at the gate (training isn't
+    * SQL-expressible); determinism + recall-vs-seed-book golden-pinned
+    * in MlGoldenSpec. */
+  def x7ResTrained(spark: SparkSession, dir: String): DataFrame =
+    s8Scan(normed(spark, dir), res => trainedPqCodebook(res))
+
+  /** The residual IVF-PQ scan, parameterized by the residual-codebook
+    * builder (input: the residual frame with `v` = v − c(cell)). */
+  private def s8Scan(all: DataFrame, cbOf: DataFrame => DataFrame): DataFrame = {
     val seeds = all.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     val centArr = seeds
@@ -628,13 +646,15 @@ object SimilarityOps {
       .withColumn("cv",
         element_at(col("cents"), col("cell").cast("int") + 1).getField("cv"))
       .withColumn("r", zip_with(col("v"), col("cv"), (a, b) => a - b))
-    // residual codebook: the s5 seed trick applied to residuals — sourced
-    // from vec_ids [IvfCells, IvfCells+PqK), NOT the centroid seeds: a
-    // seed's residual against its own cell is identically zero, so a
+    // residual codebook via the injected builder. The default (s8) is
+    // the s5 seed trick applied to residuals — sourced from vec_ids
+    // [IvfCells, IvfCells+PqK), NOT the centroid seeds: a seed's
+    // residual against its own cell is identically zero, so a
     // seed-sourced book would collapse every code to ~0 and kill the
     // within-cell ranking the residual exists to restore (measured:
-    // recall 0.06 with seed residuals). x6's trained form drops in here
-    val resCb = pqCodebook(base.select(col("vec_id"), col("r").as("v")), lo = IvfCells)
+    // recall 0.06 with seed residuals). x7 injects the KMeans-trained
+    // form on the identical plan.
+    val resCb = cbOf(base.select(col("vec_id"), col("r").as("v")))
     val coded = base.crossJoin(broadcast(resCb))
       .withColumn("codes", pqCodes(col("cbs"), col("r")))
       .withColumn("encnorm", sqrt(

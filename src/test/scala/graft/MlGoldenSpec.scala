@@ -66,6 +66,29 @@ class MlGoldenSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("x7 trained residual book is deterministic and keeps s8's output contract") {
+    import org.apache.spark.sql.functions._
+    val a = rows(graft.ops.SimilarityOps.x7ResTrained(spark, sf))
+    val b = rows(graft.ops.SimilarityOps.x7ResTrained(spark, sf))
+    assert(a == b)
+    assert(a.nonEmpty)
+    val x7 = graft.ops.SimilarityOps.x7ResTrained(spark, sf)
+    val s8 = graft.ops.SimilarityOps.s8AnnIvfPqRes(spark, sf)
+    assert(x7.schema.catalogString == s8.schema.catalogString,
+      "trained residual codebook changed the ADC scan's output schema")
+    // golden recall pins (47 queries × top-3 at sf0.001): the trained
+    // residual book vs the seed-sampled residual book on the identical
+    // plan — training must not fall behind the seed trick
+    val exact = graft.ops.SimilarityOps.q22KnnCosine(spark, sf)
+      .filter(col("rnk") <= 3).select("q_id", "n_id")
+    val trainedHits = x7.select("q_id", "n_id").join(exact, Seq("q_id", "n_id")).count()
+    val seedHits = s8.select("q_id", "n_id").join(exact, Seq("q_id", "n_id")).count()
+    assert(trainedHits == 14L, s"trained-residual hits drifted: $trainedHits")
+    assert(seedHits == 11L, s"seed-residual hits drifted: $seedHits")
+    assert(trainedHits > seedHits,
+      "trained residual book no longer beats the seed-sampled book")
+  }
+
   test("x6 scans trained codes with the same output contract as s5, better recall") {
     import org.apache.spark.sql.functions._
     val x6 = graft.ops.SimilarityOps.x6PqTrained(spark, sf)
