@@ -253,6 +253,22 @@ class InvariantSpec extends AnyFunSuite {
     assert(p1.getLong(2) > 0, "pipeline kept nothing — fixture degenerate")
   }
 
+  test("p3 online funnel partitions every document exactly once, ties to p1 on the fixture") {
+    val df = graft.streaming.FullFunnel.p3StreamFunnel(spark, sf)
+    val bad = df.filter(
+      col("n_eval") + col("n_fail_quality") + col("n_exact_dup") +
+        col("n_near_dup") + col("n_contam") + col("n_kept") =!= col("n_docs"))
+    assert(bad.count() == 0)
+    assert(df.agg(sum("n_docs")).collect()(0).getLong(0) == nDocs)
+    // first-arrival near-drops can never exceed the global keep-one
+    // drops (every direct-collision victim is a non-canonical member)
+    val d10Drop = DedupOps.d10DupClusters(spark, sf)
+      .filter(col("doc_id") =!= col("cluster_id")).count()
+    val agg = df.agg(sum("n_near_dup"), sum("n_kept")).collect()(0)
+    assert(agg.getLong(0) <= d10Drop)
+    assert(agg.getLong(1) > 0, "online funnel kept nothing — fixture degenerate")
+  }
+
   test("t15 overlap matrix: full pair triangle, intersections bounded, jaccard in [0,1]") {
     val df = TextOps.t15SourceOverlap(spark, sf)
     val nSources = Sources.table(spark, sf, "documents")

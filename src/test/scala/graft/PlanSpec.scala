@@ -131,6 +131,14 @@ class PlanSpec extends AnyFunSuite {
     assertNoBlowupJoin(finalPlan(DedupOps.d14BloomDecontamination(spark, sf)), "d14")
   }
 
+  test("p3 batch twin: candidate/verify/contam joins never degrade to all-pairs") {
+    // the batch replay of the online funnel's semantics shares its join
+    // shapes (band-keyed candidates, gram-keyed contam, digest window) —
+    // a BNLJ anywhere here would be a corpus-squared plan at 100 TB
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    assertNoBlowupJoin(finalPlan(graft.streaming.FullFunnel.batchTwin(docs)), "p3")
+  }
+
   test("d11 never forces a broadcast of the cluster side") {
     // cluster membership is corpus-fraction-sized at heavy dup rates
     // (30-50% of a web crawl), so a broadcast() hint on it OOMs the
