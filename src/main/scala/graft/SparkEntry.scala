@@ -78,6 +78,7 @@ object SparkEntry {
     "d13_consensus_near_dup" -> (DedupOps.d13ConsensusNearDup _),
     "d14_bloom_decontam" -> (DedupOps.d14BloomDecontamination _),
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
+    "d15_semdedup" -> (SimilarityOps.d15SemDedup _),
     "d6_quantize" -> (SimilarityOps.d6Quantize _),
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
     "s3_ann_ivf" -> (SimilarityOps.s3AnnIvf _),
@@ -859,6 +860,30 @@ object SparkEntry {
     // oracle is IDENTICAL by design (shared SQL, not a lookalike copy)
     "d14_bloom_decontam" -> decontaminationSql,
     "d5_embed_near_dup" -> embedNearDupSql,
+    // SemDeDup: s3's deterministic quantizer assigns cells, exact cosine
+    // within a cell flags pairs, the nearer-to-centroid member drops
+    "d15_semdedup" ->
+      s"""WITH $embCte,
+         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+         |ac AS (SELECT n.vec_id, n.v, n.nrm, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+         |ar AS (SELECT vec_id, v, nrm, c_id AS cell, ccos, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+         |asn AS (SELECT vec_id, v, nrm, cell, ccos FROM ar WHERE arn = 1),
+         |p AS (SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id, a.ccos AS acc, b.ccos AS bcc,
+         |  list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
+         |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |pp AS (SELECT cell, a_id, b_id,
+         |  CASE WHEN acc > bcc THEN a_id WHEN acc < bcc THEN b_id ELSE greatest(a_id, b_id) END AS victim
+         |  FROM p WHERE cs >= ${SimilarityOps.SemThreshold}),
+         |vict AS (SELECT cell, victim FROM pp GROUP BY cell, victim),
+         |nd AS (SELECT cell, count(*) AS n_dropped FROM vict GROUP BY cell),
+         |np AS (SELECT cell, count(*) AS n_pairs FROM pp GROUP BY cell),
+         |nv AS (SELECT cell, count(*) AS n_vecs FROM asn GROUP BY cell)
+         |SELECT nv.cell AS cell, CAST(nv.n_vecs AS BIGINT) AS n_vecs,
+         |CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |CAST(coalesce(nd.n_dropped, 0) AS BIGINT) AS n_dropped,
+         |CAST(nv.n_vecs - coalesce(nd.n_dropped, 0) AS BIGINT) AS n_kept
+         |FROM nv LEFT JOIN np ON np.cell = nv.cell LEFT JOIN nd ON nd.cell = nv.cell
+         |ORDER BY cell""".stripMargin,
     // pairs flagged by either modality, with provenance: nested-WITH
     // subqueries reuse the two pair chains verbatim, so d13's oracle IS
     // "d3's oracle ⋈full d5's oracle" by construction

@@ -157,19 +157,21 @@ object SimilarityOps {
     * Window formulation this replaced, which exchanged and sorted
     * IvfCells copies of every corpus vector (16 corpus-volumes of network
     * at 100 TB) to pick a per-row maximum. */
-  private def rankedCells(cents: Column, v: Column, nrm: Column, k: Int): Column = {
+  private def rankedCellStructs(cents: Column, v: Column, nrm: Column): Column = {
     val scored = transform(cents, c =>
       struct(
         (dot(v, c.getField("cv")) / (nrm * c.getField("cn"))).as("ccos"),
         c.getField("c_id").as("c_id")))
-    val byBest = array_sort(scored, (l, r) =>
+    array_sort(scored, (l, r) =>
       when(l.getField("ccos") > r.getField("ccos"), -1)
         .when(l.getField("ccos") < r.getField("ccos"), 1)
         .when(l.getField("c_id") < r.getField("c_id"), -1)
         .when(l.getField("c_id") > r.getField("c_id"), 1)
         .otherwise(0))
-    transform(slice(byBest, 1, k), c => c.getField("c_id"))
   }
+
+  private def rankedCells(cents: Column, v: Column, nrm: Column, k: Int): Column =
+    transform(slice(rankedCellStructs(cents, v, nrm), 1, k), c => c.getField("c_id"))
 
   /** The IVF probe plan, parameterized by the centroid table: assign every
     * vector to its nearest coarse centroid (argmax cosine against the
@@ -737,5 +739,66 @@ object SimilarityOps {
       .filter(col("c") >= 0.4)
       .select(col("a_id"), col("b_id"), r4(col("c")).as("cos_sim"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Exact-cosine threshold shared by d5 (LSH-candidate verify) and d15
+    * (within-cell verify): both declare pairs at ≥ this cosine duplicates. */
+  val SemThreshold = 0.4
+
+  /** d15 SemDeDup: cluster-then-exact semantic deduplication (Abbas et al.
+    * 2023, "SemDeDup") — the OTHER production embedding-dedup design next
+    * to d5's sign-LSH. Every vector is assigned to its nearest coarse
+    * centroid (s3's quantizer, the same narrow expression-side argmax),
+    * pairs are scored EXACTLY but only within a cell, and of each
+    * duplicate pair the member closer to its centroid is dropped — keeping
+    * cluster-edge representatives, the paper's pruning rule. Emits the
+    * per-cell ledger (n_vecs / n_pairs / n_dropped / n_kept); the drop
+    * verdict itself is the production artifact.
+    *
+    * Scale path: pairwise work is Σ cell² not n² — the paper's point is
+    * that k scales with corpus size so cells stay bounded; candidates meet
+    * on an equi-join on cell id (shuffle-on-key, never all-pairs), the
+    * centroid table rides a single-row broadcast (same constant-size
+    * attach as s3/s5/s6), and the per-pair verify reuses the codegen'd
+    * dot. d5 trades exactness-of-candidates for global reach (LSH bands
+    * catch cross-cell dups); d15 trades reach for within-cell exactness —
+    * a corpus pipeline runs one or the other by dup geometry.
+    * Reference lineage: the reference has no embedding ops at all
+    * (BASELINE.md); this extends its per-tweet pipeline pattern to the
+    * north-star corpus-prep suite. */
+  def d15SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    val seeds = all.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val centArr = seeds
+      .select(struct(col("c_id"), col("cv"), col("cn")).as("cent"))
+      .agg(array_sort(collect_list(col("cent"))).as("cents"))
+    val asn = all.crossJoin(broadcast(centArr))
+      .withColumn("best", element_at(rankedCellStructs(col("cents"), col("v"), col("nrm")), 1))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("best.c_id").as("cell"), col("best.ccos").as("ccos"))
+    val a = asn.select(col("cell"), col("vec_id").as("a_id"), col("v").as("av"),
+      col("nrm").as("an"), col("ccos").as("acc"))
+    val b = asn.select(col("cell"), col("vec_id").as("b_id"), col("v").as("bv"),
+      col("nrm").as("bn"), col("ccos").as("bcc"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cs", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cs") >= SemThreshold)
+      .withColumn("victim",
+        when(col("acc") > col("bcc"), col("a_id"))
+          .when(col("acc") < col("bcc"), col("b_id"))
+          .otherwise(greatest(col("a_id"), col("b_id"))))
+    val victims = pairs.select(col("cell"), col("victim")).distinct()
+      .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+    val nPairs = pairs.groupBy("cell").agg(count(lit(1)).as("n_pairs"))
+    asn.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .join(nPairs, Seq("cell"), "left")
+      .join(victims, Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("cell")
   }
 }

@@ -253,6 +253,19 @@ class InvariantSpec extends AnyFunSuite {
     assert(p1.getLong(2) > 0, "pipeline kept nothing — fixture degenerate")
   }
 
+  test("d15 semdedup ledger partitions every vector; every cell keeps a survivor") {
+    val df = SimilarityOps.d15SemDedup(spark, sf)
+    assert(df.filter(col("n_dropped") + col("n_kept") =!= col("n_vecs")).count() == 0)
+    // the pairwise rule drops the MORE-central member, so each duplicate
+    // component's least-central vector never loses a pair — ≥1 survivor
+    assert(df.filter(col("n_kept") < 1).count() == 0)
+    assert(df.filter(col("n_dropped") > col("n_pairs")).count() == 0)
+    val nVec = Sources.table(spark, sf, "embeddings").count()
+    assert(df.agg(sum("n_vecs")).collect()(0).getLong(0) == nVec)
+    assert(df.agg(sum("n_pairs")).collect()(0).getLong(0) > 0,
+      "fixture has no within-cell semantic dups — degenerate")
+  }
+
   test("p3 online funnel partitions every document exactly once, ties to p1 on the fixture") {
     val df = graft.streaming.FullFunnel.p3StreamFunnel(spark, sf)
     val bad = df.filter(

@@ -139,6 +139,19 @@ class PlanSpec extends AnyFunSuite {
     assertNoBlowupJoin(finalPlan(graft.streaming.FullFunnel.batchTwin(docs)), "p3")
   }
 
+  test("d15 assignment stays narrow and its pair join meets on cell, never all-pairs") {
+    val plan = finalPlan(SimilarityOps.d15SemDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "d15 pair generation degraded to an all-pairs product")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      "cell assignment shuffles the corpus by vec_id — the argmax " +
+        "regressed out of the narrow expression-side form")
+    assert(plan.contains("hashpartitioning(cell") || plan.contains("BroadcastHashJoin"),
+      "within-cell pair join lost its cell equi-key")
+    // (the 1-row centroid-array attaches plan as constant-size BNLJs,
+    // same as s3/s6 — not an all-pairs blowup)
+  }
+
   test("d11 never forces a broadcast of the cluster side") {
     // cluster membership is corpus-fraction-sized at heavy dup rates
     // (30-50% of a web crawl), so a broadcast() hint on it OOMs the
