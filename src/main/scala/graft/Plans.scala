@@ -23,7 +23,7 @@ object Plans {
   val StreamingGates: Set[String] = Set(
     "q07_tumbling_window", "q08_sliding_window", "q09_session_window",
     "q24_stream_score", "q37_stream_join", "q38_static_enrich",
-    "d12_stream_minhash")
+    "d12_stream_minhash", "s11_stream_ann_ingest")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

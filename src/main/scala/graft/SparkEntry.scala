@@ -82,6 +82,7 @@ object SparkEntry {
     "d6_quantize" -> (SimilarityOps.d6Quantize _),
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
     "s3_ann_ivf" -> (SimilarityOps.s3AnnIvf _),
+    "s11_stream_ann_ingest" -> (graft.streaming.StreamAnnIngest.s11StreamAnnIngest _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
     "s5_ann_pq" -> (SimilarityOps.s5AnnPq _),
     "s6_ann_ivfpq" -> (SimilarityOps.s6AnnIvfPq _),
@@ -340,6 +341,18 @@ object SparkEntry {
   private val embCte =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
       |n AS (SELECT vec_id, v, label, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  /** s3's oracle, shared verbatim by s11 (stream-built index ≡ batch). */
+  private def s3IvfSql: String =
+    s"""WITH $embCte,
+       |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+       |ac AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+       |ar AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+       |asn AS (SELECT vec_id, v, nrm, label, cell FROM ar WHERE arn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
+       |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
+       |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+       |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
   /** Mirror of SimilarityOps.pqCodebook/pqCodes (+ reconstructed norm):
     * appended after [[embCte]], yields `cbn(cbs)` (the [m][k] nested
@@ -906,16 +919,11 @@ object SparkEntry {
          |p AS (SELECT q_id, b.vec_id AS n_id, list_inner_product(qv, b.v) / (qn * b.nrm) AS c FROM q JOIN bkt b USING (bucket) WHERE b.vec_id <> q_id),
          |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
          |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
-    "s3_ann_ivf" ->
-      s"""WITH $embCte,
-         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
-         |ac AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
-         |ar AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
-         |asn AS (SELECT vec_id, v, nrm, label, cell FROM ar WHERE arn = 1),
-         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
-         |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
-         |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
-         |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "s3_ann_ivf" -> s3IvfSql,
+    // s11 serves s3's answer from a STREAM-BUILT index store, so the
+    // oracle is s3's SQL verbatim (shared string): stream-built ≡
+    // batch-built is the claim, same pattern as d12 vs d3
+    "s11_stream_ann_ingest" -> s3IvfSql,
     "s4_ann_recall" ->
       s"""${annRecallCtes(embCte)}
          |SELECT qs.q_id AS q_id, mth.method AS method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, round(coalesce(h.hits, 0) / 3.0, 4) AS recall

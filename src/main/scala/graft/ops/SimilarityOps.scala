@@ -31,7 +31,7 @@ object SimilarityOps {
   def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
-  private def normed(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def normed(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -172,6 +172,47 @@ object SimilarityOps {
 
   private def rankedCells(cents: Column, v: Column, nrm: Column, k: Int): Column =
     transform(slice(rankedCellStructs(cents, v, nrm), 1, k), c => c.getField("c_id"))
+
+  /** s3's deterministic coarse quantizer as a standalone table — the
+    * offline artifact an incremental ingest (s11) trains once and ships
+    * to every batch. Columns (c_id, cv, cn). */
+  private[graft] def ivfSeedCentroids(all: DataFrame): DataFrame =
+    all.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+  /** Quantizer assignment as a standalone narrow map: every row of
+    * `frame` (vec_id, v, nrm, label) gains its nearest-centroid `cell` —
+    * the same expression-side argmax as [[ivfProbe]], exposed for the
+    * streaming ingest path where assignment happens per batch and the
+    * probe later reads cells from the index store. */
+  private[graft] def assignCells(frame: DataFrame, seeds: DataFrame): DataFrame = {
+    val centArr = seeds
+      .select(struct(col("c_id"), col("cv"), col("cn")).as("cent"))
+      .agg(array_sort(collect_list(col("cent"))).as("cents"))
+    frame.crossJoin(broadcast(centArr))
+      .withColumn("cell",
+        element_at(rankedCells(col("cents"), col("v"), col("nrm"), 1), 1))
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"), col("cell"))
+  }
+
+  /** The nprobe=1 IVF probe over an ALREADY-ASSIGNED frame (vec_id, v,
+    * nrm, label, cell): queries meet their inverted list on a cell
+    * equi-join — no quantizer in sight, which is the point: when the
+    * index store already carries cells (s11), query time pays zero
+    * assignment work over the corpus. Emits s3's exact output shape. */
+  private[graft] def probeAssigned(assigned: DataFrame): DataFrame = {
+    val q = assigned.filter(col("label") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val pairs = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("cos_sim"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
 
   /** The IVF probe plan, parameterized by the centroid table: assign every
     * vector to its nearest coarse centroid (argmax cosine against the

@@ -109,6 +109,27 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(rows(streamDf) == batch)
   }
 
+  test("s11 streaming ANN ingest: stream-built index serves batch s3's answer") {
+    val batch = rows(graft.ops.SimilarityOps.s3AnnIvf(spark, sf))
+    val (streamDf, nBatches) =
+      graft.streaming.StreamAnnIngest.s11WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    assert(batch.nonEmpty)
+    assert(rows(streamDf) == batch)
+    // query-time plan property (asserted here because the store only
+    // exists after a replay): the probe reads cells FROM the store —
+    // no centroid attach anywhere, so unlike s3 there is no BNLJ at
+    // all, and the inverted-list read meets queries on the cell key
+    streamDf.collect()
+    val plan = streamDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "store probe re-ran quantizer assignment — query time must pay " +
+        "zero assignment work over the corpus")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("p2 streaming funnel head: multi-batch replay ≡ batch p1 stages") {
     import org.apache.spark.sql.functions._
     // the streamed ledger's head stages must equal batch p1's exactly:
