@@ -121,6 +121,54 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("s11's index store layout: batch-partitioned + cell-bucketed, probe joins with no exchange at all") {
+    // The scaladoc claim behind s11's 100 TB story, proven on the real
+    // store layout: the ANN index store is partitioned by arrival batch
+    // and bucketed by cell — and since BOTH probe sides read from the
+    // store (queries are indexed vectors too), the inverted-list join is
+    // bucket-local with ZERO exchanges: nothing corpus-sized ever moves
+    // at query time.
+    import graft.ops.SimilarityOps
+    val all = SimilarityOps.normed(spark, sf)
+    val assigned = SimilarityOps
+      .assignCells(all, SimilarityOps.ivfSeedCentroids(all))
+      .withColumn("batch_id", (col("vec_id") % 4).cast("int"))
+    // the store grows by per-batch APPENDS, exactly like processBatch
+    assigned.filter(col("batch_id") < 3)
+      .write.mode("overwrite").partitionBy("batch_id")
+      .bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("ann_index_b")
+    assigned.filter(col("batch_id") === 3)
+      .write.mode("append").partitionBy("batch_id")
+      .bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("ann_index_b")
+    try {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      val store = child.table("ann_index_b").filter(col("batch_id") < 4)
+      val q = store.filter(col("label") === 1)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val pairs = store.join(q, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      pairs.collect()
+      val plan = pairs.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "store scan does not report a bucketed read")
+      assert(plan.contains("PartitionFilters") && plan.contains("batch_id"),
+        "store scan is not pruned on the batch partition column")
+      val nCellExchanges = "hashpartitioning\\(cell".r.findAllMatchIn(plan).length
+      assert(nCellExchanges == 0,
+        s"expected a fully bucket-local probe, got $nCellExchanges cell exchanges")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_index_b")
+      ()
+    }
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh.nonEmpty)
