@@ -105,6 +105,7 @@ object SparkEntry {
     "t13_seq_packing" -> (TextOps.t13SeqPacking _),
     "t14_mix_sample" -> (TextOps.t14MixSample _),
     "t15_source_overlap" -> (TextOps.t15SourceOverlap _),
+    "t16_char_lm_score" -> (TextOps.t16CharLmScore _),
     "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
@@ -810,6 +811,17 @@ object SparkEntry {
         |round(CAST(coalesce(pr.n_shared, 0) AS DOUBLE) / (x.n + y.n - coalesce(pr.n_shared, 0)), 6) AS jaccard
         |FROM sz x JOIN sz y ON x.source < y.source LEFT JOIN pr ON pr.source_a = x.source AND pr.source_b = y.source
         |ORDER BY source_a, source_b""".stripMargin,
+    // integer familiarity keeps the corpus-trained model hash-exact: no
+    // float log whose libm could differ between the JVM and DuckDB
+    "t16_char_lm_score" ->
+      """WITH nd AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS norm FROM documents),
+        |nd2 AS (SELECT doc_id, norm FROM nd WHERE len(norm) >= 2),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(norm)), i -> norm[i:i+1])) AS g FROM nd2),
+        |model AS (SELECT g, count(*) AS cnt FROM bg GROUP BY g),
+        |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams, sum(model.cnt) AS familiarity FROM bg JOIN model USING (g) GROUP BY bg.doc_id)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, CAST(familiarity AS BIGINT) AS familiarity,
+        |round(CAST(familiarity AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 4) AS mean_fam
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // the composed funnel: every stage's CTE is the SAME derivation its
     // standalone oracle uses (tok/sh/cand/lab from the d3→d10 chain, the
     // gopher metrics from t10's mirror, the gram overlap from d8's), so

@@ -523,4 +523,46 @@ object TextOps {
           (col("n_grams_a") + col("n_grams_b") - col("n_shared")), 6))
       .orderBy("source_a", "source_b")
   }
+
+  /** t16 char-bigram familiarity: the corpus-trained statistical quality
+    * filter (the CCNet "LM perplexity" stage reshaped for exactness) —
+    * where t2/t10 apply STATIC heuristics, t16 trains its model FROM the
+    * corpus: bigram counts over normalized text ([a-z ] after lowering)
+    * become the model, and each document scores the sum of its own
+    * bigrams' corpus counts. Gibberish and wrong-alphabet text land far
+    * below the corpus-typical mean; integer counts keep the score exact
+    * (no float log whose libm could differ from DuckDB's), with one
+    * final division for the per-bigram mean. Docs whose normalized form
+    * has < 2 chars carry no bigram and are excluded (oracle-identical,
+    * the t2 zero-token precedent).
+    *
+    * Scale path: the model is an at-most-729-key aggregation (27² over
+    * [a-z ]) — partial map-side combine makes the explode's shuffle
+    * bytes model-sized, not corpus-sized; scoring attaches the model as
+    * ONE broadcast map row and folds each doc's bigram array
+    * expression-side — no per-row join, no corpus exchange by doc_id
+    * (plan-locked). Every scored bigram is in the model by construction
+    * (trained on the same corpus), so the map lookup never misses. */
+  def t16CharLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    val base = docs
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z ]", "").as("norm"))
+      .filter(length(col("norm")) >= 2)
+      .withColumn("bg", transform(
+        sequence(lit(1), length(col("norm")) - 1),
+        i => col("norm").substr(i, lit(2))))
+      .select(col("doc_id"), col("bg"))
+    val modelMap = base.select(explode(col("bg")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .agg(map_from_entries(collect_list(struct(col("g"), col("cnt")))).as("m"))
+    base.crossJoin(broadcast(modelMap))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        aggregate(col("bg"), lit(0L),
+          (acc, g) => acc + element_at(col("m"), g)).as("familiarity"))
+      .withColumn("mean_fam",
+        r4(col("familiarity").cast("double") / col("n_bigrams").cast("double")))
+      .orderBy("doc_id")
+  }
 }

@@ -253,6 +253,25 @@ class InvariantSpec extends AnyFunSuite {
     assert(p1.getLong(2) > 0, "pipeline kept nothing — fixture degenerate")
   }
 
+  test("t16 familiarity: per-doc floor holds and the total is the model's sum of squared counts") {
+    val df = TextOps.t16CharLmScore(spark, sf)
+    // each scored bigram's corpus count includes its own occurrence
+    assert(df.filter(col("familiarity") < col("n_bigrams")).count() == 0)
+    // independent model recomputation: summing familiarity over all docs
+    // groups cnt_g instances of gram g, each scoring cnt_g — Σ cnt_g²
+    val grams = Sources.table(spark, sf, "documents")
+      .select(regexp_replace(lower(col("text")), "[^a-z ]", "").as("norm"))
+      .filter(length(col("norm")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("norm")) - 1),
+        i => col("norm").substr(i, lit(2)))).as("g"))
+    val agg = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")), sum(col("cnt") * col("cnt"))).collect()(0)
+    val mine = df.agg(sum("n_bigrams"), sum("familiarity")).collect()(0)
+    assert(mine.getLong(0) == agg.getLong(0))
+    assert(mine.getLong(1) == agg.getLong(1))
+  }
+
   test("d15 semdedup ledger partitions every vector; every cell keeps a survivor") {
     val df = SimilarityOps.d15SemDedup(spark, sf)
     assert(df.filter(col("n_dropped") + col("n_kept") =!= col("n_vecs")).count() == 0)

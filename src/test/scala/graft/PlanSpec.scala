@@ -139,6 +139,16 @@ class PlanSpec extends AnyFunSuite {
     assertNoBlowupJoin(finalPlan(graft.streaming.FullFunnel.batchTwin(docs)), "p3")
   }
 
+  test("t16 scoring folds against one broadcast model row, never a per-row join") {
+    val plan = finalPlan(graft.ops.TextOps.t16CharLmScore(spark, sf))
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      "scoring exchanges the corpus by doc_id — the model lookup " +
+        "regressed from the broadcast-map fold to a join + re-aggregate")
+    assert(!plan.contains("CartesianProduct"))
+    // (the single-row model-map attach plans as a constant-size BNLJ,
+    // same as s3's centroid attach — not an all-pairs blowup)
+  }
+
   test("d15 assignment stays narrow and its pair join meets on cell, never all-pairs") {
     val plan = finalPlan(SimilarityOps.d15SemDedup(spark, sf))
     assert(!plan.contains("CartesianProduct"),
