@@ -110,6 +110,7 @@ object SparkEntry {
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
     "m4_wav_meta" -> (MultimodalOps.m4WavMeta _),
+    "m5_bmp_meta" -> (MultimodalOps.m5BmpMeta _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -1043,6 +1044,20 @@ object SparkEntry {
         |CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes,
         |CAST((octet_length(encode(text)) * 1000) // (8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
+    // every parsed BMP field from its closed form; pixel_sum from the raw
+    // bytes (hex-nibble recovery — DuckDB substring can't slice BLOBs),
+    // pad pixels contribute zero by construction
+    "m5_bmp_meta" ->
+      """WITH g AS (SELECT doc_id, 16 + doc_id % 17 AS w, octet_length(encode(text)) AS n, hex(encode(text)) AS h FROM documents),
+        |d AS (SELECT doc_id, w, n, h, greatest((n + w - 1) // w, 1) AS hgt, ((w + 3) // 4) * 4 AS stride FROM g),
+        |s AS (SELECT doc_id, coalesce(sum((strpos('0123456789ABCDEF', substring(h, 2*i+1, 1)) - 1) * 16 + strpos('0123456789ABCDEF', substring(h, 2*i+2, 1)) - 1), 0) AS px
+        |  FROM d LEFT JOIN (SELECT doc_id AS di, unnest(range(n)) AS i FROM d) ON di = doc_id GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id, CAST(w AS BIGINT) AS width, CAST(hgt AS BIGINT) AS height,
+        |CAST(8 AS BIGINT) AS bpp, CAST(stride AS BIGINT) AS stride,
+        |CAST(stride * hgt AS BIGINT) AS image_size,
+        |CAST(14 + 40 + 1024 + stride * hgt AS BIGINT) AS file_size,
+        |CAST(s.px AS BIGINT) AS pixel_sum
+        |FROM d JOIN s ON s.doc_id = d.doc_id ORDER BY media_id""".stripMargin,
     "m3_frame_sample" -> {
       val k = MultimodalOps.FrameCount; val fb = MultimodalOps.FrameBytes
       val is = (0 until k).map(_.toString).mkString(", ")

@@ -271,6 +271,155 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
+  // ---- m5: a second real container, image-shaped (BMP) ---------------
+
+  /** Pixel row width for a doc's BMP — deliberately often NOT a multiple
+    * of 4, so the builder and parser must both honor the BMP stride rule
+    * (rows padded to 4-byte boundaries) instead of getting it for free. */
+  private[graft] def bmpWidth(docId: Long): Int = (16 + docId % 17).toInt
+
+  /** Build a spec-conformant 8-bpp palettized BMP: BITMAPFILEHEADER +
+    * 40-byte BITMAPINFOHEADER + a 256-entry grayscale palette + the
+    * pixel array, rows stored BOTTOM-UP and padded to 4-byte strides —
+    * the structural opposite of RIFF's chunk walk, which is the point of
+    * a second codec. The doc's bytes are the pixels, top-down row-major,
+    * zero-padded to fill the last row. */
+  private[graft] def buildBmp(docId: Long, data: Array[Byte]): Array[Byte] = {
+    val width = bmpWidth(docId)
+    val height = math.max((data.length + width - 1) / width, 1)
+    val stride = (width + 3) & ~3
+    val imageSize = stride * height
+    val pxOff = 14 + 40 + 256 * 4
+    val fileSize = pxOff + imageSize
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize)
+    buf.putShort(0.toShort); buf.putShort(0.toShort) // reserved
+    buf.putInt(pxOff)
+    buf.putInt(40) // BITMAPINFOHEADER
+    buf.putInt(width)
+    buf.putInt(height) // positive: bottom-up
+    buf.putShort(1.toShort) // planes
+    buf.putShort(8.toShort) // bpp
+    buf.putInt(0) // BI_RGB
+    buf.putInt(imageSize)
+    buf.putInt(2835); buf.putInt(2835) // 72 dpi
+    buf.putInt(256); buf.putInt(0) // palette entries / important
+    var i = 0
+    while (i < 256) { // grayscale BGRA palette
+      buf.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte); i += 1
+    }
+    // rows bottom-up: file row r holds logical (top-down) row height-1-r
+    var r = height - 1
+    while (r >= 0) {
+      val rowStart = r * width
+      var c = 0
+      while (c < stride) {
+        val idx = rowStart + c
+        buf.put(if (c < width && idx < data.length) data(idx) else 0.toByte)
+        c += 1
+      }
+      r -= 1
+    }
+    buf.array()
+  }
+
+  /** Parsed BMP facts (long-typed for the oracle). */
+  private[graft] final case class BmpMeta(
+    width: Long, height: Long, bpp: Long, stride: Long,
+    imageSize: Long, fileSize: Long, pixelSum: Long)
+
+  /** Parse a BMP per the spec: validate the magic, read LE header fields,
+    * seek to the DECLARED pixel offset (never builder arithmetic), walk
+    * rows bottom-up computing the stride from width per the 4-byte rule,
+    * and sum pixel values over the logical image (pad columns excluded
+    * per spec — they are stride filler, not pixels). */
+  private[graft] def parseBmp(bytes: Array[Byte]): BmpMeta = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.get() == 'B'.toByte && buf.get() == 'M'.toByte, "not a BMP")
+    val fileSize = buf.getInt.toLong
+    buf.getShort; buf.getShort // reserved
+    val pxOff = buf.getInt
+    val dibSize = buf.getInt
+    require(dibSize >= 40, s"unsupported DIB header: $dibSize")
+    val width = buf.getInt.toLong
+    val height = buf.getInt.toLong
+    require(height > 0, "top-down BMPs not produced here")
+    buf.getShort // planes
+    val bpp = buf.getShort.toLong
+    require(bpp == 8, s"not 8-bpp: $bpp")
+    require(buf.getInt == 0, "compressed BMP")
+    val imageSize = buf.getInt.toLong
+    val stride = ((width + 3) & ~3L)
+    require(pxOff + imageSize <= bytes.length, "pixel array overruns file")
+    var sum = 0L
+    var r = 0
+    while (r < height) {
+      val rowOff = pxOff + (height - 1 - r) * stride // bottom-up
+      var c = 0
+      while (c < width) {
+        sum += java.lang.Byte.toUnsignedInt(bytes(rowOff.toInt + c))
+        c += 1
+      }
+      r += 1
+    }
+    BmpMeta(width, height, bpp, stride, imageSize, fileSize, sum)
+  }
+
+  /** Decode the logical (top-down row-major) pixel bytes back out of a
+    * BMP — the image twin of [[decodeWav]], used by the round-trip
+    * property test. */
+  private[graft] def decodeBmp(bytes: Array[Byte]): Array[Byte] = {
+    val m = parseBmp(bytes)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(10)
+    val pxOff = buf.getInt
+    val out = new Array[Byte]((m.width * m.height).toInt)
+    var r = 0
+    while (r < m.height) {
+      val rowOff = pxOff + (m.height - 1 - r) * m.stride
+      System.arraycopy(bytes, rowOff.toInt, out, (r * m.width).toInt, m.width.toInt)
+      r += 1
+    }
+    out
+  }
+
+  /** m5: wrap each doc's bytes into a BMP (builder) and parse the image
+    * back per-partition — the second real codec behind the m2/m4 seam,
+    * structurally disjoint from RIFF (fixed headers + strided bottom-up
+    * rows vs walked chunks). The oracle recomputes every field from its
+    * closed form: width from doc_id, height/stride/sizes from the byte
+    * count per the 4-byte stride rule, and the pixel sum from the raw
+    * text bytes (pad pixels are zero by construction, and the parser
+    * sums the LOGICAL image only — a stride/flip bug breaks the sum). */
+  def m5BmpMeta(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("bpp", LongType),
+      StructField("stride", LongType),
+      StructField("image_size", LongType),
+      StructField("file_size", LongType),
+      StructField("pixel_sum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .mapPartitions { rows =>
+        // codec init once per partition (the ProducerFinal.scala:66 move)
+        rows.map { r =>
+          val bmp = buildBmp(r.getLong(0), r.getAs[Array[Byte]](1))
+          val m = parseBmp(bmp)
+          Row(r.getLong(0), m.width, m.height, m.bpp, m.stride,
+            m.imageSize, m.fileSize, m.pixelSum)
+        }
+      }(enc)
+      .orderBy("media_id")
+  }
+
   /** m1: metadata + content-hash projection over the media table —
     * the oracle-checkable slice of the multimodal path. */
   def m1MultimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -72,3 +72,41 @@ object WavCodecProps extends Properties("wavCodec") {
         .sameElements(data)
     }
 }
+
+/** The m5 BMP codec: strided bottom-up rows must invert exactly — a
+  * stride or row-flip bug shows up as byte misplacement — and every
+  * parsed field must match its closed form. */
+object BmpCodecProps extends Properties("bmpCodec") {
+  import graft.ops.MultimodalOps
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+  private val idGen: Gen[Long] = Gen.choose(0L, 1000000L)
+
+  property("parse inverts build for every field") =
+    forAll(idGen, bytesGen) { (id, data) =>
+      val m = MultimodalOps.parseBmp(MultimodalOps.buildBmp(id, data))
+      val w = MultimodalOps.bmpWidth(id).toLong
+      val h = math.max((data.length + w - 1) / w, 1)
+      val stride = (w + 3) & ~3L
+      m.width == w && m.height == h && m.bpp == 8L &&
+        m.stride == stride && m.imageSize == stride * h &&
+        m.fileSize == 14L + 40L + 1024L + stride * h &&
+        m.pixelSum == data.map(java.lang.Byte.toUnsignedInt(_).toLong).sum
+    }
+
+  property("decode recovers the logical pixels: data then zero fill") =
+    forAll(idGen, bytesGen) { (id, data) =>
+      val px = MultimodalOps.decodeBmp(MultimodalOps.buildBmp(id, data))
+      val w = MultimodalOps.bmpWidth(id)
+      val h = math.max((data.length + w - 1) / w, 1)
+      px.length == w * h &&
+        px.take(data.length).sameElements(data) &&
+        px.drop(data.length).forall(_ == 0)
+    }
+
+  property("rejects payloads without the BM magic") = forAll(bytesGen) { bs =>
+    bs.length >= 2 && bs(0) == 'B'.toByte && bs(1) == 'M'.toByte ||
+      scala.util.Try(MultimodalOps.parseBmp(bs)).isFailure
+  }
+}
