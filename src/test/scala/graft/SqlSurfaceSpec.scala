@@ -121,4 +121,50 @@ class SqlSurfaceSpec extends AnyFunSuite {
          |FROM k GROUP BY source ORDER BY source""".stripMargin)
     assert(rows(viaSql) == rows(graft.ops.TextOps.t14MixSample(spark, sf)))
   }
+
+  test("t16 char-LM scoring via spark.sql ≡ DataFrame gate entry") {
+    // the SQL face scores by join + re-aggregate where the gate folds a
+    // broadcast map — different plan, identical integers
+    val viaSql = sql.sql(
+      """WITH nd AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '') AS norm FROM documents),
+        |nd2 AS (SELECT doc_id, norm FROM nd WHERE length(norm) >= 2),
+        |bg AS (SELECT doc_id, explode(transform(sequence(1, length(norm) - 1), i -> substring(norm, i, 2))) AS g FROM nd2),
+        |model AS (SELECT g, count(*) AS cnt FROM bg GROUP BY g),
+        |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams, sum(model.cnt) AS familiarity
+        |  FROM bg JOIN model USING (g) GROUP BY bg.doc_id)
+        |SELECT doc_id, n_bigrams, familiarity,
+        |round(familiarity / n_bigrams, 4) AS mean_fam
+        |FROM sc ORDER BY doc_id""".stripMargin)
+    assert(rows(viaSql) == rows(graft.ops.TextOps.t16CharLmScore(spark, sf)))
+  }
+
+  test("d15 semdedup via spark.sql ≡ DataFrame gate entry (graft_dot through SQL)") {
+    // the custom codegen expression is callable from the SQL face, and
+    // the row_number assignment picks the identical cells the gate's
+    // narrow argmax picks
+    val k = graft.ops.SimilarityOps.IvfCells
+    val th = graft.ops.SimilarityOps.SemThreshold
+    val viaSql = sql.sql(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v, label FROM embeddings),
+         |n AS (SELECT vec_id, v, label, sqrt(graft_dot(v, v)) AS nrm FROM e),
+         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $k),
+         |ac AS (SELECT n.vec_id, n.v, n.nrm, s.c_id, graft_dot(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+         |ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+         |asn AS (SELECT vec_id, v, nrm, c_id AS cell, ccos FROM ar WHERE arn = 1),
+         |p AS (SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id, a.ccos AS acc, b.ccos AS bcc,
+         |  graft_dot(a.v, b.v) / (a.nrm * b.nrm) AS cs
+         |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |pp AS (SELECT cell, CASE WHEN acc > bcc THEN a_id WHEN acc < bcc THEN b_id ELSE greatest(a_id, b_id) END AS victim
+         |  FROM p WHERE cs >= $th),
+         |vict AS (SELECT cell, victim FROM pp GROUP BY cell, victim),
+         |ndp AS (SELECT cell, count(*) AS n_dropped FROM vict GROUP BY cell),
+         |np AS (SELECT cell, count(*) AS n_pairs FROM pp GROUP BY cell),
+         |nv AS (SELECT cell, count(*) AS n_vecs FROM asn GROUP BY cell)
+         |SELECT nv.cell, nv.n_vecs, coalesce(np.n_pairs, 0L) AS n_pairs,
+         |coalesce(ndp.n_dropped, 0L) AS n_dropped,
+         |nv.n_vecs - coalesce(ndp.n_dropped, 0L) AS n_kept
+         |FROM nv LEFT JOIN np ON np.cell = nv.cell LEFT JOIN ndp ON ndp.cell = nv.cell
+         |ORDER BY cell""".stripMargin)
+    assert(rows(viaSql) == rows(graft.ops.SimilarityOps.d15SemDedup(spark, sf)))
+  }
 }
