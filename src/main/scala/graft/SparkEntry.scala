@@ -79,6 +79,7 @@ object SparkEntry {
     "d14_bloom_decontam" -> (DedupOps.d14BloomDecontamination _),
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
     "d15_semdedup" -> (SimilarityOps.d15SemDedup _),
+    "d16_sem_clusters" -> (SimilarityOps.d16SemClusters _),
     "d6_quantize" -> (SimilarityOps.d6Quantize _),
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
     "s3_ann_ivf" -> (SimilarityOps.s3AnnIvf _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
     "m4_wav_meta" -> (MultimodalOps.m4WavMeta _),
     "m5_bmp_meta" -> (MultimodalOps.m5BmpMeta _),
+    "m6_bmp_row_sample" -> (MultimodalOps.m6BmpRowSample _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -343,6 +345,22 @@ object SparkEntry {
   private val embCte =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
       |n AS (SELECT vec_id, v, label, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  /** d15/d16's shared CTE chain: quantizer assignment (with the cosine
+    * to the own-cell centroid), within-cell exact-cosine pairs, and the
+    * thresholded pair set with its pairwise victim. */
+  private def semPairCte: String =
+    s"""$embCte,
+       |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+       |ac AS (SELECT n.vec_id, n.v, n.nrm, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+       |ar AS (SELECT vec_id, v, nrm, c_id AS cell, ccos, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+       |asn AS (SELECT vec_id, v, nrm, cell, ccos FROM ar WHERE arn = 1),
+       |p AS (SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id, a.ccos AS acc, b.ccos AS bcc,
+       |  list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
+       |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |pp AS (SELECT cell, a_id, b_id,
+       |  CASE WHEN acc > bcc THEN a_id WHEN acc < bcc THEN b_id ELSE greatest(a_id, b_id) END AS victim
+       |  FROM p WHERE cs >= ${SimilarityOps.SemThreshold})""".stripMargin
 
   /** s3's oracle, shared verbatim by s11 (stream-built index ≡ batch). */
   private def s3IvfSql: String =
@@ -889,17 +907,7 @@ object SparkEntry {
     // SemDeDup: s3's deterministic quantizer assigns cells, exact cosine
     // within a cell flags pairs, the nearer-to-centroid member drops
     "d15_semdedup" ->
-      s"""WITH $embCte,
-         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
-         |ac AS (SELECT n.vec_id, n.v, n.nrm, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
-         |ar AS (SELECT vec_id, v, nrm, c_id AS cell, ccos, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
-         |asn AS (SELECT vec_id, v, nrm, cell, ccos FROM ar WHERE arn = 1),
-         |p AS (SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id, a.ccos AS acc, b.ccos AS bcc,
-         |  list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
-         |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-         |pp AS (SELECT cell, a_id, b_id,
-         |  CASE WHEN acc > bcc THEN a_id WHEN acc < bcc THEN b_id ELSE greatest(a_id, b_id) END AS victim
-         |  FROM p WHERE cs >= ${SimilarityOps.SemThreshold}),
+      s"""WITH $semPairCte,
          |vict AS (SELECT cell, victim FROM pp GROUP BY cell, victim),
          |nd AS (SELECT cell, count(*) AS n_dropped FROM vict GROUP BY cell),
          |np AS (SELECT cell, count(*) AS n_pairs FROM pp GROUP BY cell),
@@ -910,6 +918,21 @@ object SparkEntry {
          |CAST(nv.n_vecs - coalesce(nd.n_dropped, 0) AS BIGINT) AS n_kept
          |FROM nv LEFT JOIN np ON np.cell = nv.cell LEFT JOIN nd ON nd.cell = nv.cell
          |ORDER BY cell""".stripMargin,
+    // d16 = d10's transitive-closure recursion over d15's pair CTEs; the
+    // component keeps its min-(ccos, vec_id) member — SemDeDup's rule at
+    // group granularity
+    "d16_sem_clusters" ->
+      s"""WITH RECURSIVE $semPairCte,
+         |nodes AS (SELECT a_id AS id FROM pp UNION SELECT b_id FROM pp),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM pp UNION SELECT b_id, a_id FROM pp),
+         |reach(id, lbl) AS (SELECT id, id FROM nodes UNION SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+         |lab AS (SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |k AS (SELECT lab.vec_id, lab.cluster_id, asn.ccos FROM lab JOIN asn ON asn.vec_id = lab.vec_id),
+         |r AS (SELECT vec_id, cluster_id, ccos,
+         |  row_number() OVER (PARTITION BY cluster_id ORDER BY ccos ASC, vec_id ASC) AS rn,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM k)
+         |SELECT vec_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size, rn = 1 AS kept
+         |FROM r ORDER BY vec_id""".stripMargin,
     // pairs flagged by either modality, with provenance: nested-WITH
     // subqueries reuse the two pair chains verbatim, so d13's oracle IS
     // "d3's oracle ⋈full d5's oracle" by construction
@@ -1044,6 +1067,19 @@ object SparkEntry {
         |CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes,
         |CAST((octet_length(encode(text)) * 1000) // (8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
+    // each sampled row's bytes from closed form: a data slice zero-filled
+    // at the tail, digested over its lower-hex rendering (m3's pattern)
+    "m6_bmp_row_sample" -> {
+      val k = MultimodalOps.RowSampleCount
+      val is = (0 until k).map(_.toString).mkString(", ")
+      s"""WITH g AS (SELECT doc_id, 16 + doc_id % 17 AS w, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h FROM documents),
+         |d AS (SELECT doc_id, w, n, h, greatest((n + w - 1) // w, 1) AS hgt FROM g),
+         |f AS (SELECT doc_id, w, n, h, hgt, i, CAST(i * (hgt - 1) // ${k - 1} AS BIGINT) AS ri FROM d CROSS JOIN (SELECT unnest([$is]) AS i)),
+         |t AS (SELECT doc_id, i, ri, greatest(least(n - ri * w, w), 0) AS taken, w, h FROM f)
+         |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS row_no, ri AS row_idx,
+         |md5(substring(h, CAST(2 * ri * w + 1 AS INT), CAST(2 * taken AS INT)) || repeat('00', CAST(w - taken AS INT))) AS row_md5
+         |FROM t ORDER BY media_id, row_no""".stripMargin
+    },
     // every parsed BMP field from its closed form; pixel_sum from the raw
     // bytes (hex-nibble recovery — DuckDB substring can't slice BLOBs),
     // pad pixels contribute zero by construction

@@ -420,6 +420,72 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
+  /** Light header probe: width, height, stride, pixel offset — the
+    * byte range a ranged fetch would read before seeking. */
+  private def bmpHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.get() == 'B'.toByte && buf.get() == 'M'.toByte, "not a BMP")
+    buf.position(10)
+    val pxOff = buf.getInt
+    buf.position(18)
+    val width = buf.getInt
+    val height = buf.getInt
+    (width, height, (width + 3) & ~3, pxOff)
+  }
+
+  /** Seek-decode ONE logical row out of a BMP: header fields give the
+    * row's byte range (declared pixel offset + bottom-up stride
+    * arithmetic), and only those `width` bytes are touched — the
+    * ranged-read shape that matters at 100 TB, where decoding a sample
+    * of rows must not fetch the whole object. */
+  private[graft] def decodeBmpRow(bytes: Array[Byte], row: Int): Array[Byte] = {
+    val (width, height, stride, pxOff) = bmpHeader(bytes)
+    require(row >= 0 && row < height, s"row $row out of [0, $height)")
+    val off = pxOff + (height - 1 - row) * stride
+    java.util.Arrays.copyOfRange(bytes, off, off + width)
+  }
+
+  /** Rows sampled per image (m6). */
+  val RowSampleCount = 4
+
+  /** m6: random-access row sampling over the BMP container — m3's
+    * frame-sampling shape upgraded from opaque byte windows to REAL
+    * codec-addressed units: four evenly spaced logical rows are
+    * seek-decoded by header arithmetic (see [[decodeBmpRow]]) and
+    * digested. The oracle recomputes each row's bytes from closed form
+    * (data slice + zero fill at the tail) — a stride, flip, or offset
+    * bug lands the seek on the wrong bytes and breaks the digest. */
+  def m6BmpRowSample(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("row_no", LongType),
+      StructField("row_idx", LongType),
+      StructField("row_md5", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .mapPartitions { rows =>
+        // digest instance init once per partition (the ProducerFinal.scala:66 move)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bmp = buildBmp(id, r.getAs[Array[Byte]](1))
+          val (_, height, _, _) = bmpHeader(bmp)
+          (0 until RowSampleCount).map { i =>
+            val ri = i * (height - 1) / (RowSampleCount - 1)
+            val hexStr = decodeBmpRow(bmp, ri)
+              .map(b => f"${b & 0xff}%02x").mkString
+            md.reset()
+            val digest = md.digest(hexStr.getBytes("US-ASCII"))
+              .map(b => f"${b & 0xff}%02x").mkString
+            Row(id, i.toLong, ri.toLong, digest)
+          }
+        }
+      }(enc)
+      .orderBy("media_id", "row_no")
+  }
+
   /** m1: metadata + content-hash projection over the media table —
     * the oracle-checkable slice of the multimodal path. */
   def m1MultimodalMeta(spark: SparkSession, dir: String): DataFrame =

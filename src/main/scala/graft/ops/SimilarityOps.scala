@@ -808,28 +808,8 @@ object SimilarityOps {
     * (BASELINE.md); this extends its per-tweet pipeline pattern to the
     * north-star corpus-prep suite. */
   def d15SemDedup(spark: SparkSession, dir: String): DataFrame = {
-    val all = normed(spark, dir)
-    val seeds = all.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val centArr = seeds
-      .select(struct(col("c_id"), col("cv"), col("cn")).as("cent"))
-      .agg(array_sort(collect_list(col("cent"))).as("cents"))
-    val asn = all.crossJoin(broadcast(centArr))
-      .withColumn("best", element_at(rankedCellStructs(col("cents"), col("v"), col("nrm")), 1))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("best.c_id").as("cell"), col("best.ccos").as("ccos"))
-    val a = asn.select(col("cell"), col("vec_id").as("a_id"), col("v").as("av"),
-      col("nrm").as("an"), col("ccos").as("acc"))
-    val b = asn.select(col("cell"), col("vec_id").as("b_id"), col("v").as("bv"),
-      col("nrm").as("bn"), col("ccos").as("bcc"))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("cs", dot(col("av"), col("bv")) / (col("an") * col("bn")))
-      .filter(col("cs") >= SemThreshold)
-      .withColumn("victim",
-        when(col("acc") > col("bcc"), col("a_id"))
-          .when(col("acc") < col("bcc"), col("b_id"))
-          .otherwise(greatest(col("a_id"), col("b_id"))))
+    val asn = semAssigned(spark, dir)
+    val pairs = semPairs(asn)
     val victims = pairs.select(col("cell"), col("victim")).distinct()
       .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
     val nPairs = pairs.groupBy("cell").agg(count(lit(1)).as("n_pairs"))
@@ -841,5 +821,66 @@ object SimilarityOps {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
       .orderBy("cell")
+  }
+
+  /** d15/d16's shared assignment: every vector with its cell and its
+    * cosine TO the cell centroid (the pruning signal). */
+  private def semAssigned(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    val centArr = ivfSeedCentroids(all)
+      .select(struct(col("c_id"), col("cv"), col("cn")).as("cent"))
+      .agg(array_sort(collect_list(col("cent"))).as("cents"))
+    all.crossJoin(broadcast(centArr))
+      .withColumn("best", element_at(rankedCellStructs(col("cents"), col("v"), col("nrm")), 1))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("best.c_id").as("cell"), col("best.ccos").as("ccos"))
+  }
+
+  /** d15/d16's shared within-cell duplicate pairs (exact cosine at
+    * [[SemThreshold]]), each carrying the pairwise victim. */
+  private def semPairs(asn: DataFrame): DataFrame = {
+    val a = asn.select(col("cell"), col("vec_id").as("a_id"), col("v").as("av"),
+      col("nrm").as("an"), col("ccos").as("acc"))
+    val b = asn.select(col("cell"), col("vec_id").as("b_id"), col("v").as("bv"),
+      col("nrm").as("bn"), col("ccos").as("bcc"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cs", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cs") >= SemThreshold)
+      .withColumn("victim",
+        when(col("acc") > col("bcc"), col("a_id"))
+          .when(col("acc") < col("bcc"), col("b_id"))
+          .otherwise(greatest(col("a_id"), col("b_id"))))
+  }
+
+  /** d16 semantic dup-clusters: SemDeDup's keep rule at COMPONENT
+    * granularity — d15's pairwise rule can over-drop a chain's middle
+    * members; the paper keeps exactly one representative per duplicate
+    * GROUP. d15's within-cell pairs are the edge list, d10's
+    * large-star/small-star contraction labels the components
+    * (log-round convergence, reused verbatim), and each component keeps
+    * its FARTHEST-from-centroid member (min centroid-cosine, tie lowest
+    * vec_id) — the cluster-edge representative. Emits every clustered
+    * vector with its cluster id/size and keep verdict; unpaired vectors
+    * are trivially kept and not emitted (d10's contract).
+    *
+    * Scale path: inherits d15's bounded pair generation and d10's
+    * pair-sized contraction shuffles — nothing here is corpus-sized
+    * except the assignment narrow map; components never span cells (the
+    * edge list is within-cell by construction), so the contraction's
+    * key space is naturally partitioned. */
+  def d16SemClusters(spark: SparkSession, dir: String): DataFrame = {
+    val asn = semAssigned(spark, dir)
+    val labels = DedupOps.connectedComponents(
+      semPairs(asn).select("a_id", "b_id"))
+    val sized = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    val cc = asn.select(col("vec_id"), col("ccos"))
+    val w = Window.partitionBy("lbl").orderBy(col("ccos").asc, col("vec_id").asc)
+    labels.join(cc, labels("id") === cc("vec_id"))
+      .join(sized, "lbl")
+      .withColumn("rn", row_number().over(w))
+      .select(col("vec_id"), col("lbl").as("cluster_id"), col("cluster_size"),
+        (col("rn") === 1).as("kept"))
+      .orderBy("vec_id")
   }
 }

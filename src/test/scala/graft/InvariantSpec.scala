@@ -285,6 +285,23 @@ class InvariantSpec extends AnyFunSuite {
       "fixture has no within-cell semantic dups — degenerate")
   }
 
+  test("d16 components: one survivor per cluster; the component rule bounds the pairwise rule") {
+    val df = SimilarityOps.d16SemClusters(spark, sf)
+    val per = df.groupBy("cluster_id").agg(
+      sum(when(col("kept"), 1L).otherwise(0L)).as("nk"),
+      count(lit(1)).as("n"), first("cluster_size").as("cs"))
+    assert(per.filter(col("nk") =!= 1L).count() == 0,
+      "a cluster kept zero or multiple representatives")
+    assert(per.filter(col("n") =!= col("cs")).count() == 0)
+    // pairwise d15 never drops a component's least-central member and
+    // only drops component members, so component drops dominate
+    val d16Drops = df.filter(!col("kept")).count()
+    val d15Drops = SimilarityOps.d15SemDedup(spark, sf)
+      .agg(sum("n_dropped")).collect()(0).getLong(0)
+    assert(d16Drops >= d15Drops)
+    assert(df.count() > 0, "no semantic clusters on the fixture — degenerate")
+  }
+
   test("p3 online funnel partitions every document exactly once, ties to p1 on the fixture") {
     val df = graft.streaming.FullFunnel.p3StreamFunnel(spark, sf)
     val bad = df.filter(

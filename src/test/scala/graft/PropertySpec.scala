@@ -109,4 +109,18 @@ object BmpCodecProps extends Properties("bmpCodec") {
     bs.length >= 2 && bs(0) == 'B'.toByte && bs(1) == 'M'.toByte ||
       scala.util.Try(MultimodalOps.parseBmp(bs)).isFailure
   }
+
+  property("row seek-decode returns exactly the logical row, any row") =
+    forAll(idGen, bytesGen) { (id, data) =>
+      val bmp = MultimodalOps.buildBmp(id, data)
+      val w = MultimodalOps.bmpWidth(id)
+      val h = math.max((data.length + w - 1) / w, 1)
+      (0 until h).forall { r =>
+        val expect = Array.tabulate[Byte](w) { c =>
+          val idx = r * w + c
+          if (idx < data.length) data(idx) else 0.toByte
+        }
+        MultimodalOps.decodeBmpRow(bmp, r).sameElements(expect)
+      }
+    }
 }
