@@ -539,28 +539,47 @@ object TextOps {
     * Scale path: the model is an at-most-729-key aggregation (27² over
     * [a-z ]) — partial map-side combine makes the explode's shuffle
     * bytes model-sized, not corpus-sized; scoring attaches the model as
-    * ONE broadcast map row and folds each doc's bigram array
-    * expression-side — no per-row join, no corpus exchange by doc_id
-    * (plan-locked). Every scored bigram is in the model by construction
-    * (trained on the same corpus), so the map lookup never misses. */
+    * ONE broadcast row holding a DENSE 729-slot count array and folds
+    * each doc's integer-coded bigram array expression-side with O(1)
+    * positional lookups — no per-row join, no corpus exchange by doc_id
+    * (plan-locked). The alphabet bijection (27·idx(c₁) + idx(c₂)) keys
+    * the same counts the string bigrams would, so results are unchanged
+    * and the oracle stays string-keyed. Both naive formulations were
+    * measured and rejected at sf0.1: a map-typed model probed per
+    * bigram (element_at on a map is a ~729-comparison linear scan) plus
+    * index-addressed substr bigrams ran 18.6 s; the dense array alone
+    * still 40 s (two O(position) substr calls per index dominate); the
+    * one-pass char split + linear zip runs 2.0 s and scales 1.06× on
+    * 10× data (SURVEY §4.2b). */
   def t16CharLmScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.table(spark, dir, "documents")
+    // [a-z ] → 0..26: the alphabet index of a single-char column
+    def cIdx(c: Column): Column =
+      when(c === " ", lit(26)).otherwise(ascii(c) - 97)
     val base = docs
       .select(col("doc_id"),
         regexp_replace(lower(col("text")), "[^a-z ]", "").as("norm"))
       .filter(length(col("norm")) >= 2)
-      .withColumn("bg", transform(
-        sequence(lit(1), length(col("norm")) - 1),
-        i => col("norm").substr(i, lit(2))))
+      // one O(n) char split + a linear zip of adjacent indices — an
+      // index-addressed substr() here is O(position) on UTF8 strings,
+      // turning bigram extraction O(n²) per doc (measured 2×+ the whole
+      // operator cost at sf0.1)
+      .withColumn("ci", transform(split(col("norm"), ""), c => cIdx(c)))
+      .withColumn("bg", zip_with(
+        slice(col("ci"), lit(1), size(col("ci")) - 1),
+        slice(col("ci"), lit(2), size(col("ci")) - 1),
+        (a, b) => a * 27 + b))
       .select(col("doc_id"), col("bg"))
-    val modelMap = base.select(explode(col("bg")).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("cnt"))
-      .agg(map_from_entries(collect_list(struct(col("g"), col("cnt")))).as("m"))
-    base.crossJoin(broadcast(modelMap))
+    val modelArr = base.select(explode(col("bg")).as("gi"))
+      .groupBy("gi").agg(count(lit(1)).as("cnt"))
+      .agg(map_from_entries(collect_list(struct(col("gi"), col("cnt")))).as("m"))
+      .select(transform(sequence(lit(0), lit(27 * 27 - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("arr"))
+    base.crossJoin(broadcast(modelArr))
       .select(col("doc_id"),
         size(col("bg")).cast("long").as("n_bigrams"),
         aggregate(col("bg"), lit(0L),
-          (acc, g) => acc + element_at(col("m"), g)).as("familiarity"))
+          (acc, gi) => acc + element_at(col("arr"), gi + 1)).as("familiarity"))
       .withColumn("mean_fam",
         r4(col("familiarity").cast("double") / col("n_bigrams").cast("double")))
       .orderBy("doc_id")
