@@ -84,6 +84,8 @@ object SparkEntry {
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
     "s3_ann_ivf" -> (SimilarityOps.s3AnnIvf _),
     "s11_stream_ann_ingest" -> (graft.streaming.StreamAnnIngest.s11StreamAnnIngest _),
+    "s12_stream_ann_delete" -> (graft.streaming.StreamAnnIngest.s12StreamAnnDelete _),
+    "s13_ann_compact" -> (graft.streaming.StreamAnnIngest.s13AnnCompact _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
     "s5_ann_pq" -> (SimilarityOps.s5AnnPq _),
     "s6_ann_ivfpq" -> (SimilarityOps.s6AnnIvfPq _),
@@ -362,17 +364,31 @@ object SparkEntry {
        |  CASE WHEN acc > bcc THEN a_id WHEN acc < bcc THEN b_id ELSE greatest(a_id, b_id) END AS victim
        |  FROM p WHERE cs >= ${SimilarityOps.SemThreshold})""".stripMargin
 
-  /** s3's oracle, shared verbatim by s11 (stream-built index ≡ batch). */
-  private def s3IvfSql: String =
+  /** s3's oracle, parameterized by a corpus-survivor predicate: seeds
+    * (the quantizer) always come from the FULL vector set — deletes
+    * never retrain a production coarse quantizer — while assignment and
+    * probing run over the filtered corpus. Empty filter = s3 itself;
+    * s12 passes the tombstone rule. */
+  private def s3IvfSqlWhere(corpusFilter: String): String =
     s"""WITH $embCte,
+       |nf AS (SELECT * FROM n $corpusFilter),
        |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
-       |ac AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+       |ac AS (SELECT nf.vec_id, nf.v, nf.nrm, nf.label, s.c_id, list_inner_product(nf.v, s.cv) / (nf.nrm * s.cn) AS ccos FROM nf CROSS JOIN seeds s),
        |ar AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
        |asn AS (SELECT vec_id, v, nrm, label, cell FROM ar WHERE arn = 1),
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
        |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
        |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
        |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  /** s3's oracle, shared verbatim by s11 (stream-built index ≡ batch). */
+  private def s3IvfSql: String = s3IvfSqlWhere("")
+
+  /** s12/s13's shared oracle: s3 over the surviving corpus (the delete
+    * rule mirrors StreamAnnIngest.deleteRequests) with the ORIGINAL
+    * full-set quantizer — deletion semantics, not a retrained index. */
+  private def survivorIvfSql: String =
+    s3IvfSqlWhere("WHERE NOT (vec_id % 10 = 7 AND label = 0)")
 
   /** Mirror of SimilarityOps.pqCodebook/pqCodes (+ reconstructed norm):
     * appended after [[embCte]], yields `cbn(cbs)` (the [m][k] nested
@@ -960,6 +976,16 @@ object SparkEntry {
     // oracle is s3's SQL verbatim (shared string): stream-built ≡
     // batch-built is the claim, same pattern as d12 vs d3
     "s11_stream_ann_ingest" -> s3IvfSql,
+    // s12 completes the index lifecycle with DELETES: the oracle is s3
+    // over the SURVIVING corpus with the ORIGINAL full-set quantizer —
+    // deletion semantics (tombstone merge at probe), not a smaller
+    // corpus's retrained index. The delete rule mirrors
+    // StreamAnnIngest.deleteRequests exactly.
+    "s12_stream_ann_delete" -> survivorIvfSql,
+    // s13 compacts s12's store (tombstones retired, cells rewritten) —
+    // compaction must be query-invisible, so the oracle is s12's SQL
+    // verbatim (shared string), same pattern as s11 vs s3
+    "s13_ann_compact" -> survivorIvfSql,
     "s4_ann_recall" ->
       s"""${annRecallCtes(embCte)}
          |SELECT qs.q_id AS q_id, mth.method AS method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, round(coalesce(h.hits, 0) / 3.0, 4) AS recall

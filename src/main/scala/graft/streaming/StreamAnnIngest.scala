@@ -88,4 +88,148 @@ object StreamAnnIngest {
     SimilarityOps.assignCells(batch, seeds)
       .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
   }
+
+  // ---- s12: deletes — the tombstone merge s11's scaladoc promises ----
+
+  /** The deterministic delete ledger: corpus vectors (never queries)
+    * with vec_id ≡ 7 (mod 10) — a seed-free rule both the gate and the
+    * DuckDB oracle replay exactly. */
+  private def deleteRequests(all: DataFrame): DataFrame =
+    all.filter(col("vec_id") % 10 === 7 && col("label") === 0)
+      .select("vec_id")
+
+  def s12StreamAnnDelete(spark: SparkSession, dir: String): DataFrame =
+    s12WithBatchCount(spark, dir)._1
+
+  /** The delete rule's Spark-side predicate, shared with the batch twin
+    * in StreamEquivSpec (the oracle mirrors it in SQL). */
+  private[graft] def survivorFilter(df: DataFrame): DataFrame =
+    df.filter(!(col("vec_id") % 10 === 7 && col("label") === 0))
+
+  /** s12: s11's ingest with the index lifecycle completed — DELETES.
+    * A standing delete-request ledger (requests may precede their
+    * vector's arrival, the out-of-order case a real queue has) is
+    * drained per micro-batch: each batch tombstones the requested
+    * vec_ids that are present in the index as of this batch and not yet
+    * tombstoned — so a vector ingested in batch 0 and requested later
+    * is tombstoned by a LATER batch, exercising the cross-batch path.
+    * The quantizer is untouched (deletes never retrain a production
+    * coarse quantizer — a deleted seed vector keeps serving as a
+    * centroid), and the probe merges at query time: index store
+    * anti-joined with the tombstone store on vec_id, then the same
+    * zero-assignment-work probe as s11.
+    *
+    * The gate checks the merged probe against the DuckDB oracle of s3
+    * over the SURVIVING corpus with the ORIGINAL quantizer — deletion
+    * semantics, not a smaller corpus's re-trained index. Scale: the
+    * tombstone store is request-sized, its per-batch append is an
+    * anti-join of requests against tombstones (both tiny); the probe's
+    * anti-join keys on vec_id and at 100 TB rides the same
+    * cell-bucketed layout as the index (tombstones carry their cell). */
+  private[graft] def s12WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int, Array[Long]) = {
+    val (_, store, tombs, nBatches) = runDeleteStream(spark, dir)
+    val live = liveRows(spark, store, tombs)
+    // test seam: tombstones registered per drain batch, in batch order —
+    // >1 non-empty batch proves requests stayed pending until their
+    // vector arrived (the out-of-order case)
+    val drainCounts = spark.read.parquet(tombs)
+      .groupBy("batch_id").count().orderBy("batch_id")
+      .collect().map(_.getLong(1))
+    (SimilarityOps.probeAssigned(live), nBatches, drainCounts)
+  }
+
+  /** s12's ingest-with-deletes stream run, shared by s13: returns
+    * (work root, index store path, tombstone store path, batch count). */
+  private def runDeleteStream(spark: SparkSession, dir: String): (String, String, String, Int) = {
+    val work = Files.createTempDirectory("graft_annstream_del_").toString
+    val splitDir = s"$work/in"
+    val all = SimilarityOps.normed(spark, dir)
+    all.select("vec_id", "v", "nrm", "label")
+      .repartitionByRange(SplitFiles, col("vec_id"))
+      .write.parquet(splitDir)
+    val seedsPath = s"$work/quantizer"
+    SimilarityOps.ivfSeedCentroids(all).coalesce(1).write.parquet(seedsPath)
+    // the standing request ledger, written once like a queue snapshot
+    val reqPath = s"$work/delete_requests"
+    deleteRequests(all).coalesce(1).write.parquet(reqPath)
+    val store = s"$work/index"
+    val tombs = s"$work/tombstones"
+    val session = spark.newSession()
+    val q = session.readStream
+      .schema(session.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        processDeleteBatch(batch, batchId, seedsPath, reqPath, store, tombs))
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = Option(new java.io.File(store).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    (work, store, tombs, nBatches)
+  }
+
+  /** The query-time tombstone merge: index rows minus deleted vec_ids. */
+  private def liveRows(spark: SparkSession, store: String, tombs: String): DataFrame =
+    spark.read.parquet(store).drop("batch_id")
+      .join(spark.read.parquet(tombs).drop("batch_id").select("vec_id"),
+        Seq("vec_id"), "left_anti")
+
+  def s13AnnCompact(spark: SparkSession, dir: String): DataFrame =
+    s13WithStoreInfo(spark, dir)._1
+
+  /** s13: COMPACTION retires s12's tombstones — the last maintenance
+    * verb of the index lifecycle (ingest s11, delete s12, compact s13).
+    * The batch-partitioned store accumulated by ingest is rewritten
+    * cell-partitioned with tombstoned rows dropped: per cell, read the
+    * cell's rows across every arrival batch, anti-join the
+    * request-sized tombstone set once, write the survivors back as that
+    * cell's single inverted list. After compaction queries stop paying
+    * the merge — the probe plan contains NO anti-join (asserted in
+    * StreamEquivSpec against s12's probe, which does) — and the
+    * tombstone store can be discarded.
+    *
+    * Compaction is query-invisible by construction: the gate checks the
+    * compacted-store probe against s12's oracle VERBATIM (shared
+    * string) — same surviving corpus, same original quantizer.
+    * Scale: compaction is cell-local — each cell's rewrite reads its
+    * own bucket plus the tiny tombstone set and writes one file; cells
+    * compact independently (embarrassingly parallel, incremental per
+    * cell at 100 TB), and nothing corpus-sized is ever shuffled: the
+    * one exchange in the rewrite is the cell-key repartition that the
+    * bucketed layout already provides on a real deployment. */
+  private[graft] def s13WithStoreInfo(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    val (work, store, tombs, _) = runDeleteStream(spark, dir)
+    val compacted = s"$work/compacted"
+    liveRows(spark, store, tombs)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(compacted)
+    val nDropped = spark.read.parquet(tombs).count()
+    val comp = spark.read.parquet(compacted)
+    (SimilarityOps.probeAssigned(comp), comp.count(), nDropped)
+  }
+
+  private def processDeleteBatch(batch: DataFrame, batchId: Long,
+                                 seedsPath: String, reqPath: String,
+                                 store: String, tombs: String): Unit = {
+    val spark = batch.sparkSession
+    val seeds = spark.read.parquet(seedsPath)
+    SimilarityOps.assignCells(batch, seeds)
+      .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+    // drain the request ledger: tombstone requests whose vector is now
+    // indexed (any batch ≤ current) and not already tombstoned
+    val indexed = spark.read.parquet(store)
+      .filter(col("batch_id") <= batchId).select("vec_id")
+    val prior =
+      if (new java.io.File(tombs).exists())
+        spark.read.parquet(tombs).filter(col("batch_id") < batchId)
+          .select("vec_id")
+      else indexed.limit(0)
+    spark.read.parquet(reqPath)
+      .join(indexed, Seq("vec_id"), "left_semi")
+      .join(prior, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$tombs/batch_id=$batchId")
+  }
 }

@@ -169,6 +169,54 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("s12's tombstone layout: cell-bucketed merge + probe with zero exchanges") {
+    // The scaladoc claim behind s12's 100 TB story: tombstones CARRY
+    // THEIR CELL and ride the same batch-partitioned + cell-bucketed
+    // layout as the index, so the probe-time merge (anti-join on
+    // (cell, vec_id) — cell is a bucket-subset of the join keys) and
+    // the inverted-list probe after it are both bucket-local: the
+    // whole delete-aware query plan moves nothing corpus-sized.
+    import graft.ops.SimilarityOps
+    val all = SimilarityOps.normed(spark, sf)
+    val assigned = SimilarityOps
+      .assignCells(all, SimilarityOps.ivfSeedCentroids(all))
+      .withColumn("batch_id", (col("vec_id") % 4).cast("int"))
+    assigned.write.mode("overwrite").partitionBy("batch_id")
+      .bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("ann_index_t")
+    assigned.filter(col("vec_id") % 10 === 7 && col("label") === 0)
+      .select(col("vec_id"), col("cell"), col("batch_id"))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("ann_tombs_t")
+    try {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      val store = child.table("ann_index_t").filter(col("batch_id") < 4)
+      val tombs = child.table("ann_tombs_t").filter(col("batch_id") < 4)
+      val live = store.join(tombs, Seq("cell", "vec_id"), "left_anti")
+      val q = live.filter(col("label") === 1)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val pairs = live.join(q, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      pairs.collect()
+      val plan = pairs.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "store scan does not report a bucketed read")
+      val nCellExchanges = "hashpartitioning\\(cell".r.findAllMatchIn(plan).length
+      assert(nCellExchanges == 0,
+        s"expected a fully bucket-local merge+probe, got $nCellExchanges cell exchanges")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_index_t")
+      spark.sql("DROP TABLE IF EXISTS ann_tombs_t")
+      ()
+    }
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh.nonEmpty)

@@ -130,6 +130,29 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("s12 streaming deletes: tombstone-merged probe ≡ batch IVF over survivors, original quantizer") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.ops.SimilarityOps
+    // the batch twin: assignment over SURVIVORS with the FULL-SET seeds
+    // (deletes never retrain the coarse quantizer), probed identically
+    val all = ops.normed(spark, sf)
+    val seeds = ops.ivfSeedCentroids(all)
+    val survivors = graft.streaming.StreamAnnIngest.survivorFilter(
+      all.select("vec_id", "v", "nrm", "label"))
+    val batch = rows(ops.probeAssigned(ops.assignCells(survivors, seeds)))
+    val (streamDf, nBatches, drains) =
+      graft.streaming.StreamAnnIngest.s12WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    // the ledger drains per batch: requests for not-yet-arrived vectors
+    // stay pending and are tombstoned by the batch their vector lands in
+    assert(drains.length > 1,
+      s"all tombstones registered in one batch (${drains.toSeq}) — " +
+        "cross-batch pending-drain path never exercised")
+    assert(batch.nonEmpty)
+    assert(rows(streamDf) == batch)
+  }
+
   test("p2 streaming funnel head: multi-batch replay ≡ batch p1 stages") {
     import org.apache.spark.sql.functions._
     // the streamed ledger's head stages must equal batch p1's exactly:
