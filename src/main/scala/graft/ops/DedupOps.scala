@@ -394,18 +394,30 @@ object DedupOps {
     val docs = Sources.table(spark, dir, "documents")
     val evalG = TextOps.gram5(docs.filter(col("doc_id") % EvalMod === 0), col("doc_id"))
       .select(col("doc_id").as("eval_id"), col("g"))
+    // `might_contain` needs its filter as a scalar subquery, which only a
+    // catalog name can express — use a per-invocation unique view so
+    // concurrent calls on one session can't cross-wire filters, and drop
+    // it once analysis has bound the subquery plan (Datasets analyze
+    // eagerly, so the returned frame no longer needs the catalog entry).
+    val bloomView = uniqueViewName("graft_d14_bloom")
     evalG
       .agg(expr(s"bloom_filter_agg(xxhash64(g), ${BloomCapacity}L, ${BloomNumBits}L)").as("bf"))
-      .createOrReplaceTempView("graft_d14_bloom")
-    TextOps.gram5(docs.filter(col("doc_id") % EvalMod =!= 0), col("doc_id"))
-      .filter(expr("might_contain((select bf from graft_d14_bloom), xxhash64(g))"))
-      .join(evalG, "g")
-      .groupBy("doc_id")
-      .agg(
-        countDistinct(col("eval_id")).as("n_eval_docs"),
-        countDistinct(col("g")).as("n_shared_grams"))
-      .orderBy("doc_id")
+      .createOrReplaceTempView(bloomView)
+    try {
+      TextOps.gram5(docs.filter(col("doc_id") % EvalMod =!= 0), col("doc_id"))
+        .filter(expr(s"might_contain((select bf from $bloomView), xxhash64(g))"))
+        .join(evalG, "g")
+        .groupBy("doc_id")
+        .agg(
+          countDistinct(col("eval_id")).as("n_eval_docs"),
+          countDistinct(col("g")).as("n_shared_grams"))
+        .orderBy("doc_id")
+    } finally { spark.catalog.dropTempView(bloomView); () }
   }
+
+  /** Catalog-safe unique temp-view name for scalar-subquery plumbing. */
+  private[graft] def uniqueViewName(prefix: String): String =
+    s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
   val SimhashBits = 32
 

@@ -441,8 +441,11 @@ object MultimodalOps {
     * of rows must not fetch the whole object. */
   private[graft] def decodeBmpRow(bytes: Array[Byte], row: Int): Array[Byte] = {
     val (width, height, stride, pxOff) = bmpHeader(bytes)
+    require(width > 0 && height > 0, s"bad BMP dims ${width}x$height")
     require(row >= 0 && row < height, s"row $row out of [0, $height)")
     val off = pxOff + (height - 1 - row) * stride
+    require(off >= 0 && off.toLong + width <= bytes.length,
+      s"row $row byte range [$off, ${off + width}) outside ${bytes.length}-byte file")
     java.util.Arrays.copyOfRange(bytes, off, off + width)
   }
 

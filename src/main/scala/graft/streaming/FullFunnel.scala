@@ -95,7 +95,11 @@ object FullFunnel {
     val parts = new java.io.File(splitDir).listFiles()
       .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
     parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(1000000000000L + i * 60000L): Unit
+      // replay order IS the first-arrival semantics — fail loudly on a
+      // filesystem that can't stamp mtimes rather than as a puzzling
+      // oracle mismatch downstream
+      require(f.setLastModified(1000000000000L + i * 60000L),
+        s"cannot set mtime on $f; file-replay order would be undefined")
     }
     // static benchmark side, materialized once (offline artifacts the
     // stream consumes): distinct eval 5-grams + their bloom filter
@@ -174,13 +178,18 @@ object FullFunnel {
         .select(col("b_id").as("doc_id")).distinct()
         .withColumn("is_near", lit(true))
       // contam: codegen bloom prefilter (static artifact) + exact verify
-      // semi-join against the static eval gram table
-      spark.read.parquet(st.bloom).createOrReplaceTempView("graft_p3_bloom")
-      val contamIds = TextOps.gram5(
-          batch.filter(col("doc_id") % DedupOps.EvalMod =!= 0), col("doc_id"))
-        .filter(expr("might_contain((select bf from graft_p3_bloom), xxhash64(g))"))
-        .join(spark.read.parquet(st.evalg), Seq("g"), "left_semi")
-        .select("doc_id").distinct().withColumn("is_ct", lit(true))
+      // semi-join against the static eval gram table; the subquery view
+      // is per-invocation unique and dropped once analysis binds it
+      // (concurrent/interleaved runs on one session can't cross-wire)
+      val bloomView = DedupOps.uniqueViewName(s"graft_p3_bloom_b$batchId")
+      spark.read.parquet(st.bloom).createOrReplaceTempView(bloomView)
+      val contamIds = try {
+        TextOps.gram5(
+            batch.filter(col("doc_id") % DedupOps.EvalMod =!= 0), col("doc_id"))
+          .filter(expr(s"might_contain((select bf from $bloomView), xxhash64(g))"))
+          .join(spark.read.parquet(st.evalg), Seq("g"), "left_semi")
+          .select("doc_id").distinct().withColumn("is_ct", lit(true))
+      } finally { spark.catalog.dropTempView(bloomView); () }
       val labeled = flagged
         .join(exactIds, Seq("doc_id"), "left")
         .join(nearIds, Seq("doc_id"), "left")

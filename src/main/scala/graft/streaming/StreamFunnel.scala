@@ -75,7 +75,11 @@ object StreamFunnel {
     val parts = new java.io.File(splitDir).listFiles()
       .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
     parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(1000000000000L + i * 60000L): Unit
+      // replay order IS the first-arrival semantics — fail loudly on a
+      // filesystem that can't stamp mtimes rather than as a puzzling
+      // oracle mismatch downstream
+      require(f.setLastModified(1000000000000L + i * 60000L),
+        s"cannot set mtime on $f; file-replay order would be undefined")
     }
     val keyStore = s"$work/keys"
     val labelStore = s"$work/labels"
