@@ -34,18 +34,25 @@ object ScaleCheck {
 
   val Replicas = 10
   /** The expensive-gate list measured for §4.2b (every gate > ~1.9 s
-    * min at sf0.1, plus the new round-7 composites p3/s10 and the
-    * round's incremental/trained additions s11/t16). d15 is deliberately
+    * min at sf0.1, plus the new round-7 composites p3/s10, the
+    * incremental/trained additions s11/t16, and — since r9 — the index
+    * delete/compact lifecycle s12/s13 plus d16/m6, the remaining
+    * most-expensive gates). d15 is deliberately
     * absent: at FIXED cell count its within-cell pair work is Σ cell² —
     * quadratic in corpus size by design (SemDeDup scales k with the
     * corpus to keep cells bounded), so a fixed-k 10× run would measure
-    * the documented degenerate configuration, not the operator. */
+    * the documented degenerate configuration, not the operator.
+    * d16 IS measured: its contraction runs over d15's pair set, so its
+    * ratio reads as "component contraction on the (by-design quadratic)
+    * pair growth", documented next to the table. */
   val Gates: Seq[String] = Seq(
     "d2_dedup_ngram_jaccard", "d10_dup_clusters", "d11_dedup_impact",
     "d12_stream_minhash", "p1_pipeline", "p2_stream_funnel",
     "p3_full_funnel", "q37_stream_join", "s4_ann_recall",
     "s7_ann_recall_clustered", "s10_ann_recall_structured", "x6_pq_trained",
-    "s11_stream_ann_ingest", "t16_char_lm_score")
+    "s11_stream_ann_ingest", "t16_char_lm_score",
+    "s12_stream_ann_delete", "s13_ann_compact", "d16_sem_clusters",
+    "m6_bmp_row_sample")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

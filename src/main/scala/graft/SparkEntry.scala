@@ -123,7 +123,8 @@ object SparkEntry {
     "x4_ivf_kmeans" -> (SimilarityOps.x4IvfKmeans _),
     "x6_pq_trained" -> (SimilarityOps.x6PqTrained _),
     "x7_res_trained" -> (SimilarityOps.x7ResTrained _),
-    "x5_sketch_agg" -> (Relational.x5SketchAgg _)
+    "x5_sketch_agg" -> (Relational.x5SketchAgg _),
+    "x8_stream_sketch" -> (graft.streaming.StreamSketch.x8StreamSketch _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------

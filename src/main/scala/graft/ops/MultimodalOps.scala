@@ -443,10 +443,13 @@ object MultimodalOps {
     val (width, height, stride, pxOff) = bmpHeader(bytes)
     require(width > 0 && height > 0, s"bad BMP dims ${width}x$height")
     require(row >= 0 && row < height, s"row $row out of [0, $height)")
-    val off = pxOff + (height - 1 - row) * stride
-    require(off >= 0 && off.toLong + width <= bytes.length,
+    // offset arithmetic in Long: a corrupt header's height*stride can
+    // overflow Int and wrap to a small positive value that would pass
+    // the bounds check yet read the wrong bytes
+    val off = pxOff.toLong + (height - 1 - row).toLong * stride
+    require(off >= 0 && off + width <= bytes.length,
       s"row $row byte range [$off, ${off + width}) outside ${bytes.length}-byte file")
-    java.util.Arrays.copyOfRange(bytes, off, off + width)
+    java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + width)
   }
 
   /** Rows sampled per image (m6). */

@@ -116,16 +116,17 @@ object StreamAnnIngest {
     * The quantizer is untouched (deletes never retrain a production
     * coarse quantizer — a deleted seed vector keeps serving as a
     * centroid), and the probe merges at query time: index store
-    * anti-joined with the tombstone store on vec_id, then the same
-    * zero-assignment-work probe as s11.
+    * anti-joined with the tombstone store on (cell, vec_id), then the
+    * same zero-assignment-work probe as s11.
     *
     * The gate checks the merged probe against the DuckDB oracle of s3
     * over the SURVIVING corpus with the ORIGINAL quantizer — deletion
     * semantics, not a smaller corpus's re-trained index. Scale: the
     * tombstone store is request-sized, its per-batch append is an
     * anti-join of requests against tombstones (both tiny); the probe's
-    * anti-join keys on vec_id and at 100 TB rides the same
-    * cell-bucketed layout as the index (tombstones carry their cell). */
+    * anti-join keys on (cell, vec_id) — tombstones carry their cell —
+    * and at 100 TB rides the same cell-bucketed layout as the index
+    * with zero exchanges (LayoutSpec's s12 case). */
   private[graft] def s12WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int, Array[Long]) = {
     val (_, store, tombs, nBatches) = runDeleteStream(spark, dir)
     val live = liveRows(spark, store, tombs)
@@ -171,11 +172,18 @@ object StreamAnnIngest {
     (work, store, tombs, nBatches)
   }
 
-  /** The query-time tombstone merge: index rows minus deleted vec_ids. */
+  /** The query-time tombstone merge: index rows minus deleted vectors.
+    * Keyed on (cell, vec_id) — tombstones carry their cell precisely so
+    * this anti-join can ride the index's cell-bucketed layout at 100 TB
+    * (LayoutSpec's s12 case proves the merge plans with zero exchanges
+    * on the bucketed store under
+    * `spark.sql.requireAllClusterKeysForCoPartition=false`, which is
+    * semantically sound here: HashPartitioning(cell) clusters every
+    * (cell, vec_id) group). */
   private def liveRows(spark: SparkSession, store: String, tombs: String): DataFrame =
     spark.read.parquet(store).drop("batch_id")
-      .join(spark.read.parquet(tombs).drop("batch_id").select("vec_id"),
-        Seq("vec_id"), "left_anti")
+      .join(spark.read.parquet(tombs).drop("batch_id").select("cell", "vec_id"),
+        Seq("cell", "vec_id"), "left_anti")
 
   def s13AnnCompact(spark: SparkSession, dir: String): DataFrame =
     s13WithStoreInfo(spark, dir)._1
@@ -199,7 +207,12 @@ object StreamAnnIngest {
     * compact independently (embarrassingly parallel, incremental per
     * cell at 100 TB), and nothing corpus-sized is ever shuffled: the
     * one exchange in the rewrite is the cell-key repartition that the
-    * bucketed layout already provides on a real deployment. */
+    * bucketed layout already provides on a real deployment. The gate
+    * writes cell-partitioned directories (self-contained, no
+    * metastore); the deployment recipe writes the compacted store
+    * `bucketBy(cell)` — LayoutSpec's s13 case proves on that written
+    * layout that the post-compaction probe is exchange-free AND
+    * anti-join-free. */
   private[graft] def s13WithStoreInfo(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
     val (work, store, tombs, _) = runDeleteStream(spark, dir)
     val compacted = s"$work/compacted"
@@ -219,16 +232,19 @@ object StreamAnnIngest {
     SimilarityOps.assignCells(batch, seeds)
       .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
     // drain the request ledger: tombstone requests whose vector is now
-    // indexed (any batch ≤ current) and not already tombstoned
+    // indexed (any batch ≤ current) and not already tombstoned. The
+    // inner join attaches the indexed row's CELL to the tombstone —
+    // tombstones ride the same cell-bucketed layout as the index, so
+    // the probe-time merge in [[liveRows]] stays bucket-local.
     val indexed = spark.read.parquet(store)
-      .filter(col("batch_id") <= batchId).select("vec_id")
+      .filter(col("batch_id") <= batchId).select("vec_id", "cell")
     val prior =
       if (new java.io.File(tombs).exists())
         spark.read.parquet(tombs).filter(col("batch_id") < batchId)
           .select("vec_id")
-      else indexed.limit(0)
+      else indexed.select("vec_id").limit(0)
     spark.read.parquet(reqPath)
-      .join(indexed, Seq("vec_id"), "left_semi")
+      .join(indexed, Seq("vec_id"))
       .join(prior, Seq("vec_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$tombs/batch_id=$batchId")
   }

@@ -176,6 +176,15 @@ class LayoutSpec extends AnyFunSuite {
     // (cell, vec_id) — cell is a bucket-subset of the join keys) and
     // the inverted-list probe after it are both bucket-local: the
     // whole delete-aware query plan moves nothing corpus-sized.
+    //
+    // The deployment recipe REQUIRES
+    // `spark.sql.requireAllClusterKeysForCoPartition=false` (set below,
+    // and documented in StreamAnnIngest's scaladoc): by default Spark
+    // only accepts co-partitioning on ALL join keys, and the buckets
+    // cover only `cell`. The relaxation is semantically sound here —
+    // HashPartitioning(cell) places every (cell, vec_id) group in one
+    // partition, which is all the anti-join needs — and without it the
+    // corpus-sized index would re-shuffle on every delete-aware probe.
     import graft.ops.SimilarityOps
     val all = SimilarityOps.normed(spark, sf)
     val assigned = SimilarityOps
@@ -193,6 +202,7 @@ class LayoutSpec extends AnyFunSuite {
       val child = spark.newSession()
       child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       child.conf.set("spark.sql.adaptive.enabled", "false")
+      child.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
       val store = child.table("ann_index_t").filter(col("batch_id") < 4)
       val tombs = child.table("ann_tombs_t").filter(col("batch_id") < 4)
       val live = store.join(tombs, Seq("cell", "vec_id"), "left_anti")
@@ -213,6 +223,54 @@ class LayoutSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS ann_index_t")
       spark.sql("DROP TABLE IF EXISTS ann_tombs_t")
+      ()
+    }
+  }
+
+  test("s13's compacted layout: bucketed rewrite, probe exchange-free with no anti-join") {
+    // The scaladoc claim behind s13's 100 TB story, on the real written
+    // layout: compaction rewrites the batch-partitioned store as ONE
+    // cell-bucketed table with tombstoned rows dropped. After that the
+    // delete-aware probe is just s11's probe again — no anti-join in
+    // the plan at all (the merge was paid once, at compaction) and zero
+    // exchanges (both probe sides read the same cell-bucketed store).
+    import graft.ops.SimilarityOps
+    val all = SimilarityOps.normed(spark, sf)
+    val assigned = SimilarityOps
+      .assignCells(all, SimilarityOps.ivfSeedCentroids(all))
+    val tombstoned = assigned
+      .filter(col("vec_id") % 10 === 7 && col("label") === 0)
+      .select(col("vec_id"), col("cell"))
+    // the compaction rewrite: survivors only, bucketed on cell — the
+    // production recipe for StreamAnnIngest.s13's cell-partitioned write
+    assigned.join(tombstoned, Seq("cell", "vec_id"), "left_anti")
+      .write.mode("overwrite")
+      .bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("ann_compact_b")
+    try {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      val store = child.table("ann_compact_b")
+      val q = store.filter(col("label") === 1)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val pairs = store.join(q, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      pairs.collect()
+      val plan = pairs.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "store scan does not report a bucketed read")
+      assert(!plan.contains("Anti"),
+        "compacted probe still carries a tombstone anti-join — " +
+          "compaction failed to retire the merge")
+      val nCellExchanges = "hashpartitioning\\(cell".r.findAllMatchIn(plan).length
+      assert(nCellExchanges == 0,
+        s"expected a fully bucket-local compacted probe, got $nCellExchanges cell exchanges")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_compact_b")
       ()
     }
   }

@@ -153,6 +153,31 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(rows(streamDf) == batch)
   }
 
+  test("s13 compaction: query-invisible, tombstones retired, probe sheds the anti-join") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.ops.SimilarityOps
+    // the batch twin is s12's: survivors under the original quantizer
+    val all = ops.normed(spark, sf)
+    val seeds = ops.ivfSeedCentroids(all)
+    val survivors = graft.streaming.StreamAnnIngest.survivorFilter(
+      all.select("vec_id", "v", "nrm", "label"))
+    val batch = rows(ops.probeAssigned(ops.assignCells(survivors, seeds)))
+    val (compDf, nLive, nDropped) =
+      graft.streaming.StreamAnnIngest.s13WithStoreInfo(spark, sf)
+    // compaction actually dropped the tombstoned rows from the store
+    assert(nDropped > 0, "no tombstones were registered — vacuous compaction")
+    assert(nLive == survivors.count(),
+      s"compacted store has $nLive rows, expected survivor count")
+    assert(batch.nonEmpty)
+    assert(rows(compDf) == batch, "compacted probe diverged from batch twin")
+    // the probe paid no merge: compaction retired the anti-join entirely
+    compDf.collect()
+    val plan = compDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Anti"),
+      "compacted probe still carries a tombstone anti-join")
+  }
+
   test("p2 streaming funnel head: multi-batch replay ≡ batch p1 stages") {
     import org.apache.spark.sql.functions._
     // the streamed ledger's head stages must equal batch p1's exactly:
@@ -306,6 +331,36 @@ class StreamEquivSpec extends AnyFunSuite {
     // no RNG anywhere); all 3 copies must drop as near on top of it
     val nNear = streamDf.agg(sum("n_near_dup")).collect()(0).getLong(0)
     assert(nNear == 17L, s"expected 14 natural + 3 planted near-dups, got $nNear")
+  }
+
+  test("x8 merged stream sketches ≡ single batch sketch, within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val (streamDf, nBatches) =
+      graft.streaming.StreamSketch.x8WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val stream = rows(streamDf)
+    // merge-invariance: HLL register maxima are order- and partition-
+    // independent, so the union of 4 per-batch sketches must estimate
+    // IDENTICALLY to one sketch built over the whole table
+    val batch = rows(graft.streaming.StreamSketch.x8Batch(spark, sf))
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      "merged per-batch sketches diverged from the single-shot sketch")
+    // declared error pin: lgK=12 → rsd ≈1.6%; allow 5% (≈3σ) vs exact
+    val exact = graft.io.Sources.table(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    streamDf.collect().foreach { r =>
+      val (exactUsers, exactEvents) = exact(r.getString(0))
+      val approx = r.getLong(1)
+      assert(math.abs(approx - exactUsers).toDouble / exactUsers <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exactUsers drifted >5%")
+      assert(r.getLong(2) == exactEvents,
+        s"${r.getString(0)}: additive exact count diverged")
+    }
   }
 
   test("stream-static enrichment join ≡ batch join") {
