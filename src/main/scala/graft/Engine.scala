@@ -23,6 +23,16 @@ object Engine {
     // Dim tables are KBs..MBs even at sf100; let Catalyst broadcast them.
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
+    // Accept co-partitioning on a SUBSET of join keys (e.g. a store
+    // bucketed on `cell` feeding a join keyed on (cell, vec_id)):
+    // HashPartitioning(cell) already places every (cell, vec_id) group
+    // in one partition, so the default all-keys rule would re-shuffle
+    // the corpus-sized side for nothing — at 100 TB this is the
+    // difference between s12's delete-aware probe reading co-located
+    // buckets and re-shuffling the whole index per query (LayoutSpec
+    // proves the zero-exchange plan under this setting). Correctness-
+    // neutral: the flag only widens what counts as co-partitioned.
+    .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     // Streaming state lives in RocksDB, not on-heap HDFSBackedStateStore:
     // keyed state at 100 TB (windows, dedup, joins) exceeds executor heaps
     // long before it exceeds local disk, and RocksDB adds changelog-style

@@ -115,6 +115,7 @@ object SparkEntry {
     "m4_wav_meta" -> (MultimodalOps.m4WavMeta _),
     "m5_bmp_meta" -> (MultimodalOps.m5BmpMeta _),
     "m6_bmp_row_sample" -> (MultimodalOps.m6BmpRowSample _),
+    "m7_wav_window_energy" -> (MultimodalOps.m7WavWindowEnergy _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -124,7 +125,8 @@ object SparkEntry {
     "x6_pq_trained" -> (SimilarityOps.x6PqTrained _),
     "x7_res_trained" -> (SimilarityOps.x7ResTrained _),
     "x5_sketch_agg" -> (Relational.x5SketchAgg _),
-    "x8_stream_sketch" -> (graft.streaming.StreamSketch.x8StreamSketch _)
+    "x8_stream_sketch" -> (graft.streaming.StreamSketch.x8StreamSketch _),
+    "x9_stream_quantile" -> (graft.streaming.StreamSketch.x9StreamQuantile _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -1107,6 +1109,31 @@ object SparkEntry {
          |md5(substring(h, CAST(2 * ri * w + 1 AS INT), CAST(2 * taken AS INT)) || repeat('00', CAST(w - taken AS INT))) AS row_md5
          |FROM t ORDER BY media_id, row_no""".stripMargin
     },
+    // each sampled window's SIGNED int16 samples from closed form:
+    // hex-nibble byte recovery, little-endian pairing (lo + 256·hi),
+    // two's-complement fold at 32768 — an endianness, sign, block-align,
+    // or seek bug in the engine's ranged decode breaks the energy sum
+    "m7_wav_window_energy" ->
+      """WITH g AS (SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h, (1 + doc_id % 2) AS ch FROM documents),
+        |d AS (SELECT doc_id, n, h, ch, 2 * ch AS ba, n // (2 * ch) AS nf FROM g),
+        |w AS (SELECT doc_id, h, ch, ba, nf, i,
+        |             CAST(i * greatest(nf - 8, 0) // 3 AS BIGINT) AS start,
+        |             least(8, nf - i * greatest(nf - 8, 0) // 3) AS take
+        |      FROM d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+        |s AS (SELECT doc_id, h, i, start, CAST(take * ch AS BIGINT) AS ns, start * ba AS boff FROM w),
+        |sj AS (SELECT doc_id, i, boff, h, unnest(range(ns)) AS j FROM s),
+        |v AS (SELECT doc_id, i,
+        |             (strpos('0123456789ABCDEF', substring(h, CAST(2*(boff + 2*j)+1 AS INT), 1)) - 1) * 16
+        |             + strpos('0123456789ABCDEF', substring(h, CAST(2*(boff + 2*j)+2 AS INT), 1)) - 1
+        |             + 256 * ((strpos('0123456789ABCDEF', substring(h, CAST(2*(boff + 2*j+1)+1 AS INT), 1)) - 1) * 16
+        |                      + strpos('0123456789ABCDEF', substring(h, CAST(2*(boff + 2*j+1)+2 AS INT), 1)) - 1) AS u
+        |      FROM sj),
+        |e AS (SELECT doc_id, i, sum(CASE WHEN u >= 32768 THEN (u - 65536) * (u - 65536) ELSE u * u END) AS energy
+        |      FROM v GROUP BY 1, 2)
+        |SELECT s.doc_id AS media_id, CAST(s.i AS BIGINT) AS win_no, s.start AS start_frame,
+        |       s.ns AS n_samples, CAST(coalesce(e.energy, 0) AS BIGINT) AS energy
+        |FROM s LEFT JOIN e ON e.doc_id = s.doc_id AND e.i = s.i
+        |ORDER BY media_id, win_no""".stripMargin,
     // every parsed BMP field from its closed form; pixel_sum from the raw
     // bytes (hex-nibble recovery — DuckDB substring can't slice BLOBs),
     // pad pixels contribute zero by construction
@@ -1148,6 +1175,29 @@ object SparkEntry {
          |c AS (SELECT doc_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2)
          |SELECT bt.doc_id AS media_id, CAST(bt.n AS BIGINT) AS byte_len, $bins
          |FROM bt LEFT JOIN c ON c.doc_id = bt.doc_id GROUP BY bt.doc_id, bt.n ORDER BY media_id""".stripMargin
-    }
+    },
+    // x9's merged per-batch histograms equal the whole-table histogram
+    // EXACTLY (counts are additive), so the oracle is the batch SQL:
+    // same clamp/floor bucket arithmetic (width 1000/256 = 3.90625 is
+    // binary-exact, so boundary doubles floor identically in both
+    // engines), integer threshold comparisons for the quantile buckets,
+    // midpoints cast to DOUBLE (DuckDB would otherwise promote
+    // BIGINT - 0.5 to DECIMAL and break the dtype compare).
+    "x9_stream_quantile" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         least(greatest(CAST(floor(value * 256.0 / 1000.0) AS BIGINT) + 1, 1), 256) AS b,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, b, cnt,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+        |         sum(cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM h)
+        |SELECT event_type,
+        |       CAST(max(total) AS BIGINT) AS n_events,
+        |       round((CAST(min(CASE WHEN cum * 2 >= total THEN b END) AS DOUBLE) - 0.5) * 3.90625, 4) AS p50_est,
+        |       round((CAST(min(CASE WHEN cum * 10 >= total * 9 THEN b END) AS DOUBLE) - 0.5) * 3.90625, 4) AS p90_est
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -452,6 +452,80 @@ object MultimodalOps {
     java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + width)
   }
 
+  // ---- m7: ranged-read audio window sampling --------------------------
+
+  /** Windows sampled per audio payload (m7) and frames per window. */
+  val WinCount = 4
+  val WinFrames = 8
+
+  /** Seek-decode ONE window of PCM frames out of a WAV by header
+    * arithmetic: the chunk walk reads the HEADERS (the first ~50 bytes —
+    * the ranged header probe an object-store reader issues), then the
+    * window's byte range is computed from the declared data offset +
+    * frame arithmetic (block align = channels × 2 at 16-bit) and ONLY
+    * those bytes are decoded — int16 little-endian SIGNED samples, so
+    * the energy sum proves the decoder interprets samples, not just
+    * copies bytes. Returns (start_frame, n_samples, Σ sample²) — all
+    * integer-exact. */
+  private[graft] def wavWindowEnergy(bytes: Array[Byte], winNo: Int): (Long, Long, Long) = {
+    val (meta, dataOff) = walkWav(bytes)
+    val ba = (meta.nChannels * (meta.bitDepth / 8)).toInt
+    val nf = meta.dataBytes / ba
+    val start = winNo.toLong * math.max(nf - WinFrames, 0) / (WinCount - 1)
+    val take = math.min(WinFrames.toLong, nf - start)
+    val ns = take * meta.nChannels
+    // window byte range in Long (corrupt-header safety, the m6 rule)
+    val boff = dataOff.toLong + start * ba
+    require(boff >= 0 && boff + 2 * ns <= bytes.length,
+      s"window $winNo byte range [$boff, ${boff + 2 * ns}) outside ${bytes.length}-byte file")
+    var energy = 0L
+    var j = 0
+    while (j < ns) {
+      val lo = java.lang.Byte.toUnsignedInt(bytes(boff.toInt + 2 * j))
+      val hi = bytes(boff.toInt + 2 * j + 1).toInt // sign-carrying high byte
+      val v = (hi << 8) | lo // signed 16-bit
+      energy += v.toLong * v
+      j += 1
+    }
+    (start, ns, energy)
+  }
+
+  /** m7: random-access PCM window sampling over the WAV container — the
+    * audio twin of m6's BMP row seeks, completing the ranged-read story
+    * for BOTH codec families (RIFF chunk walk + strided image): four
+    * evenly spaced windows of [[WinFrames]] frames are seek-decoded per
+    * payload by header arithmetic alone and reduced to an integer-exact
+    * energy sum over the decoded SIGNED int16 samples. Only the header
+    * and the windows' bytes are touched, never the full data chunk —
+    * at 100 TB this is how an object-store audio pipeline samples:
+    * header probe, then per-window ranged GETs. The oracle recomputes
+    * each window's samples from closed form (hex-nibble byte recovery,
+    * LE pairing, two's-complement sign fold), so a block-align, seek,
+    * endianness, or sign bug breaks the sum. */
+  def m7WavWindowEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("win_no", LongType),
+      StructField("start_frame", LongType),
+      StructField("n_samples", LongType),
+      StructField("energy", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text").cast("binary").as("data"))
+      .mapPartitions { rows =>
+        // codec init once per partition (the ProducerFinal.scala:66 move)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val wav = buildWav(id, r.getString(1), r.getAs[Array[Byte]](2))
+          (0 until WinCount).map { i =>
+            val (start, ns, energy) = wavWindowEnergy(wav, i)
+            Row(id, i.toLong, start, ns, energy)
+          }
+        }
+      }(enc)
+      .orderBy("media_id", "win_no")
+  }
+
   /** Rows sampled per image (m6). */
   val RowSampleCount = 4
 

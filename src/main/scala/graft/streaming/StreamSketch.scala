@@ -110,4 +110,110 @@ object StreamSketch {
         expr(s"hll_sketch_agg(user_id, $LgK)").as("sk"),
         count(lit(1)).as("n_events"))
       .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+
+  // ---- x9: mergeable quantile histograms across micro-batches ----
+
+  /** Histogram bucket count over the declared value domain
+    * [[Lo]]..[[Hi]]: width = 1000/256 = 125/32 = 3.90625, BINARY-EXACT
+    * (256 divides 1000·2⁵), so Spark and DuckDB floor identical doubles
+    * at bucket boundaries and the whole gate is deterministic. */
+  val Buckets = 256
+  val Lo = 0.0
+  val Hi = 1000.0
+  /** Bucket width — also the declared worst-case quantile-estimate
+    * error (an estimate is its bucket's midpoint, the true value lies
+    * in the bucket). */
+  val BucketWidth: Double = (Hi - Lo) / Buckets
+
+  def x9StreamQuantile(spark: SparkSession, dir: String): DataFrame =
+    x9WithBatchCount(spark, dir)._1
+
+  /** x9: x8's quantile counterpart — per-type p50/p90 estimates whose
+    * per-batch summaries MERGE, and which — unlike x5's
+    * `percentile_approx`/x8's HLL (engine-specific internals, rows-only)
+    * — are fully deterministic integer/decimal arithmetic, so this gate
+    * is ORACLE-CHECKED end to end.
+    *
+    * Per micro-batch: count events into a fixed 256-bucket equi-width
+    * histogram over the declared domain [0, 1000) per event_type (one
+    * map-side-combinable aggregation; out-of-domain values clamp to the
+    * edge buckets) and append the (event_type, bucket, count) rows to a
+    * batch-partitioned store. The final answer merges by ADDITION —
+    * histogram counts are the simplest mergeable quantile summary — and
+    * reads each quantile as the midpoint of the first bucket where the
+    * cumulative count crosses q·total (integer comparisons: cum·2 ≥
+    * total, cum·10 ≥ 9·total — no float thresholds). Declared error:
+    * the true quantile lies in the chosen bucket, so |est − exact| ≤
+    * [[BucketWidth]] (pinned in StreamEquivSpec, alongside stream ≡
+    * whole-table-histogram equality, which is EXACT since counts are
+    * additive — the oracle is the whole-table SQL).
+    *
+    * Scale design: per-batch work is one partial aggregate with a
+    * FIXED-WIDTH output (types × 256 rows) regardless of batch size —
+    * no state store, no raw retention, no sort; the store grows by
+    * types × 256 × batches tiny rows; any batch window merges by
+    * summing counts. This is the production shape for "p50/p90 latency
+    * per key, updated per batch over 100 TB" — the exact twin would
+    * re-sort every value ever seen, per batch. */
+  private[graft] def x9WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val work = Files.createTempDirectory("graft_quantstream_").toString
+    val splitDir = s"$work/in"
+    Sources.table(spark, dir, "events")
+      .select("event_id", "event_type", "value")
+      .repartitionByRange(SplitFiles, col("event_id"))
+      .write.parquet(splitDir)
+    val store = s"$work/hist"
+    val session = spark.newSession()
+    val q = session.readStream
+      .schema(session.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        batch.groupBy(col("event_type"), bucket(col("value")).as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(s"$store/batch_id=$batchId"))
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = Option(new java.io.File(store).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    (quantilesFromHistogram(
+      spark.read.parquet(store).drop("batch_id")), nBatches)
+  }
+
+  /** The batch twin: the whole table pushed through one histogram —
+    * equal to the merged stream result EXACTLY (counts are additive). */
+  private[graft] def x9Batch(spark: SparkSession, dir: String): DataFrame =
+    quantilesFromHistogram(
+      Sources.table(spark, dir, "events")
+        .groupBy(col("event_type"), bucket(col("value")).as("b"))
+        .agg(count(lit(1)).as("cnt")))
+
+  /** Equi-width bucket id in 1..[[Buckets]]; the floor argument's width
+    * is binary-exact so boundary values bucket identically in DuckDB. */
+  private def bucket(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(greatest(floor(value * lit(Buckets) / lit(Hi - Lo)) + lit(1L), lit(1L)),
+      lit(Buckets.toLong))
+
+  /** Merge (sum) histogram rows, then read p50/p90 as first-crossing
+    * bucket midpoints — integer threshold comparisons only. */
+  private def quantilesFromHistogram(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.out.Canonical.r4
+    val merged = hist.groupBy("event_type", "b").agg(sum("cnt").as("cnt"))
+    val c = merged
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy("event_type").orderBy("b")))
+      .withColumn("total", sum("cnt").over(Window.partitionBy("event_type")))
+    c.groupBy("event_type")
+      .agg(
+        max("total").cast("long").as("n_events"),
+        r4((min(when(col("cum") * 2 >= col("total"), col("b"))).cast("double")
+          - lit(0.5)) * lit(BucketWidth)).as("p50_est"),
+        r4((min(when(col("cum") * 10 >= col("total") * 9, col("b"))).cast("double")
+          - lit(0.5)) * lit(BucketWidth)).as("p90_est"))
+      .orderBy("event_type")
+  }
 }

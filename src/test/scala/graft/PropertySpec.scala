@@ -71,6 +71,30 @@ object WavCodecProps extends Properties("wavCodec") {
       MultimodalOps.decodeWav(MultimodalOps.buildWav(id, lang, data))
         .sameElements(data)
     }
+
+  property("window seek-decode energy equals the full-decode energy, any window") =
+    forAll(idGen, langGen, bytesGen) { (id, lang, data) =>
+      // the ranged path (header probe + window byte range) must agree
+      // with the trusted full decode sliced the same way — any seek,
+      // block-align, endianness, or sign slip diverges
+      val wav = MultimodalOps.buildWav(id, lang, data)
+      val full = MultimodalOps.decodeWav(wav)
+      val ch = MultimodalOps.wavChannels(id)
+      val ba = ch * 2
+      val nf = full.length / ba
+      (0 until MultimodalOps.WinCount).forall { i =>
+        val (start, ns, energy) = MultimodalOps.wavWindowEnergy(wav, i)
+        val expStart = i.toLong * math.max(nf - MultimodalOps.WinFrames, 0) /
+          (MultimodalOps.WinCount - 1)
+        val expNs = math.min(MultimodalOps.WinFrames.toLong, nf - expStart) * ch
+        val expEnergy = (0L until expNs).map { j =>
+          val o = (expStart * ba + 2 * j).toInt
+          val v = (full(o + 1).toInt << 8) | java.lang.Byte.toUnsignedInt(full(o))
+          v.toLong * v
+        }.sum
+        start == expStart && ns == expNs && energy == expEnergy
+      }
+    }
 }
 
 /** The m5 BMP codec: strided bottom-up rows must invert exactly — a

@@ -363,6 +363,38 @@ class StreamEquivSpec extends AnyFunSuite {
     }
   }
 
+  test("x9 merged stream histograms ≡ whole-table histogram, quantiles within one bucket of exact") {
+    import org.apache.spark.sql.functions._
+    val (streamDf, nBatches) =
+      graft.streaming.StreamSketch.x9WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val stream = rows(streamDf)
+    // merge-exactness: histogram counts are additive, so the merged
+    // per-batch store must reproduce the whole-table histogram EXACTLY
+    val batch = rows(graft.streaming.StreamSketch.x9Batch(spark, sf))
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      "merged per-batch histograms diverged from the whole-table histogram")
+    // declared error: the true quantile order statistic lies inside the
+    // estimate's bucket, so |est - exact| <= BucketWidth. Max-accuracy
+    // percentile_approx returns an actual element (no interpolation),
+    // matching the histogram's rank-crossing rule.
+    val w = graft.streaming.StreamSketch.BucketWidth
+    val exact = graft.io.Sources.table(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(expr("percentile_approx(value, 0.5, 2147483647)").as("p50"),
+        expr("percentile_approx(value, 0.9, 2147483647)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    streamDf.collect().foreach { r =>
+      val (e50, e90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(2) - e50) <= w,
+        s"${r.getString(0)}: p50 est ${r.getDouble(2)} vs exact $e50 off >$w")
+      assert(math.abs(r.getDouble(3) - e90) <= w,
+        s"${r.getString(0)}: p90 est ${r.getDouble(3)} vs exact $e90 off >$w")
+    }
+  }
+
   test("stream-static enrichment join ≡ batch join") {
     // q38's gate path IS the streaming side: broadcast static dim,
     // update-mode upserts through the idempotent materialized sink.
