@@ -52,7 +52,10 @@ object ScaleCheck {
     "s7_ann_recall_clustered", "s10_ann_recall_structured", "x6_pq_trained",
     "s11_stream_ann_ingest", "t16_char_lm_score",
     "s12_stream_ann_delete", "s13_ann_compact", "d16_sem_clusters",
-    "m6_bmp_row_sample")
+    "m6_bmp_row_sample",
+    // r9 mergeable-sketch + ranged-decode additions: expected flat-to-
+    // linear (fixed-width partials / per-object constant byte ranges)
+    "x8_stream_sketch", "x9_stream_quantile", "m7_wav_window_energy")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
