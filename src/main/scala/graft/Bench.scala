@@ -87,6 +87,30 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // Durable per-round minima: the driver's BENCH_rNN.json capture has a
+    // truncated tail (round 9 could only compare 37/106 queries against
+    // round 8), so the per-query MIN map — the contention-free figure
+    // round-over-round comparisons need — is ALSO written to a compact
+    // committed artifact. The round number is the successor of the
+    // highest BENCH_rNN.json already in the working directory (the
+    // driver writes those at round end, after this run), overridable via
+    // SPARK_GRAFT_ROUND. Full suites only: a SPARK_GRAFT_BENCH_ONLY
+    // tuning loop must not overwrite a round's history.
+    if (only.isEmpty && failed.isEmpty) {
+      val cwd = new java.io.File(sys.props("user.dir"))
+      val seen = Option(cwd.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName))
+        .map(_.group(1).toInt)
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+        .getOrElse(if (seen.isEmpty) 1 else seen.max + 1)
+      val minPath = new java.io.File(cwd, f"BENCH_r$round%02d.min.json").getPath
+      val minJson = s"""{"metric":"per_query_min","round":$round,"total_min":$totalMin,"passes":$Passes,"sf":"$sfDir","min":$mins}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get(minPath),
+        (minJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $minPath: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -86,6 +86,7 @@ object SparkEntry {
     "s11_stream_ann_ingest" -> (graft.streaming.StreamAnnIngest.s11StreamAnnIngest _),
     "s12_stream_ann_delete" -> (graft.streaming.StreamAnnIngest.s12StreamAnnDelete _),
     "s13_ann_compact" -> (graft.streaming.StreamAnnIngest.s13AnnCompact _),
+    "s14_ann_partial_compact" -> (graft.streaming.StreamAnnIngest.s14AnnPartialCompact _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
     "s5_ann_pq" -> (SimilarityOps.s5AnnPq _),
     "s6_ann_ivfpq" -> (SimilarityOps.s6AnnIvfPq _),
@@ -989,6 +990,11 @@ object SparkEntry {
     // compaction must be query-invisible, so the oracle is s12's SQL
     // verbatim (shared string), same pattern as s11 vs s3
     "s13_ann_compact" -> survivorIvfSql,
+    // s14 compacts only a SUBSET of cells and serves from the mixed
+    // state (compacted branch anti-join-free, uncompacted branch paying
+    // s12's merge); every intermediate compaction state must be
+    // query-invisible too, so the oracle is again s12's SQL verbatim
+    "s14_ann_partial_compact" -> survivorIvfSql,
     "s4_ann_recall" ->
       s"""${annRecallCtes(embCte)}
          |SELECT qs.q_id AS q_id, mth.method AS method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, round(coalesce(h.hits, 0) / 3.0, 4) AS recall
@@ -1113,13 +1119,18 @@ object SparkEntry {
     // hex-nibble byte recovery, little-endian pairing (lo + 256·hi),
     // two's-complement fold at 32768 — an endianness, sign, block-align,
     // or seek bug in the engine's ranged decode breaks the energy sum
-    "m7_wav_window_energy" ->
-      """WITH g AS (SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h, (1 + doc_id % 2) AS ch FROM documents),
+    "m7_wav_window_energy" -> {
+      // window constants interpolated from the engine's own values so a
+      // future WinCount/WinFrames change cannot desynchronize the oracle
+      val wf = MultimodalOps.WinFrames
+      val lastWin = MultimodalOps.WinCount - 1
+      val wins = (0 until MultimodalOps.WinCount).mkString(", ")
+      s"""WITH g AS (SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h, (1 + doc_id % 2) AS ch FROM documents),
         |d AS (SELECT doc_id, n, h, ch, 2 * ch AS ba, n // (2 * ch) AS nf FROM g),
         |w AS (SELECT doc_id, h, ch, ba, nf, i,
-        |             CAST(i * greatest(nf - 8, 0) // 3 AS BIGINT) AS start,
-        |             least(8, nf - i * greatest(nf - 8, 0) // 3) AS take
-        |      FROM d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+        |             CAST(i * greatest(nf - $wf, 0) // $lastWin AS BIGINT) AS start,
+        |             least($wf, nf - i * greatest(nf - $wf, 0) // $lastWin) AS take
+        |      FROM d CROSS JOIN (SELECT unnest([$wins]) AS i)),
         |s AS (SELECT doc_id, h, i, start, CAST(take * ch AS BIGINT) AS ns, start * ba AS boff FROM w),
         |sj AS (SELECT doc_id, i, boff, h, unnest(range(ns)) AS j FROM s),
         |v AS (SELECT doc_id, i,
@@ -1133,7 +1144,8 @@ object SparkEntry {
         |SELECT s.doc_id AS media_id, CAST(s.i AS BIGINT) AS win_no, s.start AS start_frame,
         |       s.ns AS n_samples, CAST(coalesce(e.energy, 0) AS BIGINT) AS energy
         |FROM s LEFT JOIN e ON e.doc_id = s.doc_id AND e.i = s.i
-        |ORDER BY media_id, win_no""".stripMargin,
+        |ORDER BY media_id, win_no""".stripMargin
+    },
     // every parsed BMP field from its closed form; pixel_sum from the raw
     // bytes (hex-nibble recovery — DuckDB substring can't slice BLOBs),
     // pad pixels contribute zero by construction

@@ -224,6 +224,75 @@ object StreamAnnIngest {
     (SimilarityOps.probeAssigned(comp), comp.count(), nDropped)
   }
 
+  // ---- s14: partial compaction while serving (mixed-state probe) ----
+
+  /** The deterministic compaction subset: EVEN cells compact first. A
+    * real rollout compacts a few cells at a time by any policy
+    * (tombstone density, list age); parity is the seed-free rule both
+    * the gate and the spec replay. */
+  private def inCompactedSubset(cell: org.apache.spark.sql.Column) =
+    cell % 2 === 0
+
+  def s14AnnPartialCompact(spark: SparkSession, dir: String): DataFrame =
+    s14WithBranches(spark, dir)._1
+
+  /** s14: PARTIAL compaction — the production motion s13's one-shot
+    * rewrite lacks. A 100 TB index never compacts whole: a few cells
+    * rewrite at a time while queries keep arriving, so the serve path
+    * must answer from MIXED state — some cells compacted (tombstones
+    * already retired), the rest still paying s12's query-time merge
+    * (reference lineage: the consumer's serve-while-writing loop,
+    * ConsumerESFinal.scala:86-94, here interleaved with maintenance).
+    *
+    * The decomposition that makes the mixed serve exact: a corpus
+    * vector lives in exactly one cell, a query probes exactly its own
+    * cell (nprobe=1), so CELLS PARTITION THE PROBE — queries in
+    * compacted cells are answered entirely by the compacted store
+    * (s13's plan: no anti-join, the merge was paid at rewrite), queries
+    * in uncompacted cells entirely by index-minus-tombstones (s12's plan),
+    * and the union of the two branch probes is s12's answer VERBATIM.
+    * The gate checks exactly that: its oracle is s12's shared SQL
+    * string — compaction progress must be query-invisible at every
+    * intermediate state, not only at the s13 endpoint.
+    *
+    * Scale design: the rewrite reads only the compacting cells' buckets
+    * plus the request-sized tombstone set (cell-local, incremental —
+    * the s13 property, now per subset); the serve adds NO new exchange:
+    * each branch is the already-proven bucket-local plan over a
+    * DISJOINT cell set, the union concatenates partitions without
+    * repartitioning, and the anti-join survives only on the uncompacted
+    * branch (LayoutSpec's s14 case proves both on real bucketed
+    * layouts). Serving capacity during maintenance is therefore the
+    * same as before it — the whole point of compacting incrementally. */
+  private[graft] def s14WithBranches(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, Long, Long) = {
+    val (work, store, tombs, _) = runDeleteStream(spark, dir)
+    val compacted = s"$work/compacted_subset"
+    // the partial rewrite: ONLY the subset's cells, survivors only —
+    // cell-local, the uncompacted cells' files are never read
+    liveRows(spark, store, tombs)
+      .filter(inCompactedSubset(col("cell")))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(compacted)
+    val comp = spark.read.parquet(compacted)
+    // the still-serving remainder: s12's merge, restricted to its cells
+    val uncompRows = spark.read.parquet(store).drop("batch_id")
+      .filter(!inCompactedSubset(col("cell")))
+    val uncompTombs = spark.read.parquet(tombs).drop("batch_id")
+      .filter(!inCompactedSubset(col("cell"))).select("cell", "vec_id")
+    val uncomp = uncompRows.join(uncompTombs, Seq("cell", "vec_id"), "left_anti")
+    val compProbe = SimilarityOps.probeAssigned(comp)
+    val uncompProbe = SimilarityOps.probeAssigned(uncomp)
+    val served = compProbe.unionByName(uncompProbe).orderBy("q_id", "rnk")
+    // test seams: tombstones retired by the partial rewrite vs still
+    // merged at query time — both must be nonzero for a genuinely
+    // mixed-state run
+    val tombsByCell = spark.read.parquet(tombs)
+    val nRetired = tombsByCell.filter(inCompactedSubset(col("cell"))).count()
+    val nPending = tombsByCell.filter(!inCompactedSubset(col("cell"))).count()
+    (served, compProbe, uncompProbe, nRetired, nPending)
+  }
+
   private def processDeleteBatch(batch: DataFrame, batchId: Long,
                                  seedsPath: String, reqPath: String,
                                  store: String, tombs: String): Unit = {

@@ -275,6 +275,89 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("s14's mixed layout: compacted + uncompacted branches probe with zero exchanges, anti-join on the uncompacted branch only") {
+    // The scaladoc claim behind s14's 100 TB story, on real written
+    // layouts: mid-compaction the index is TWO stores — the compacted
+    // subset's cells rewritten into a cell-bucketed survivors table, the
+    // remainder still the batch-partitioned store + tombstones. Cells
+    // partition the probe (each query's whole candidate set lives on one
+    // side), so the serve is a union of two bucket-local branch probes:
+    // zero cell exchanges anywhere, and the tombstone anti-join appears
+    // exactly once — on the uncompacted branch. Serving capacity during
+    // maintenance equals serving capacity before it.
+    import graft.ops.SimilarityOps
+    val all = SimilarityOps.normed(spark, sf)
+    val assigned = SimilarityOps
+      .assignCells(all, SimilarityOps.ivfSeedCentroids(all))
+      .withColumn("batch_id", (col("vec_id") % 4).cast("int"))
+    val tombstoned = assigned
+      .filter(col("vec_id") % 10 === 7 && col("label") === 0)
+      .select(col("vec_id"), col("cell"), col("batch_id"))
+    // the live store + tombstones (uncompacted remainder reads these)
+    assigned.write.mode("overwrite").partitionBy("batch_id")
+      .bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("ann_index_m")
+    tombstoned.write.mode("overwrite").partitionBy("batch_id")
+      .bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("ann_tombs_m")
+    // the partial rewrite: EVEN cells only, survivors only, cell-bucketed
+    assigned.filter(col("cell") % 2 === 0)
+      .join(tombstoned.select("cell", "vec_id"), Seq("cell", "vec_id"), "left_anti")
+      .write.mode("overwrite")
+      .bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("ann_compact_m")
+    try {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      child.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      def branchPairs(live: org.apache.spark.sql.DataFrame) = {
+        val q = live.filter(col("label") === 1)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("cell"))
+        live.join(q, Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"))
+      }
+      val comp = child.table("ann_compact_m")
+      val store = child.table("ann_index_m")
+        .filter(col("batch_id") < 4 && col("cell") % 2 === 1)
+      val tombs = child.table("ann_tombs_m")
+        .filter(col("batch_id") < 4 && col("cell") % 2 === 1)
+        .select("cell", "vec_id")
+      val uncomp = store.join(tombs, Seq("cell", "vec_id"), "left_anti")
+      // the compacted branch alone: its merge was paid at rewrite time,
+      // so its probe plan contains NO anti-join at all
+      val compPairs = branchPairs(comp)
+      compPairs.collect()
+      assert(!compPairs.queryExecution.explainString(FormattedMode).contains("Anti"),
+        "compacted branch still carries a tombstone anti-join")
+      val mixed = compPairs.unionByName(branchPairs(uncomp))
+      mixed.collect()
+      val plan = mixed.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "store scans do not report bucketed reads")
+      // the tombstone merge survives only on the uncompacted branch —
+      // which instantiates its merged view twice (both probe sides read
+      // index-minus-tombstones), so the mixed plan carries exactly the 2
+      // anti-join instances of the s12 branch and none from compaction
+      // ("LeftAnti (" matches FormattedMode's tree lines only, one per
+      // physical instance)
+      val nAnti = "LeftAnti \\(".r.findAllMatchIn(plan).length
+      assert(nAnti == 2,
+        s"expected the uncompacted branch's 2 anti-join instances only, got $nAnti")
+      val nCellExchanges = "hashpartitioning\\(cell".r.findAllMatchIn(plan).length
+      assert(nCellExchanges == 0,
+        s"expected a fully bucket-local mixed probe, got $nCellExchanges cell exchanges")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_index_m")
+      spark.sql("DROP TABLE IF EXISTS ann_tombs_m")
+      spark.sql("DROP TABLE IF EXISTS ann_compact_m")
+      ()
+    }
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh.nonEmpty)

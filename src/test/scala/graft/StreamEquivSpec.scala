@@ -178,6 +178,45 @@ class StreamEquivSpec extends AnyFunSuite {
       "compacted probe still carries a tombstone anti-join")
   }
 
+  test("s14 partial compaction: mixed-state serve ≡ s12, anti-join only on the uncompacted branch") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.ops.SimilarityOps
+    // the batch twin is s12's: survivors under the original quantizer
+    val all = ops.normed(spark, sf)
+    val seeds = ops.ivfSeedCentroids(all)
+    val survivors = graft.streaming.StreamAnnIngest.survivorFilter(
+      all.select("vec_id", "v", "nrm", "label"))
+    val batch = rows(ops.probeAssigned(ops.assignCells(survivors, seeds)))
+    val (served, compProbe, uncompProbe, nRetired, nPending) =
+      graft.streaming.StreamAnnIngest.s14WithBranches(spark, sf)
+    // genuinely mixed state: tombstones were retired by the partial
+    // rewrite AND are still being merged at query time on the remainder
+    assert(nRetired > 0, "no tombstones in the compacted subset — vacuous partial compaction")
+    assert(nPending > 0, "no tombstones left uncompacted — this is s13, not a partial state")
+    // both branches actually serve queries
+    assert(compProbe.select("q_id").distinct().count() > 0,
+      "no query lives in a compacted cell — compacted branch untested")
+    assert(uncompProbe.select("q_id").distinct().count() > 0,
+      "no query lives in an uncompacted cell — uncompacted branch untested")
+    // compaction progress is query-invisible: the mixed serve is s12's
+    // answer verbatim (cells partition the probe, so the branch union is
+    // exact, not approximate)
+    assert(batch.nonEmpty)
+    assert(rows(served) == batch, "mixed-state serve diverged from s12's answer")
+    // per-branch plan shape: the compacted branch paid its merge at
+    // rewrite time (no anti-join), the uncompacted branch still pays it
+    compProbe.collect()
+    val compPlan = compProbe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!compPlan.contains("Anti"),
+      "compacted branch still carries a tombstone anti-join")
+    uncompProbe.collect()
+    val uncompPlan = uncompProbe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(uncompPlan.contains("Anti"),
+      "uncompacted branch lost its tombstone merge — deleted rows would serve")
+  }
+
   test("p2 streaming funnel head: multi-batch replay ≡ batch p1 stages") {
     import org.apache.spark.sql.functions._
     // the streamed ledger's head stages must equal batch p1's exactly:
@@ -377,15 +416,21 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(stream == batch,
       "merged per-batch histograms diverged from the whole-table histogram")
     // declared error: the true quantile order statistic lies inside the
-    // estimate's bucket, so |est - exact| <= BucketWidth. Max-accuracy
-    // percentile_approx returns an actual element (no interpolation),
-    // matching the histogram's rank-crossing rule.
+    // estimate's bucket, so |est - exact| <= BucketWidth — PROVIDED the
+    // exact side uses the histogram's own rank convention. The histogram
+    // reads the first bucket where cum >= q*total, i.e. the order
+    // statistic of rank ceil(q*total); percentile_approx's rank
+    // (~1 + q*(n-1)) can differ by one element and push an exact value
+    // across a bucket boundary, so the exact twin is computed here with
+    // the SAME ceil(q*total) rule.
     val w = graft.streaming.StreamSketch.BucketWidth
     val exact = graft.io.Sources.table(spark, sf, "events")
-      .groupBy("event_type")
-      .agg(expr("percentile_approx(value, 0.5, 2147483647)").as("p50"),
-        expr("percentile_approx(value, 0.9, 2147483647)").as("p90"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        val vs = rs.map(_.getDouble(1)).sorted
+        def q(p: Double): Double = vs(math.ceil(p * vs.length).toInt - 1)
+        t -> (q(0.5), q(0.9))
+      }
     streamDf.collect().foreach { r =>
       val (e50, e90) = exact(r.getString(0))
       assert(math.abs(r.getDouble(2) - e50) <= w,
