@@ -87,6 +87,7 @@ object SparkEntry {
     "s12_stream_ann_delete" -> (graft.streaming.StreamAnnIngest.s12StreamAnnDelete _),
     "s13_ann_compact" -> (graft.streaming.StreamAnnIngest.s13AnnCompact _),
     "s14_ann_partial_compact" -> (graft.streaming.StreamAnnIngest.s14AnnPartialCompact _),
+    "s15_stream_ann_multiprobe" -> (graft.streaming.StreamAnnIngest.s15StreamAnnMultiprobe _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
     "s5_ann_pq" -> (SimilarityOps.s5AnnPq _),
     "s6_ann_ivfpq" -> (SimilarityOps.s6AnnIvfPq _),
@@ -393,6 +394,21 @@ object SparkEntry {
     * full-set quantizer — deletion semantics, not a retrained index. */
   private def survivorIvfSql: String =
     s3IvfSqlWhere("WHERE NOT (vec_id % 10 = 7 AND label = 0)")
+
+  /** s15's oracle: s3's probe with the query side fanned out to its
+    * top-`nprobe` cells (q reads `ar WHERE arn <= nprobe`, the s4
+    * battery's np2/np4 CTE move) — corpus rows stay single-cell, so
+    * probed pairs are unique by construction, exactly as the engine. */
+  private def s3IvfMultiprobeSql(nprobe: Int): String =
+    s"""WITH $embCte,
+       |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+       |ac AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+       |ar AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+       |asn AS (SELECT vec_id, v, nrm, label, cell FROM ar WHERE arn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM ar WHERE label = 1 AND arn <= $nprobe),
+       |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
+       |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+       |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
   /** Mirror of SimilarityOps.pqCodebook/pqCodes (+ reconstructed norm):
     * appended after [[embCte]], yields `cbn(cbs)` (the [m][k] nested
@@ -995,6 +1011,11 @@ object SparkEntry {
     // s12's merge); every intermediate compaction state must be
     // query-invisible too, so the oracle is again s12's SQL verbatim
     "s14_ann_partial_compact" -> survivorIvfSql,
+    // s15 serves batch s3's nprobe=2 answer from the stream-built store
+    // (query-side fan-out only) — the oracle is s3's probe SQL with the
+    // query CTE widened to arn <= 2, the s4 battery's np2 move
+    "s15_stream_ann_multiprobe" ->
+      s3IvfMultiprobeSql(graft.streaming.StreamAnnIngest.MultiNprobe),
     "s4_ann_recall" ->
       s"""${annRecallCtes(embCte)}
          |SELECT qs.q_id AS q_id, mth.method AS method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, round(coalesce(h.hits, 0) / 3.0, 4) AS recall

@@ -214,6 +214,39 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** The store-served probe widened to nprobe > 1 — s3's standard recall
+    * lever applied to s11's index store (s15). The corpus side is
+    * byte-identical to [[probeAssigned]]: store rows meet queries on
+    * their STORED cell key, no quantizer anywhere near the corpus. Only
+    * the query rows — already a tiny, broadcast-sized set — re-rank the
+    * broadcast quantizer to fan out to their top-`nprobe` cells and then
+    * ride the same broadcast into the cell equi-join. Fan-out cost is
+    * queries × nprobe rows, a constant at any corpus size; the store is
+    * never exchanged (LayoutSpec's s15 case proves zero shuffle
+    * exchanges on the real bucketed layout — the one exchange in the
+    * plan is the query broadcast itself). Emits s3's exact output shape,
+    * and equals batch s3 at the same nprobe row-for-row
+    * (StreamEquivSpec). */
+  private[graft] def probeAssignedMulti(assigned: DataFrame, seeds: DataFrame,
+                                        nprobe: Int): DataFrame = {
+    val centArr = seeds
+      .select(struct(col("c_id"), col("cv"), col("cn")).as("cent"))
+      .agg(array_sort(collect_list(col("cent"))).as("cents"))
+    val q = assigned.filter(col("label") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(centArr))
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(rankedCells(col("cents"), col("qv"), col("qn"), nprobe)).as("cell"))
+    val pairs = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("cos_sim"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** The IVF probe plan, parameterized by the centroid table: assign every
     * vector to its nearest coarse centroid (argmax cosine against the
     * broadcast centroid set), build the inverted lists implicitly as the

@@ -52,6 +52,15 @@ object StreamAnnIngest {
 
   /** Test seam: result + micro-batch count actually replayed. */
   private[graft] def s11WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val (store, _, nBatches) = runIngestStream(spark, dir)
+    val result = SimilarityOps.probeAssigned(
+      spark.read.parquet(store).drop("batch_id"))
+    (result, nBatches)
+  }
+
+  /** s11's ingest stream run, shared by s15: returns (index store path,
+    * quantizer artifact path, batch count). */
+  private def runIngestStream(spark: SparkSession, dir: String): (String, String, Int) = {
     val work = Files.createTempDirectory("graft_annstream_").toString
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
@@ -76,8 +85,36 @@ object StreamAnnIngest {
     q.awaitTermination()
     val nBatches = Option(new java.io.File(store).listFiles())
       .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
-    val result = SimilarityOps.probeAssigned(
-      spark.read.parquet(store).drop("batch_id"))
+    (store, seedsPath, nBatches)
+  }
+
+  // ---- s15: multi-probe against the streamed store ------------------
+
+  /** Query-side cell fan-out for the store-served probe (s15); 2 is the
+    * first recall step of s4's measured nprobe ladder. */
+  val MultiNprobe = 2
+
+  def s15StreamAnnMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    s15WithBatchCount(spark, dir)._1
+
+  /** s15: s11's store-served probe widened to nprobe=[[MultiNprobe]] —
+    * the recall lever s4 measures on the BATCH index (ivf_np2: 0.36 vs
+    * 0.23 on uniform vectors), now available against the STREAM-built
+    * store. The store side is byte-identical to s11's probe (rows meet
+    * queries on their stored cell, zero quantizer work over the
+    * corpus); only the query rows re-rank the quantizer artifact — the
+    * same file the ingest batches read — and explode to their top-2
+    * cells before riding the broadcast into the cell equi-join
+    * ([[SimilarityOps.probeAssignedMulti]]). The gate checks the
+    * store-served answer against batch s3's nprobe=2 oracle — so s4's
+    * ivf_np2 recall row IS this probe's recall, by proven equivalence.
+    * Scale: fan-out adds queries × nprobe broadcast rows, constant in
+    * corpus size; the store is never exchanged (LayoutSpec s15). */
+  private[graft] def s15WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val (store, seedsPath, nBatches) = runIngestStream(spark, dir)
+    val result = SimilarityOps.probeAssignedMulti(
+      spark.read.parquet(store).drop("batch_id"),
+      spark.read.parquet(seedsPath), MultiNprobe)
     (result, nBatches)
   }
 

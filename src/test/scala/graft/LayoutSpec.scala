@@ -169,6 +169,43 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("s15's multi-probe on the bucketed store: query fan-out rides a broadcast, store never shuffles") {
+    // The scaladoc claim behind s15's 100 TB story, on the real written
+    // layout: widening the store-served probe to nprobe=2 adds work on
+    // the QUERY side only — query rows re-rank the broadcast quantizer
+    // and explode to their top-2 cells, then ride a broadcast into the
+    // cell equi-join. The corpus-sized store side is read in place: the
+    // plan contains ZERO shuffle exchanges of any kind (the only
+    // exchange is the query-set broadcast), so serve cost at nprobe=2
+    // is the nprobe=1 cost plus a constant-size fan-out.
+    import graft.ops.SimilarityOps
+    val all = SimilarityOps.normed(spark, sf)
+    val seeds = SimilarityOps.ivfSeedCentroids(all)
+    val assigned = SimilarityOps.assignCells(all, seeds)
+      .withColumn("batch_id", (col("vec_id") % 4).cast("int"))
+    assigned.write.mode("overwrite").partitionBy("batch_id")
+      .bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("ann_index_np")
+    try {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      val store = child.table("ann_index_np").filter(col("batch_id") < 4)
+      val childSeeds = SimilarityOps.ivfSeedCentroids(SimilarityOps.normed(child, sf))
+      val probe = SimilarityOps.probeAssignedMulti(
+        store.drop("batch_id"), childSeeds, nprobe = 2)
+      probe.collect()
+      val plan = probe.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "store scan does not report a bucketed read")
+      val nCellExchanges = "hashpartitioning\\(cell".r.findAllMatchIn(plan).length
+      assert(nCellExchanges == 0,
+        s"expected zero cell exchanges (fan-out is query-side only), got $nCellExchanges")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_index_np")
+      ()
+    }
+  }
+
   test("s12's tombstone layout: cell-bucketed merge + probe with zero exchanges") {
     // The scaladoc claim behind s12's 100 TB story: tombstones CARRY
     // THEIR CELL and ride the same batch-partitioned + cell-bucketed

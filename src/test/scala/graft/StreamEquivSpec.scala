@@ -130,6 +130,31 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("s15 store-served multi-probe: stream-built index ≡ batch s3 at nprobe=2, fan-out touches only query rows") {
+    val np = graft.streaming.StreamAnnIngest.MultiNprobe
+    val batch = rows(graft.ops.SimilarityOps.s3AnnIvfProbe(spark, sf, np))
+    val (streamDf, nBatches) =
+      graft.streaming.StreamAnnIngest.s15WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    assert(batch.nonEmpty)
+    // multi-probe genuinely widens the answer set vs the nprobe=1 serve
+    // (on this fixture some top-3 neighbours live in the second cell)
+    val np1 = rows(graft.streaming.StreamAnnIngest.s11StreamAnnIngest(spark, sf))
+    assert(batch != np1, "nprobe=2 answered identically to nprobe=1 — fixture exercises nothing")
+    assert(rows(streamDf) == batch)
+    // plan property: the fan-out is query-side only — the corpus-sized
+    // store side never repartitions on cell (the query set rides a
+    // broadcast into the equi-join, the s11 shape widened)
+    streamDf.collect()
+    val plan = streamDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val nCellExchanges = "hashpartitioning\\(cell".r.findAllMatchIn(plan).length
+    assert(nCellExchanges == 0,
+      s"store side repartitioned on cell ($nCellExchanges exchanges) — " +
+        "the fan-out must touch only query rows")
+  }
+
   test("s12 streaming deletes: tombstone-merged probe ≡ batch IVF over survivors, original quantizer") {
     import org.apache.spark.sql.functions._
     val ops = graft.ops.SimilarityOps
