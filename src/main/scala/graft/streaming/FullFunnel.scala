@@ -81,14 +81,20 @@ object FullFunnel {
     p3From(Sources.table(spark, dir, "documents"))
 
   /** Frame-level seam: StreamEquivSpec replays fixtures with PLANTED
-    * cross-batch near-duplicates through it. */
-  private[graft] def p3From(docs: DataFrame): (DataFrame, Int) = {
+    * cross-batch near-duplicates through it. `orderExpr` controls
+    * arrival order: the doc_id-ordered replay is a PRECONDITION of the
+    * p3 ≡ p1 parity — the near stage labels the batch doc only when it
+    * is the LARGER side of a candidate pair, so a reversed replay
+    * misses every cross-batch near-dup (StreamEquivSpec asserts exactly
+    * that divergence: the precondition is load-bearing, not prose). */
+  private[graft] def p3From(docs: DataFrame,
+      orderExpr: org.apache.spark.sql.Column = col("doc_id")): (DataFrame, Int) = {
     val spark = docs.sparkSession
     val work = Files.createTempDirectory("graft_fullfunnel_").toString
     val splitDir = s"$work/in"
     docs
       .select("doc_id", "text", "lang", "source")
-      .repartitionByRange(SplitFiles, col("doc_id"))
+      .repartitionByRange(SplitFiles, orderExpr)
       .write.parquet(splitDir)
     // first-arrival must mean min-doc_id: the file source orders by
     // modification time; stamp range files with ascending mtimes

@@ -64,13 +64,19 @@ object IncrementalDedup {
   /** Test seam: the result plus the number of micro-batches the replay
     * actually ran — StreamEquivSpec asserts it matches [[SplitFiles]],
     * so the stream≡batch claim is proven over a genuinely incremental
-    * run, not a single vacuous batch. */
-  private[graft] def d12WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    * run, not a single vacuous batch. `orderExpr` controls which rows
+    * share a micro-batch: d12 has NO ordering precondition — the
+    * candidate join is symmetric (least/greatest normalization) and a
+    * pair is emitted exactly once in the batch of its later ARRIVAL,
+    * whichever doc that is — and StreamEquivSpec proves it by replaying
+    * the REVERSED assignment to the same batch-d3 answer. */
+  private[graft] def d12WithBatchCount(spark: SparkSession, dir: String,
+      orderExpr: org.apache.spark.sql.Column = col("doc_id")): (DataFrame, Int) = {
     val work = Files.createTempDirectory("graft_incdedup_").toString
     val splitDir = s"$work/in"
     Sources.table(spark, dir, "documents")
       .select("doc_id", "text")
-      .repartitionByRange(SplitFiles, col("doc_id"))
+      .repartitionByRange(SplitFiles, orderExpr)
       .write.parquet(splitDir)
     val bandStore = s"$work/bands"
     val shingleStore = s"$work/shingles"

@@ -50,9 +50,15 @@ object StreamAnnIngest {
   def s11StreamAnnIngest(spark: SparkSession, dir: String): DataFrame =
     s11WithBatchCount(spark, dir)._1
 
-  /** Test seam: result + micro-batch count actually replayed. */
-  private[graft] def s11WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
-    val (store, _, nBatches) = runIngestStream(spark, dir)
+  /** Test seam: result + micro-batch count actually replayed.
+    * `orderExpr` controls which rows share a micro-batch: s11 has NO
+    * ordering precondition — the index is a set union of per-batch
+    * assignments (each row assigned independently against the static
+    * quantizer artifact) — and StreamEquivSpec proves it by replaying
+    * the REVERSED assignment to the same batch-s3 answer. */
+  private[graft] def s11WithBatchCount(spark: SparkSession, dir: String,
+      orderExpr: org.apache.spark.sql.Column = col("vec_id")): (DataFrame, Int) = {
+    val (store, _, nBatches) = runIngestStream(spark, dir, orderExpr)
     val result = SimilarityOps.probeAssigned(
       spark.read.parquet(store).drop("batch_id"))
     (result, nBatches)
@@ -60,12 +66,13 @@ object StreamAnnIngest {
 
   /** s11's ingest stream run, shared by s15: returns (index store path,
     * quantizer artifact path, batch count). */
-  private def runIngestStream(spark: SparkSession, dir: String): (String, String, Int) = {
+  private def runIngestStream(spark: SparkSession, dir: String,
+      orderExpr: org.apache.spark.sql.Column = col("vec_id")): (String, String, Int) = {
     val work = Files.createTempDirectory("graft_annstream_").toString
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
     all.select("vec_id", "v", "nrm", "label")
-      .repartitionByRange(SplitFiles, col("vec_id"))
+      .repartitionByRange(SplitFiles, orderExpr)
       .write.parquet(splitDir)
     // the offline quantizer artifact: written once, read by every batch
     val seedsPath = s"$work/quantizer"

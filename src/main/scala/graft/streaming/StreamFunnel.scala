@@ -60,14 +60,19 @@ object StreamFunnel {
 
   /** Frame-level seam: StreamEquivSpec replays a fixture with PLANTED
     * cross-batch duplicates through it (the natural fixtures contain no
-    * exact text dups, which would leave the key store untested). */
-  private[graft] def p2From(docs: DataFrame): (DataFrame, Int) = {
+    * exact text dups, which would leave the key store untested).
+    * `orderExpr` controls arrival order: first-arrival-wins makes the
+    * doc_id-ordered replay a PRECONDITION of the p2 ≡ p1 parity —
+    * StreamEquivSpec asserts the reversed replay genuinely breaks it
+    * (the precondition is load-bearing, not prose). */
+  private[graft] def p2From(docs: DataFrame,
+      orderExpr: org.apache.spark.sql.Column = col("doc_id")): (DataFrame, Int) = {
     val spark = docs.sparkSession
     val work = Files.createTempDirectory("graft_funnel_").toString
     val splitDir = s"$work/in"
     docs
       .select("doc_id", "text", "lang", "source")
-      .repartitionByRange(SplitFiles, col("doc_id"))
+      .repartitionByRange(SplitFiles, orderExpr)
       .write.parquet(splitDir)
     // first-arrival must mean min-doc_id: the file source orders by
     // modification time, so stamp the range files with ascending mtimes

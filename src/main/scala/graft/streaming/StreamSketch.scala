@@ -59,13 +59,18 @@ object StreamSketch {
   def x8StreamSketch(spark: SparkSession, dir: String): DataFrame =
     x8WithBatchCount(spark, dir)._1
 
-  /** Test seam: result + micro-batch count actually replayed. */
-  private[graft] def x8WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+  /** Test seam: result + micro-batch count actually replayed.
+    * `orderExpr` controls which rows share a micro-batch (StreamEquivSpec
+    * replays with the REVERSED assignment to prove the merge is
+    * arrival-order-independent — register maxima and count addition
+    * don't care which batch a row landed in). */
+  private[graft] def x8WithBatchCount(spark: SparkSession, dir: String,
+      orderExpr: org.apache.spark.sql.Column = col("event_id")): (DataFrame, Int) = {
     val work = Files.createTempDirectory("graft_sketchstream_").toString
     val splitDir = s"$work/in"
     Sources.table(spark, dir, "events")
       .select("event_id", "event_type", "user_id")
-      .repartitionByRange(SplitFiles, col("event_id"))
+      .repartitionByRange(SplitFiles, orderExpr)
       .write.parquet(splitDir)
     val store = s"$work/sketches"
     val session = spark.newSession()
@@ -155,12 +160,13 @@ object StreamSketch {
     * summing counts. This is the production shape for "p50/p90 latency
     * per key, updated per batch over 100 TB" — the exact twin would
     * re-sort every value ever seen, per batch. */
-  private[graft] def x9WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+  private[graft] def x9WithBatchCount(spark: SparkSession, dir: String,
+      orderExpr: org.apache.spark.sql.Column = col("event_id")): (DataFrame, Int) = {
     val work = Files.createTempDirectory("graft_quantstream_").toString
     val splitDir = s"$work/in"
     Sources.table(spark, dir, "events")
       .select("event_id", "event_type", "value")
-      .repartitionByRange(SplitFiles, col("event_id"))
+      .repartitionByRange(SplitFiles, orderExpr)
       .write.parquet(splitDir)
     val store = s"$work/hist"
     val session = spark.newSession()

@@ -465,6 +465,103 @@ class StreamEquivSpec extends AnyFunSuite {
     }
   }
 
+  test("x8/x9 under reversed arrival: merged results are bit-identical — merge invariance holds under disorder") {
+    import org.apache.spark.sql.functions._
+    // the merge-invariance claim ("register maxima / count addition are
+    // order-independent") asserted under a genuinely different batch
+    // assignment: the REVERSED event order. Equality is against the
+    // whole-table batch twin, i.e. also bit-identical to the ordered
+    // replay's pinned result.
+    val (x8Rev, n8) = graft.streaming.StreamSketch
+      .x8WithBatchCount(spark, sf, negate(col("event_id")))
+    assert(n8 == graft.streaming.StreamSketch.SplitFiles)
+    assert(rows(x8Rev) == rows(graft.streaming.StreamSketch.x8Batch(spark, sf)),
+      "reversed-arrival HLL merge diverged — sketch merge is not order-independent")
+    val (x9Rev, n9) = graft.streaming.StreamSketch
+      .x9WithBatchCount(spark, sf, negate(col("event_id")))
+    assert(n9 == graft.streaming.StreamSketch.SplitFiles)
+    assert(rows(x9Rev) == rows(graft.streaming.StreamSketch.x9Batch(spark, sf)),
+      "reversed-arrival histogram merge diverged — count addition is not order-independent")
+  }
+
+  test("d12/s11 under reversed arrival: still ≡ batch — no ordering precondition") {
+    import org.apache.spark.sql.functions._
+    // d12's candidate join is SYMMETRIC (least/greatest normalization,
+    // both stores carry every arrived doc), so a pair is emitted exactly
+    // once in the batch of its later ARRIVAL — whichever doc that is;
+    // s11's index is a set union of independent assignments. Neither has
+    // an ordering precondition, unlike the first-arrival funnels below —
+    // proven here by replaying the reversed assignment to the same
+    // batch answers.
+    val (d12Rev, nd) = graft.streaming.IncrementalDedup
+      .d12WithBatchCount(spark, sf, negate(col("doc_id")))
+    assert(nd == graft.streaming.IncrementalDedup.SplitFiles)
+    assert(rows(d12Rev) == rows(graft.ops.DedupOps.d3MinhashLsh(spark, sf)),
+      "reversed-arrival d12 diverged from batch d3 — pair emission is order-dependent")
+    val (s11Rev, ns) = graft.streaming.StreamAnnIngest
+      .s11WithBatchCount(spark, sf, negate(col("vec_id")))
+    assert(ns == graft.streaming.StreamAnnIngest.SplitFiles)
+    assert(rows(s11Rev) == rows(graft.ops.SimilarityOps.s3AnnIvf(spark, sf)),
+      "reversed-arrival s11 diverged from batch s3 — index union is order-dependent")
+  }
+
+  test("p3 under reversed arrival diverges from p1: the first-arrival precondition is load-bearing") {
+    import org.apache.spark.sql.functions._
+    // p3's near stage labels the batch doc only when it is the LARGER
+    // side of a candidate pair (x.doc_id > y.doc_id) — exactly the
+    // doc_id-ordered-arrival assumption. Reversed, every cross-batch
+    // near-dup pair's larger doc arrives BEFORE its smaller partner and
+    // is never labeled: the ledger loses near-dups and the p3 ≡ p1
+    // parity breaks. This pins the precondition as load-bearing — an
+    // unordered production feed MUST NOT reuse this gate's plan as-is.
+    val (revDf, nBatches) = graft.streaming.FullFunnel.p3From(
+      graft.io.Sources.table(spark, sf, "documents"), negate(col("doc_id")))
+    assert(nBatches == graft.streaming.FullFunnel.SplitFiles)
+    val rev = rows(revDf)
+    val p1 = rows(graft.ops.PipelineOps.p1PipelineLedger(spark, sf))
+    assert(rev != p1,
+      "reversed-arrival p3 still equals p1 — the ordering precondition is vacuous")
+    // the divergence is specifically lost near-dups (14 on the natural
+    // fixture when ordered; same-batch pairs may still be caught)
+    val nNear = revDf.agg(sum("n_near_dup")).collect()(0).getLong(0)
+    assert(nNear < 14L,
+      s"expected reversed arrival to miss cross-batch near-dups, got $nNear of 14")
+  }
+
+  test("p2 under reversed arrival diverges on a planted cross-group duplicate: first-arrival is load-bearing") {
+    import org.apache.spark.sql.functions._
+    // a duplicate pair whose members sit in DIFFERENT ledger groups
+    // makes first-arrival visible at gate granularity: whichever member
+    // arrives second is the group that books the exact-dup. Plant a
+    // copy of an eligible doc under a fresh source at a HIGHER doc_id:
+    // ordered, the copy's group books it; reversed, the ORIGINAL's
+    // group does — the two ledgers must disagree.
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    val flagged = graft.ops.PipelineOps.headFlags(docs)
+    val origId = flagged.filter(!col("is_eval") && col("q"))
+      .orderBy("doc_id").limit(1).select("doc_id")
+    val copy = docs.join(origId, Seq("doc_id"))
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)) // % EvalMod kept
+      .withColumn("source", lit("planted_src"))
+    val planted = docs.unionByName(copy)
+    val (ordDf, n1) = graft.streaming.StreamFunnel.p2From(planted)
+    val (revDf, n2) = graft.streaming.StreamFunnel.p2From(planted, negate(col("doc_id")))
+    assert(n1 == graft.streaming.StreamFunnel.SplitFiles && n2 == n1)
+    val ord = rows(ordDf)
+    val rev = rows(revDf)
+    assert(ord != rev,
+      "reversed-arrival p2 produced the ordered ledger — first-arrival is vacuous")
+    // and the disagreement is exactly where it should be: ordered books
+    // the exact-dup in the planted group, reversed books it in the
+    // original's group (the planted copy was kept instead)
+    val plantedExactOrd = ordDf.filter(col("source") === "planted_src")
+      .agg(sum("n_exact_dup")).collect()(0).getLong(0)
+    val plantedExactRev = revDf.filter(col("source") === "planted_src")
+      .agg(sum("n_exact_dup")).collect()(0).getLong(0)
+    assert(plantedExactOrd == 1L, s"ordered replay: planted group booked $plantedExactOrd exact-dups, expected 1")
+    assert(plantedExactRev == 0L, s"reversed replay: planted group booked $plantedExactRev exact-dups, expected 0")
+  }
+
   test("stream-static enrichment join ≡ batch join") {
     // q38's gate path IS the streaming side: broadcast static dim,
     // update-mode upserts through the idempotent materialized sink.
