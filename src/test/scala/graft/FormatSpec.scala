@@ -78,6 +78,83 @@ class FormatSpec extends AnyFunSuite {
     assert(merged.filter(col("gen") === 2 && col("value").isNull).count() == 0)
   }
 
+  test("sketch-store schema evolution: later batch generations add a column, merged read + HLL merge stay green") {
+    // the first thing that happens to a year-old production store: the
+    // pipeline adds a per-batch column (here n_hot, a count of
+    // high-value events) and the store holds both generations side by
+    // side. The merged read (mergeSchema) must still merge the sketches
+    // register-wise to the whole-table answer, aggregate the new column
+    // over the generations that have it, and surface it as null for the
+    // old ones — x8's store lifecycle (StreamSketch.processBatch), one
+    // schema generation later.
+    val lgK = graft.streaming.StreamSketch.LgK
+    val store = Files.createTempDirectory("graft_sketch_evo_").toString + "/sketches"
+    val ev = Sources.table(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    (0 until 4).foreach { b =>
+      val batch = ev.filter(pmod(col("event_id"), lit(4)) === b)
+      val partial = batch.groupBy("event_type")
+        .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"),
+          count(lit(1)).as("n_events"))
+      // generation 2 (batches 2-3) gains the column
+      val gen = if (b >= 2)
+        partial.join(
+          batch.filter(col("value") > 900).groupBy("event_type")
+            .agg(count(lit(1)).as("n_hot")),
+          Seq("event_type"), "left")
+          .withColumn("n_hot", coalesce(col("n_hot"), lit(0L)))
+      else partial
+      gen.write.parquet(s"$store/batch_id=$b")
+    }
+    val merged = spark.read.option("mergeSchema", "true").parquet(store)
+    // old generations surface the new column as null
+    assert(merged.filter(col("batch_id") < 2 && col("n_hot").isNotNull).count() == 0)
+    assert(merged.filter(col("batch_id") >= 2 && col("n_hot").isNull).count() == 0)
+    // the sketch merge is generation-blind: estimates + additive counts
+    // equal the whole-table batch twin exactly
+    val answer = merged.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"),
+        sum("n_events").as("n_events"),
+        sum("n_hot").as("n_hot"))
+      .orderBy("event_type")
+    val twin = rows(graft.streaming.StreamSketch.x8Batch(spark, sf))
+    assert(rows(answer.select("event_type", "approx_users", "n_events")) == twin,
+      "evolved store's merged sketch diverged from the whole-table twin")
+    // the new column aggregates over exactly the generations that carry it
+    val expectedHot = ev
+      .filter(pmod(col("event_id"), lit(4)) >= 2 && col("value") > 900)
+      .groupBy("event_type").agg(count(lit(1)).as("n_hot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    answer.collect().foreach { r =>
+      assert(r.getLong(3) == expectedHot.getOrElse(r.getString(0), 0L),
+        s"${r.getString(0)}: n_hot diverged")
+    }
+  }
+
+  test("ANN-index-store schema evolution: a later generation adds a column, the probe stays green") {
+    // s11's store lifecycle one schema generation later: newer ingest
+    // batches start recording an ingest timestamp. The probe must serve
+    // the identical answer over the merged two-generation store — the
+    // new column rides along, it never perturbs the cell join.
+    import graft.ops.SimilarityOps
+    val store = Files.createTempDirectory("graft_ann_evo_").toString + "/index"
+    val all = SimilarityOps.normed(spark, sf)
+    val assigned = SimilarityOps.assignCells(all, SimilarityOps.ivfSeedCentroids(all))
+    (0 until 4).foreach { b =>
+      val batch = assigned.filter(pmod(col("vec_id"), lit(4)) === b)
+      val gen = if (b >= 2)
+        batch.withColumn("ingest_ts", lit(1700000000L + b))
+      else batch
+      gen.write.parquet(s"$store/batch_id=$b")
+    }
+    val merged = spark.read.option("mergeSchema", "true").parquet(store)
+      .drop("batch_id")
+    assert(merged.filter(col("ingest_ts").isNotNull).count() > 0)
+    val served = SimilarityOps.probeAssigned(merged.drop("ingest_ts"))
+    assert(rows(served) == rows(SimilarityOps.s3AnnIvf(spark, sf)),
+      "probe over the evolved store diverged from batch s3")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // 90% of rows land on one join key; with broadcast disabled and the
     // skew thresholds scaled to fixture bytes, AQE must re-plan the sort
