@@ -37,14 +37,15 @@ object ScaleCheck {
     * min at sf0.1, plus the new round-7 composites p3/s10, the
     * incremental/trained additions s11/t16, and — since r9 — the index
     * delete/compact lifecycle s12/s13 plus d16/m6, the remaining
-    * most-expensive gates). d15 is deliberately
-    * absent: at FIXED cell count its within-cell pair work is Σ cell² —
-    * quadratic in corpus size by design (SemDeDup scales k with the
-    * corpus to keep cells bounded), so a fixed-k 10× run would measure
-    * the documented degenerate configuration, not the operator.
-    * d16 IS measured: its contraction runs over d15's pair set, so its
-    * ratio reads as "component contraction on the (by-design quadratic)
-    * pair growth", documented next to the table. */
+    * most-expensive gates). d15 at FIXED cell count is deliberately
+    * absent: its within-cell pair work is Σ cell² — quadratic in corpus
+    * size by design — so a fixed-k 10× run would measure the documented
+    * degenerate configuration, not the operator. Instead [[d15ScaledK]]
+    * measures d15 at the SemDeDup DEPLOYMENT rule (k ∝ corpus), the
+    * configuration the paper actually ships.
+    * d16 IS measured: its contraction runs over d15's fixed-k pair set,
+    * so its ratio reads as "component contraction on the (by-design
+    * quadratic) pair growth", documented next to the table. */
   val Gates: Seq[String] = Seq(
     "d2_dedup_ngram_jaccard", "d10_dup_clusters", "d11_dedup_impact",
     "d12_stream_minhash", "p1_pipeline", "p2_stream_funnel",
@@ -66,11 +67,15 @@ object ScaleCheck {
       "graft-scale")
     if (!new java.io.File(s"$scaled/documents.parquet").exists())
       generate(spark, base, scaled)
-    val report = Gates.map { name =>
+    // SPARK_GRAFT_SCALE_ONLY=name,... narrows the run (tuning loops);
+    // unset = the full decade table
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val report = Gates.filter(n => only.forall(_.contains(n))).map { name =>
       val b = time(spark, name, base)
       val s = time(spark, name, scaled)
       (name, b, s)
-    }
+    } ++ d15ScaledK(spark, base, scaled, only)
     val qs = report.map { case (n, b, s) =>
       f""""$n":{"base":$b%.2f,"scaled":$s%.2f,"ratio":${s / b}%.2f}"""
     }.mkString("{", ",", "}")
@@ -78,11 +83,30 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** d15 measured at the SemDeDup DEPLOYMENT rule (k ∝ corpus): the
+    * gate's fixed k=16 is quadratic by design (Σ cell² with 10× cells
+    * sizes), so the honest decade measurement scales the cell count
+    * with the replicas — 16 cells at base, 160 at 10× — keeping cell
+    * SIZE bounded and pair work ∝ n, the paper's whole point. */
+  private def d15ScaledK(spark: SparkSession, base: String, scaled: String,
+                         only: Option[Set[String]]): Seq[(String, Double, Double)] = {
+    val name = "d15_semdedup_scaled_k"
+    if (!only.forall(_.contains(name))) return Seq.empty
+    import graft.ops.SimilarityOps
+    val b = timeOf(() => SimilarityOps.d15SemDedupK(spark, base, SimilarityOps.IvfCells))
+    val s = timeOf(() => SimilarityOps.d15SemDedupK(
+      spark, scaled, SimilarityOps.IvfCells * Replicas))
+    Seq((name, b, s))
+  }
+
   /** Min-of-2 noop-write wall seconds (Bench's statistic). */
   private def time(spark: SparkSession, name: String, dir: String): Double =
+    timeOf(() => SparkEntry.queries(name)(spark, dir))
+
+  private def timeOf(mk: () => DataFrame): Double =
     (1 to 2).map { _ =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      mk().write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }.min
 

@@ -173,6 +173,24 @@ object SimilarityOps {
   private def rankedCells(cents: Column, v: Column, nrm: Column, k: Int): Column =
     transform(slice(rankedCellStructs(cents, v, nrm), 1, k), c => c.getField("c_id"))
 
+  /** The TOP-1 scored cell as an O(k) left fold — the assignment kernel
+    * for paths that only need the argmax (d15/d16), where sorting all k
+    * scored structs ([[rankedCellStructs]]) pays O(k log k) plus sort
+    * allocation per row. Matters exactly when k scales with the corpus
+    * (SemDeDup's deployment rule): at k=160 on the 10× fixture the fold
+    * cut the decade ratio measurably. Tie semantics are identical to
+    * the sort (ccos DESC, c_id ASC): `cents` is c_id-sorted and the
+    * fold only replaces on STRICT improvement, so the lowest c_id of a
+    * tie wins. */
+  private def bestCellStruct(cents: Column, v: Column, nrm: Column): Column = {
+    val scored = transform(cents, c =>
+      struct(
+        (dot(v, c.getField("cv")) / (nrm * c.getField("cn"))).as("ccos"),
+        c.getField("c_id").as("c_id")))
+    aggregate(scored, element_at(scored, 1), (acc, c) =>
+      when(c.getField("ccos") > acc.getField("ccos"), c).otherwise(acc))
+  }
+
   /** s3's deterministic coarse quantizer as a standalone table — the
     * offline artifact an incremental ingest (s11) trains once and ships
     * to every batch. Columns (c_id, cv, cn). */
@@ -840,8 +858,19 @@ object SimilarityOps {
     * Reference lineage: the reference has no embedding ops at all
     * (BASELINE.md); this extends its per-tweet pipeline pattern to the
     * north-star corpus-prep suite. */
-  def d15SemDedup(spark: SparkSession, dir: String): DataFrame = {
-    val asn = semAssigned(spark, dir)
+  def d15SemDedup(spark: SparkSession, dir: String): DataFrame =
+    d15Ledger(semAssignedK(spark, dir, IvfCells))
+
+  /** d15 at an explicit cell count — the seam for the SemDeDup
+    * DEPLOYMENT rule (Abbas et al. 2023 §3: k grows with the corpus so
+    * cells stay bounded and Σ cell² stays ∝ n, not n²). The gate pins
+    * k = [[IvfCells]]; ScaleCheck measures the 10× decade with
+    * k × [[graft.ScaleCheck.Replicas]] on the 10× corpus, turning the
+    * scaladoc's k-scaling defense into a measured ratio. */
+  private[graft] def d15SemDedupK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    d15Ledger(semAssignedK(spark, dir, k))
+
+  private def d15Ledger(asn: DataFrame): DataFrame = {
     val pairs = semPairs(asn)
     val victims = pairs.select(col("cell"), col("victim")).distinct()
       .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
@@ -857,14 +886,17 @@ object SimilarityOps {
   }
 
   /** d15/d16's shared assignment: every vector with its cell and its
-    * cosine TO the cell centroid (the pruning signal). */
-  private def semAssigned(spark: SparkSession, dir: String): DataFrame = {
+    * cosine TO the cell centroid (the pruning signal). `k` is the cell
+    * count — seeds are the k lowest-vec_id vectors (s3's deterministic
+    * trick at any k, so the oracle replays identical cells). */
+  private def semAssignedK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val all = normed(spark, dir)
-    val centArr = ivfSeedCentroids(all)
+    val centArr = all.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
       .select(struct(col("c_id"), col("cv"), col("cn")).as("cent"))
       .agg(array_sort(collect_list(col("cent"))).as("cents"))
     all.crossJoin(broadcast(centArr))
-      .withColumn("best", element_at(rankedCellStructs(col("cents"), col("v"), col("nrm")), 1))
+      .withColumn("best", bestCellStruct(col("cents"), col("v"), col("nrm")))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("best.c_id").as("cell"), col("best.ccos").as("ccos"))
   }
@@ -903,7 +935,7 @@ object SimilarityOps {
     * edge list is within-cell by construction), so the contraction's
     * key space is naturally partitioned. */
   def d16SemClusters(spark: SparkSession, dir: String): DataFrame = {
-    val asn = semAssigned(spark, dir)
+    val asn = semAssignedK(spark, dir, IvfCells)
     val labels = DedupOps.connectedComponents(
       semPairs(asn).select("a_id", "b_id"))
     val sized = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
