@@ -56,7 +56,10 @@ object ScaleCheck {
     "m6_bmp_row_sample",
     // r9 mergeable-sketch + ranged-decode additions: expected flat-to-
     // linear (fixed-width partials / per-object constant byte ranges)
-    "x8_stream_sketch", "x9_stream_quantile", "m7_wav_window_energy")
+    "x8_stream_sketch", "x9_stream_quantile", "m7_wav_window_energy",
+    // r10 additions: the mixed-state serve (partial rewrite + two branch
+    // probes) and the store-served multi-probe (query-side fan-out only)
+    "s14_ann_partial_compact", "s15_stream_ann_multiprobe")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
