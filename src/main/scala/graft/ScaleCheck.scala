@@ -58,8 +58,10 @@ object ScaleCheck {
     // linear (fixed-width partials / per-object constant byte ranges)
     "x8_stream_sketch", "x9_stream_quantile", "m7_wav_window_energy",
     // r10 additions: the mixed-state serve (partial rewrite + two branch
-    // probes) and the store-served multi-probe (query-side fan-out only)
-    "s14_ann_partial_compact", "s15_stream_ann_multiprobe")
+    // probes), the store-served multi-probe (query-side fan-out only),
+    // and the upsert drain (update-sized tombstones, 3-key merge)
+    "s14_ann_partial_compact", "s15_stream_ann_multiprobe",
+    "s16_stream_ann_upsert")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -88,6 +88,7 @@ object SparkEntry {
     "s13_ann_compact" -> (graft.streaming.StreamAnnIngest.s13AnnCompact _),
     "s14_ann_partial_compact" -> (graft.streaming.StreamAnnIngest.s14AnnPartialCompact _),
     "s15_stream_ann_multiprobe" -> (graft.streaming.StreamAnnIngest.s15StreamAnnMultiprobe _),
+    "s16_stream_ann_upsert" -> (graft.streaming.StreamAnnIngest.s16StreamAnnUpsert _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
     "s5_ann_pq" -> (SimilarityOps.s5AnnPq _),
     "s6_ann_ivfpq" -> (SimilarityOps.s6AnnIvfPq _),
@@ -394,6 +395,26 @@ object SparkEntry {
     * full-set quantizer — deletion semantics, not a retrained index. */
   private def survivorIvfSql: String =
     s3IvfSqlWhere("WHERE NOT (vec_id % 10 = 7 AND label = 0)")
+
+  /** s16's oracle: s3 over the UPDATED corpus — vectors under the update
+    * rule (vec_id ≡ 3 mod 10, corpus side) carry their new version
+    * (vec_id ≡ 3 mod 20: scaled by the binary-exact 1.25; ≡ 13 mod 20:
+    * dims rotated left by one — norms recomputed over the new fold
+    * order, mirroring StreamAnnIngest.updatedVersions term-for-term) —
+    * with the ORIGINAL full-set quantizer: update semantics, not a
+    * rebuilt index. */
+  private def upsertIvfSql: String =
+    s"""WITH $embCte,
+       |u AS (SELECT vec_id, CASE WHEN vec_id % 20 = 3 AND label = 0 THEN list_transform(v, x -> x * 1.25) WHEN vec_id % 20 = 13 AND label = 0 THEN list_slice(v, 2, 64) || list_slice(v, 1, 1) ELSE v END AS v, label FROM n),
+       |nf AS (SELECT vec_id, v, label, sqrt(list_inner_product(v, v)) AS nrm FROM u),
+       |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+       |ac AS (SELECT nf.vec_id, nf.v, nf.nrm, nf.label, s.c_id, list_inner_product(nf.v, s.cv) / (nf.nrm * s.cn) AS ccos FROM nf CROSS JOIN seeds s),
+       |ar AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+       |asn AS (SELECT vec_id, v, nrm, label, cell FROM ar WHERE arn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
+       |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
+       |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+       |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
   /** s15's oracle: s3's probe with the query side fanned out to its
     * top-`nprobe` cells (q reads `ar WHERE arn <= nprobe`, the s4
@@ -1016,6 +1037,10 @@ object SparkEntry {
     // query CTE widened to arn <= 2, the s4 battery's np2 move
     "s15_stream_ann_multiprobe" ->
       s3IvfMultiprobeSql(graft.streaming.StreamAnnIngest.MultiNprobe),
+    // s16 serves the UPDATED corpus (new versions tombstone their prior
+    // physical entry) against the original quantizer — the oracle is s3
+    // over the update-rule-rewritten vectors
+    "s16_stream_ann_upsert" -> upsertIvfSql,
     "s4_ann_recall" ->
       s"""${annRecallCtes(embCte)}
          |SELECT qs.q_id AS q_id, mth.method AS method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, round(coalesce(h.hits, 0) / 3.0, 4) AS recall

@@ -268,6 +268,149 @@ object StreamAnnIngest {
     (SimilarityOps.probeAssigned(comp), comp.count(), nDropped)
   }
 
+  // ---- s16: streaming upserts (update = tombstone old + insert new) --
+
+  /** The deterministic update ledger: corpus vectors (never queries)
+    * with vec_id ≡ 3 (mod 10) receive a NEW version — seed-free rules,
+    * SQL-replayable transforms, so the DuckDB oracle rebuilds the
+    * updated corpus exactly. Two update classes by design: vec_id ≡ 3
+    * (mod 20) SCALES by 1.25 (binary-exact factor; cosine-invariant, so
+    * the new version provably stays in its cell — the same-cell
+    * replacement the 3-key tombstone exists for), vec_id ≡ 13 (mod 20)
+    * ROTATES dims left by one (decorrelates a near-uniform vector, so
+    * most movers change cell). Norms are recomputed over the new
+    * values' fold order in both engines. */
+  private def updatedVersions(all: DataFrame): DataFrame =
+    all.filter(col("vec_id") % 10 === 3 && col("label") === 0)
+      .withColumn("v",
+        when(col("vec_id") % 20 === 3, transform(col("v"), x => x * lit(1.25)))
+          .otherwise(concat(slice(col("v"), 2, 63), slice(col("v"), 1, 1))))
+      .withColumn("nrm", sqrt(SimilarityOps.dot(col("v"), col("v"))))
+      .select("vec_id", "v", "nrm", "label")
+
+  def s16StreamAnnUpsert(spark: SparkSession, dir: String): DataFrame =
+    s16WithInfo(spark, dir)._1
+
+  /** s16: UPDATES complete the verb set s11's scaladoc promised
+    * ("deletes/updates would ride a tombstone column") — ingest s11,
+    * delete s12, compact s13/s14, and now upsert: a vector's NEW
+    * VERSION arrives as a later stream row with the same vec_id, and
+    * the probe must serve exactly the latest corpus.
+    *
+    * Mechanics: per batch, incoming rows are assigned and appended as
+    * usual; rows whose vec_id is ALREADY indexed by a prior batch
+    * tombstone that prior physical entry — the tombstone carries
+    * (cell, vec_id, batch_id) of the VICTIM row, one more key than
+    * s12's, precisely so an update that lands in the SAME cell cannot
+    * anti-join away its own new version. An updated vector may also
+    * CHANGE cell (the rotation moves some vectors across the coarse
+    * boundary) — then the tombstone retires the old cell's entry and
+    * the new version lives in its new inverted list; the spec asserts
+    * BOTH kinds occur on the fixture, so the 3-key precision is
+    * genuinely exercised. The quantizer is untouched (updates never
+    * retrain the offline artifact — an updated seed vector keeps
+    * serving as a centroid from its ORIGINAL position, the s12 rule).
+    *
+    * Ordering precondition (load-bearing, like p2/p3's): an update must
+    * arrive AFTER the row it replaces — the replay stamps the update
+    * file's mtime last. A queue that cannot guarantee per-key order
+    * would need version numbers in the payload instead of arrival
+    * order; the tombstone mechanics are unchanged by that swap.
+    *
+    * The gate checks the merged probe against s3's oracle over the
+    * UPDATED corpus with the ORIGINAL full-set quantizer — update
+    * semantics, not a rebuilt index. Scale: the tombstone store is
+    * update-sized; the per-batch drain joins the (tiny) incoming batch
+    * against the key-pruned store; the probe-time anti-join keys on
+    * (cell, vec_id, batch_id) — cell-prefixed, so it rides the same
+    * cell-bucketed layout as s12's proven zero-exchange merge
+    * (LayoutSpec's s12 case covers the subset-key co-partition; adding
+    * trailing keys does not change the exchange structure). */
+  private[graft] def s16WithInfo(spark: SparkSession, dir: String)
+      : (DataFrame, Int, Long, Long, Long) = {
+    val work = Files.createTempDirectory("graft_annstream_ups_").toString
+    val splitDir = s"$work/in"
+    val all = SimilarityOps.normed(spark, dir)
+    all.select("vec_id", "v", "nrm", "label")
+      .repartitionByRange(SplitFiles, col("vec_id"))
+      .write.parquet(splitDir)
+    val origFiles = new java.io.File(splitDir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // the update wave: new versions of already-streamed vectors, landing
+    // as the LAST arrival (mtime-stamped — see the ordering precondition)
+    updatedVersions(all).coalesce(1)
+      .write.mode("append").parquet(splitDir)
+    val updFiles = new java.io.File(splitDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && !origFiles.contains(f))
+    (origFiles ++ updFiles).zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(1000000000000L + i * 60000L),
+        s"cannot set mtime on $f; file-replay order would be undefined")
+    }
+    val seedsPath = s"$work/quantizer"
+    SimilarityOps.ivfSeedCentroids(all).coalesce(1).write.parquet(seedsPath)
+    val store = s"$work/index"
+    val tombs = s"$work/tombstones"
+    val session = spark.newSession()
+    val q = session.readStream
+      .schema(session.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        processUpsertBatch(batch, batchId, seedsPath, store, tombs))
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = Option(new java.io.File(store).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    // the latest-version merge: physical rows minus tombstoned versions
+    val live = spark.read.parquet(store)
+      .join(spark.read.parquet(tombs).drop("batch_id")
+          .withColumnRenamed("victim_batch", "batch_id"),
+        Seq("cell", "vec_id", "batch_id"), "left_anti")
+      .drop("batch_id")
+    // test seams: tombstones registered, and the update wave produced
+    // BOTH same-cell and cross-cell replacements (the 3-key precision
+    // and the cell-move path are each exercised). The new cell is read
+    // from the SURVIVING entry — the live view itself.
+    val tombRows = spark.read.parquet(tombs)
+      .select(col("vec_id"), col("cell").as("old_cell"))
+    val newCells = live.select(col("vec_id"), col("cell").as("new_cell"))
+    val moved = tombRows.join(newCells, Seq("vec_id"))
+    val nSame = moved.filter(col("old_cell") === col("new_cell")).count()
+    val nMoved = moved.filter(col("old_cell") =!= col("new_cell")).count()
+    (SimilarityOps.probeAssigned(live), nBatches, tombRows.count(), nSame, nMoved)
+  }
+
+  private def processUpsertBatch(batch: DataFrame, batchId: Long,
+                                 seedsPath: String, store: String,
+                                 tombs: String): Unit = {
+    val spark = batch.sparkSession
+    val seeds = spark.read.parquet(seedsPath)
+    SimilarityOps.assignCells(batch, seeds)
+      .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+    // tombstone every PRIOR physical entry of an incoming vec_id — the
+    // victim's (cell, vec_id, batch_id), so a same-cell replacement
+    // never shadows its own new version. Incoming batch is the small
+    // side; the store read is key-pruned (batch_id < current — the
+    // batch's own append above is excluded, and a retried batch cannot
+    // see its own partial tombstone write either).
+    val prior =
+      if (new java.io.File(tombs).exists())
+        spark.read.parquet(tombs).filter(col("batch_id") < batchId)
+          .select("cell", "vec_id", "victim_batch")
+      else null
+    val victims0 = spark.read.parquet(store)
+      .filter(col("batch_id") < batchId)
+      .join(batch.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("cell"), col("vec_id"), col("batch_id").as("victim_batch"))
+    val victims =
+      if (prior == null) victims0
+      else victims0.join(prior, Seq("cell", "vec_id", "victim_batch"), "left_anti")
+    victims.write.mode("overwrite").parquet(s"$tombs/batch_id=$batchId")
+  }
+
   // ---- s14: partial compaction while serving (mixed-state probe) ----
 
   /** The deterministic compaction subset: EVEN cells compact first. A

@@ -203,6 +203,40 @@ class StreamEquivSpec extends AnyFunSuite {
       "compacted probe still carries a tombstone anti-join")
   }
 
+  test("s16 streaming upserts: latest-version probe ≡ batch IVF over the updated corpus, original quantizer") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.ops.SimilarityOps
+    // the batch twin: assignment of the UPDATED corpus (the same
+    // rotate-left-by-one rule, norm recomputed over the rotated fold
+    // order) with the ORIGINAL full-set seeds — updates never retrain
+    // the offline quantizer
+    val all = ops.normed(spark, sf)
+    val seeds = ops.ivfSeedCentroids(all)
+    val updated = all.select("vec_id", "v", "nrm", "label")
+      .withColumn("v",
+        when(col("vec_id") % 20 === 3 && col("label") === 0,
+          transform(col("v"), x => x * lit(1.25)))
+          .when(col("vec_id") % 20 === 13 && col("label") === 0,
+            concat(slice(col("v"), 2, 63), slice(col("v"), 1, 1)))
+          .otherwise(col("v")))
+      .withColumn("nrm", sqrt(ops.dot(col("v"), col("v"))))
+    val batch = rows(ops.probeAssigned(ops.assignCells(updated, seeds)))
+    val (streamDf, nBatches, nTombs, nSame, nMoved) =
+      graft.streaming.StreamAnnIngest.s16WithInfo(spark, sf)
+    // 4 corpus batches + the update wave
+    assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles + 1,
+      s"replay ran $nBatches micro-batches — expected corpus batches + update wave")
+    assert(nTombs > 0, "no prior entries were tombstoned — vacuous upsert run")
+    // both replacement kinds exercised: a same-cell update proves the
+    // 3-key (cell, vec_id, batch_id) anti-join precision (a 2-key merge
+    // would shadow the new version); a cell-mover proves the old
+    // inverted list is actually vacated
+    assert(nSame > 0, "no same-cell replacement — the 3-key tombstone precision is untested")
+    assert(nMoved > 0, "no cross-cell replacement — the cell-move path is untested")
+    assert(batch.nonEmpty)
+    assert(rows(streamDf) == batch, "upserted probe diverged from the updated-corpus batch twin")
+  }
+
   test("s14 partial compaction: mixed-state serve ≡ s12, anti-join only on the uncompacted branch") {
     import org.apache.spark.sql.functions._
     val ops = graft.ops.SimilarityOps
