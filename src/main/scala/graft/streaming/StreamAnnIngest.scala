@@ -328,6 +328,54 @@ object StreamAnnIngest {
     * trailing keys does not change the exchange structure). */
   private[graft] def s16WithInfo(spark: SparkSession, dir: String)
       : (DataFrame, Int, Long, Long, Long) = {
+    val (store, tombs, nBatches) = runUpsertStream(spark, dir)
+    // the latest-version merge: physical rows minus tombstoned versions
+    val live = s16LiveRows(spark, store, tombs)
+    // test seams: tombstones registered, and the update wave produced
+    // BOTH same-cell and cross-cell replacements (the 3-key precision
+    // and the cell-move path are each exercised). The new cell is read
+    // from the SURVIVING entry — the live view itself.
+    val tombRows = spark.read.parquet(tombs)
+      .select(col("vec_id"), col("cell").as("old_cell"))
+    val newCells = live.select(col("vec_id"), col("cell").as("new_cell"))
+    val moved = tombRows.join(newCells, Seq("vec_id"))
+    val nSame = moved.filter(col("old_cell") === col("new_cell")).count()
+    val nMoved = moved.filter(col("old_cell") =!= col("new_cell")).count()
+    (SimilarityOps.probeAssigned(live.drop("batch_id")), nBatches,
+      tombRows.count(), nSame, nMoved)
+  }
+
+  /** s16's merge, keyed on the victim's full physical address
+    * (cell, vec_id, batch_id) — keeps batch_id so a compaction caller
+    * can inspect survivors; drop it before probing. */
+  private def s16LiveRows(spark: SparkSession, store: String, tombs: String): DataFrame =
+    spark.read.parquet(store)
+      .join(spark.read.parquet(tombs).drop("batch_id")
+          .withColumnRenamed("victim_batch", "batch_id"),
+        Seq("cell", "vec_id", "batch_id"), "left_anti")
+
+  /** Compaction after upserts — the claim that s13's rewrite retires
+    * VERSION-tombstones exactly as delete-tombstones, proven rather
+    * than prose: rewrite the live (latest-version) rows cell-partitioned
+    * and probe with no merge at all. StreamEquivSpec asserts the probe
+    * equals the updated-corpus twin, the anti-join is gone, and the
+    * compacted store holds exactly one row per vec_id. */
+  private[graft] def s16CompactedInfo(spark: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = {
+    val (store, tombs, _) = runUpsertStream(spark, dir)
+    val work = new java.io.File(store).getParent
+    val compacted = s"$work/compacted"
+    s16LiveRows(spark, store, tombs).drop("batch_id")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(compacted)
+    val comp = spark.read.parquet(compacted)
+    val nDupIds = comp.groupBy("vec_id").count().filter(col("count") > 1).count()
+    (SimilarityOps.probeAssigned(comp), comp.count(), nDupIds)
+  }
+
+  /** The upsert stream run shared by the gate and the compaction seam:
+    * returns (index store path, tombstone store path, batch count). */
+  private def runUpsertStream(spark: SparkSession, dir: String): (String, String, Int) = {
     val work = Files.createTempDirectory("graft_annstream_ups_").toString
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
@@ -364,23 +412,7 @@ object StreamAnnIngest {
     q.awaitTermination()
     val nBatches = Option(new java.io.File(store).listFiles())
       .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
-    // the latest-version merge: physical rows minus tombstoned versions
-    val live = spark.read.parquet(store)
-      .join(spark.read.parquet(tombs).drop("batch_id")
-          .withColumnRenamed("victim_batch", "batch_id"),
-        Seq("cell", "vec_id", "batch_id"), "left_anti")
-      .drop("batch_id")
-    // test seams: tombstones registered, and the update wave produced
-    // BOTH same-cell and cross-cell replacements (the 3-key precision
-    // and the cell-move path are each exercised). The new cell is read
-    // from the SURVIVING entry — the live view itself.
-    val tombRows = spark.read.parquet(tombs)
-      .select(col("vec_id"), col("cell").as("old_cell"))
-    val newCells = live.select(col("vec_id"), col("cell").as("new_cell"))
-    val moved = tombRows.join(newCells, Seq("vec_id"))
-    val nSame = moved.filter(col("old_cell") === col("new_cell")).count()
-    val nMoved = moved.filter(col("old_cell") =!= col("new_cell")).count()
-    (SimilarityOps.probeAssigned(live), nBatches, tombRows.count(), nSame, nMoved)
+    (store, tombs, nBatches)
   }
 
   private def processUpsertBatch(batch: DataFrame, batchId: Long,

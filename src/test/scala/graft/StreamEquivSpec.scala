@@ -237,6 +237,34 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(rows(streamDf) == batch, "upserted probe diverged from the updated-corpus batch twin")
   }
 
+  test("s16 compaction after upserts: version-tombstones retire like delete-tombstones, one row per vec_id") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.ops.SimilarityOps
+    val all = ops.normed(spark, sf)
+    val seeds = ops.ivfSeedCentroids(all)
+    val updated = all.select("vec_id", "v", "nrm", "label")
+      .withColumn("v",
+        when(col("vec_id") % 20 === 3 && col("label") === 0,
+          transform(col("v"), x => x * lit(1.25)))
+          .when(col("vec_id") % 20 === 13 && col("label") === 0,
+            concat(slice(col("v"), 2, 63), slice(col("v"), 1, 1)))
+          .otherwise(col("v")))
+      .withColumn("nrm", sqrt(ops.dot(col("v"), col("v"))))
+    val batch = rows(ops.probeAssigned(ops.assignCells(updated, seeds)))
+    val (compDf, nLive, nDupIds) =
+      graft.streaming.StreamAnnIngest.s16CompactedInfo(spark, sf)
+    // the rewrite kept exactly the latest version of every vector
+    assert(nDupIds == 0, s"$nDupIds vec_ids kept multiple versions after compaction")
+    assert(nLive == all.count(), s"compacted store has $nLive rows, expected one per vector")
+    assert(rows(compDf) == batch, "compacted upsert store diverged from the updated-corpus twin")
+    // the probe paid no merge: compaction retired the version-tombstones
+    compDf.collect()
+    val plan = compDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Anti"),
+      "compacted upsert probe still carries a version anti-join")
+  }
+
   test("s14 partial compaction: mixed-state serve ≡ s12, anti-join only on the uncompacted branch") {
     import org.apache.spark.sql.functions._
     val ops = graft.ops.SimilarityOps
