@@ -61,7 +61,7 @@ object ScaleCheck {
     // probes), the store-served multi-probe (query-side fan-out only),
     // and the upsert drain (update-sized tombstones, 3-key merge)
     "s14_ann_partial_compact", "s15_stream_ann_multiprobe",
-    "s16_stream_ann_upsert")
+    "s16_stream_ann_upsert", "x10_stream_cms")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

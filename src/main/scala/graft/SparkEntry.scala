@@ -129,7 +129,8 @@ object SparkEntry {
     "x7_res_trained" -> (SimilarityOps.x7ResTrained _),
     "x5_sketch_agg" -> (Relational.x5SketchAgg _),
     "x8_stream_sketch" -> (graft.streaming.StreamSketch.x8StreamSketch _),
-    "x9_stream_quantile" -> (graft.streaming.StreamSketch.x9StreamQuantile _)
+    "x9_stream_quantile" -> (graft.streaming.StreamSketch.x9StreamQuantile _),
+    "x10_stream_cms" -> (graft.streaming.StreamSketch.x10StreamCms _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -1256,6 +1257,25 @@ object SparkEntry {
         |       CAST(max(total) AS BIGINT) AS n_events,
         |       round((CAST(min(CASE WHEN cum * 2 >= total THEN b END) AS DOUBLE) - 0.5) * 3.90625, 4) AS p50_est,
         |       round((CAST(min(CASE WHEN cum * 10 >= total * 9 THEN b END) AS DOUBLE) - 0.5) * 3.90625, 4) AS p90_est
-        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // x10's merged per-batch CMS counters equal the whole-table sketch
+    // EXACTLY (counters are additive), so the oracle is t6's CTE chain
+    // with the watchlist (top-WatchK exact rule) read from the merged
+    // counters — token-count columns never appear in the output, only
+    // the sketch-served estimates
+    "x10_stream_cms" -> {
+      val d = TextOps.CmsDepth
+      val rs = (0 until d).map(_.toString).mkString(", ")
+      val k = graft.streaming.StreamSketch.WatchK
+      s"""WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
+         |tc AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+         |h AS (SELECT token, cnt, r, (strpos('0123456789abcdef', substr(md5(r || '|' || token), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(r || '|' || token), 2, 1)) - 1 AS bucket
+         |FROM tc CROSS JOIN (SELECT unnest([$rs]) AS r)),
+         |counters AS (SELECT r, bucket, sum(cnt) AS c FROM h GROUP BY 1, 2),
+         |wl AS (SELECT token FROM tc ORDER BY cnt DESC, token LIMIT $k)
+         |SELECT w.token, CAST(min(c.c) AS BIGINT) AS cms_est
+         |FROM wl w JOIN h ON h.token = w.token JOIN counters c ON c.r = h.r AND c.bucket = h.bucket
+         |GROUP BY w.token ORDER BY 2 DESC, 1""".stripMargin
+    }
   )
 }

@@ -144,7 +144,7 @@ object TextOps {
     * first byte of md5("<r>|<token>")). */
   val CmsDepth = 4
 
-  private def cmsBucket(r: Int, token: Column): Column =
+  private[graft] def cmsBucket(r: Int, token: Column): Column =
     conv(substring(md5(concat_ws("|", lit(r), token)), 1, 2), 16, 10).cast("long")
 
   /** t6 count-min-sketch heavy hitters: estimate the top-20 token counts

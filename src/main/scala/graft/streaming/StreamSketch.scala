@@ -197,6 +197,113 @@ object StreamSketch {
         .groupBy(col("event_type"), bucket(col("value")).as("b"))
         .agg(count(lit(1)).as("cnt")))
 
+  // ---- x10: mergeable count-min counters across micro-batches ----
+
+  /** Watchlist size: the terms whose counts the merged sketch serves —
+    * t6's top-20 rule, materialized as an offline artifact. */
+  val WatchK = 20
+
+  def x10StreamCms(spark: SparkSession, dir: String): DataFrame =
+    x10WithBatchCount(spark, dir)._1
+
+  /** x10: t6's count-min sketch MERGED across micro-batches — the third
+    * member of the mergeable-summary family (x8 HLL registers merge by
+    * max, x9 histogram counts by addition, x10 CMS counters by
+    * addition) and, like x9, fully deterministic (md5-byte hashing, the
+    * oracle rebuilds the identical sketch), so it is ORACLE-CHECKED end
+    * to end — the production form of t6's documented 100 TB swap-in.
+    *
+    * The WATCHLIST is an offline artifact written once before the
+    * stream starts (here t6's exact top-[[WatchK]] rule — "yesterday's
+    * heavy hitters"; in production a configured term list), exactly how
+    * s11 ships its quantizer. Per micro-batch of documents: count the
+    * batch's tokens, hash each distinct token into [[graft.ops.TextOps.CmsDepth]]
+    * × 256 counter cells, and append the batch's PARTIAL counters — at
+    * most d·256 rows regardless of batch size — to a batch-partitioned
+    * store. The final answer never re-reads documents: counters merge
+    * by ADDITION (batch token counts partition the corpus counts, so
+    * merged ≡ whole-table sketch EXACTLY), and each watchlist term
+    * reads its estimate as the min over its d cells.
+    *
+    * Scale design: per-batch work is one narrow tokenize + a
+    * fixed-width partial aggregate; the store grows by ≤ d·256 ×
+    * batches tiny rows; any batch window merges by summing counters —
+    * "counts for tracked terms, updated per batch over 100 TB" without
+    * retaining a token table. StreamEquivSpec pins merge-exactness
+    * (bit-for-bit vs the whole-table twin), the CMS overcount property
+    * (est ≥ exact count per watched term), and arrival-order
+    * independence (reversed replay merges identically). */
+  private[graft] def x10WithBatchCount(spark: SparkSession, dir: String,
+      orderExpr: org.apache.spark.sql.Column = col("doc_id")): (DataFrame, Int) = {
+    import graft.ops.TextOps
+    val work = Files.createTempDirectory("graft_cmsstream_").toString
+    val splitDir = s"$work/in"
+    val docs = Sources.table(spark, dir, "documents").select("doc_id", "text")
+    docs.repartitionByRange(SplitFiles, orderExpr).write.parquet(splitDir)
+    // the offline watchlist artifact: written once, read at serve time
+    val watchPath = s"$work/watchlist"
+    docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(WatchK)
+      .select("token").coalesce(1).write.parquet(watchPath)
+    val store = s"$work/counters"
+    val session = spark.newSession()
+    val q = session.readStream
+      .schema(session.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        cmsPartial(batch)
+          .write.mode("overwrite").parquet(s"$store/batch_id=$batchId"))
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = Option(new java.io.File(store).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    val merged = spark.read.parquet(store).drop("batch_id")
+      .groupBy("r", "bucket").agg(sum("c").as("c"))
+    (watchEstimates(spark.read.parquet(watchPath), merged), nBatches)
+  }
+
+  /** The batch twin: the whole table pushed through one sketch — equal
+    * to the merged stream result EXACTLY (counters are additive). */
+  private[graft] def x10Batch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextOps
+    val docs = Sources.table(spark, dir, "documents").select("doc_id", "text")
+    val tokCounts = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val watch = tokCounts.orderBy(col("cnt").desc, col("token"))
+      .limit(WatchK).select("token")
+    watchEstimates(watch, cmsPartial(docs))
+  }
+
+  /** One batch's CMS counter partial: distinct-token counts hashed into
+    * the d×256 grid — at most d·256 output rows regardless of input. */
+  private def cmsPartial(docs: DataFrame): DataFrame = {
+    import graft.ops.TextOps
+    docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), explode(array((0 until TextOps.CmsDepth).map(r =>
+        struct(lit(r).as("r"), TextOps.cmsBucket(r, col("token")).as("bucket"))): _*)).as("h"))
+      .groupBy(col("h.r").as("r"), col("h.bucket").as("bucket"))
+      .agg(sum("cnt").as("c"))
+  }
+
+  /** Each watched term's estimate from the merged counters: min over
+    * its d cells (the CMS read rule; the watchlist side is tiny and
+    * broadcasts into the ≤ d·256-row counter table). */
+  private def watchEstimates(watch: DataFrame, counters: DataFrame): DataFrame = {
+    import graft.ops.TextOps
+    watch.select(col("token"), explode(array((0 until TextOps.CmsDepth).map(r =>
+        struct(lit(r).as("r"), TextOps.cmsBucket(r, col("token")).as("bucket"))): _*)).as("h"))
+      .select(col("token"), col("h.r").as("r"), col("h.bucket").as("bucket"))
+      .join(counters, Seq("r", "bucket"))
+      .groupBy("token").agg(min("c").as("cms_est"))
+      .orderBy(col("cms_est").desc, col("token"))
+  }
+
   /** Equi-width bucket id in 1..[[Buckets]]; the floor argument's width
     * is binary-exact so boundary values bucket identically in DuckDB. */
   private def bucket(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

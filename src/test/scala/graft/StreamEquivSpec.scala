@@ -624,6 +624,36 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(plantedExactRev == 0L, s"reversed replay: planted group booked $plantedExactRev exact-dups, expected 0")
   }
 
+  test("x10 merged stream CMS ≡ whole-table sketch; estimates dominate exact counts; order-independent") {
+    import org.apache.spark.sql.functions._
+    val (streamDf, nBatches) =
+      graft.streaming.StreamSketch.x10WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val stream = rows(streamDf)
+    // merge-exactness: counters are additive, so the merged per-batch
+    // store reproduces the whole-table sketch EXACTLY
+    val batch = rows(graft.streaming.StreamSketch.x10Batch(spark, sf))
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      "merged per-batch CMS counters diverged from the whole-table sketch")
+    // the CMS guarantee: an estimate never undercounts its term
+    val exact = graft.io.Sources.table(spark, sf, "documents")
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    streamDf.collect().foreach { r =>
+      assert(r.getLong(1) >= exact(r.getString(0)),
+        s"${r.getString(0)}: est ${r.getLong(1)} undercounts exact ${exact(r.getString(0))}")
+    }
+    // arrival-order independence, same class as x8/x9: addition doesn't
+    // care which batch a document landed in
+    val (revDf, _) = graft.streaming.StreamSketch
+      .x10WithBatchCount(spark, sf, negate(col("doc_id")))
+    assert(rows(revDf) == batch,
+      "reversed-arrival CMS merge diverged — counter addition is not order-independent")
+  }
+
   test("stream-static enrichment join ≡ batch join") {
     // q38's gate path IS the streaming side: broadcast static dim,
     // update-mode upserts through the idempotent materialized sink.
