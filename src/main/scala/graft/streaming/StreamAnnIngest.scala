@@ -38,8 +38,9 @@ import graft.ops.SimilarityOps
   * partitioned by arrival batch and bucketed by cell — the same layout
   * LayoutSpec proves for d12's band store — so the probe's inverted-list
   * read co-locates without a store-side exchange and compaction is
-  * per-cell-local. Deletes/updates would ride a tombstone column merged
-  * at probe time, orthogonal to the index shape.
+  * per-cell-local. Deletes (s12), compaction (s13/s14), multi-probe
+  * serving (s15) and upserts (s16) complete the lifecycle below, each
+  * riding tombstones / rewrites over this same layout.
   */
 object StreamAnnIngest {
 
