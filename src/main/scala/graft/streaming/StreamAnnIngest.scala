@@ -324,9 +324,11 @@ object StreamAnnIngest {
     * update-sized; the per-batch drain joins the (tiny) incoming batch
     * against the key-pruned store; the probe-time anti-join keys on
     * (cell, vec_id, batch_id) — cell-prefixed, so it rides the same
-    * cell-bucketed layout as s12's proven zero-exchange merge
-    * (LayoutSpec's s12 case covers the subset-key co-partition; adding
-    * trailing keys does not change the exchange structure). */
+    * cell-bucketed layout as s12's merge: LayoutSpec's s16 case proves
+    * the 3-key merge + probe plan with ZERO exchanges on the real
+    * bucketed layout (HashPartitioning(cell) clusters every
+    * (cell, vec_id, batch_id) group — trailing keys change no
+    * exchange structure). */
   private[graft] def s16WithInfo(spark: SparkSession, dir: String)
       : (DataFrame, Int, Long, Long, Long) = {
     val (store, tombs, nBatches) = runUpsertStream(spark, dir)

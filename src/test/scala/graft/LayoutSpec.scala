@@ -264,6 +264,60 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("s16's version-tombstone layout: 3-key merge + probe with zero exchanges") {
+    // The scaladoc claim behind s16's 100 TB story, on the real written
+    // layout: the upsert tombstone keys on the victim's full physical
+    // address (cell, vec_id, batch_id) — one more key than s12's — and
+    // the merge must STILL be bucket-local on a cell-bucketed store:
+    // HashPartitioning(cell) clusters every (cell, vec_id, batch_id)
+    // group, so trailing keys change no exchange structure under the
+    // relaxed subset-key co-partition rule.
+    import graft.ops.SimilarityOps
+    val all = SimilarityOps.normed(spark, sf)
+    val assigned = SimilarityOps
+      .assignCells(all, SimilarityOps.ivfSeedCentroids(all))
+      .withColumn("batch_id", (col("vec_id") % 4).cast("int"))
+    assigned.write.mode("overwrite").partitionBy("batch_id")
+      .bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("ann_index_u")
+    // version-tombstones: the update rule's victims with their full
+    // physical address (store batch_id replayed as victim_batch)
+    assigned.filter(col("vec_id") % 10 === 3 && col("label") === 0)
+      .select(col("cell"), col("vec_id"), col("batch_id").as("victim_batch"),
+        col("batch_id"))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("ann_tombs_u")
+    try {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      child.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val store = child.table("ann_index_u").filter(col("batch_id") < 4)
+      val tombs = child.table("ann_tombs_u").filter(col("batch_id") < 4)
+        .select(col("cell"), col("vec_id"), col("victim_batch").as("batch_id"))
+      val live = store.join(tombs, Seq("cell", "vec_id", "batch_id"), "left_anti")
+      val q = live.filter(col("label") === 1)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val pairs = live.join(q, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      pairs.collect()
+      val plan = pairs.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "store scan does not report a bucketed read")
+      val nCellExchanges = "hashpartitioning\\(cell".r.findAllMatchIn(plan).length
+      assert(nCellExchanges == 0,
+        s"expected a fully bucket-local 3-key merge+probe, got $nCellExchanges cell exchanges")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_index_u")
+      spark.sql("DROP TABLE IF EXISTS ann_tombs_u")
+      ()
+    }
+  }
+
   test("s13's compacted layout: bucketed rewrite, probe exchange-free with no anti-join") {
     // The scaladoc claim behind s13's 100 TB story, on the real written
     // layout: compaction rewrites the batch-partitioned store as ONE
