@@ -61,7 +61,11 @@ object ScaleCheck {
     // probes), the store-served multi-probe (query-side fan-out only),
     // and the upsert drain (update-sized tombstones, 3-key merge)
     "s14_ann_partial_compact", "s15_stream_ann_multiprobe",
-    "s16_stream_ann_upsert", "x10_stream_cms")
+    "s16_stream_ann_upsert", "x10_stream_cms",
+    // r10 second wave: the span scrub (digest-bounded equi-joins over a
+    // linearly-growing dup set), prototype pruning (join-free, one cell
+    // exchange), and the windowed partials serve (fixed-width, pruned)
+    "t17_span_scrub", "d17_proto_prune", "x11_stream_window_quantile")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

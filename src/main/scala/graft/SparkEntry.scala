@@ -80,6 +80,7 @@ object SparkEntry {
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
     "d15_semdedup" -> (SimilarityOps.d15SemDedup _),
     "d16_sem_clusters" -> (SimilarityOps.d16SemClusters _),
+    "d17_proto_prune" -> (SimilarityOps.d17ProtoPrune _),
     "d6_quantize" -> (SimilarityOps.d6Quantize _),
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
     "s3_ann_ivf" -> (SimilarityOps.s3AnnIvf _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "t14_mix_sample" -> (TextOps.t14MixSample _),
     "t15_source_overlap" -> (TextOps.t15SourceOverlap _),
     "t16_char_lm_score" -> (TextOps.t16CharLmScore _),
+    "t17_span_scrub" -> (TextOps.t17SpanScrub _),
     "m1_multimodal_meta" -> (MultimodalOps.m1MultimodalMeta _),
     "m2_decode_histogram" -> (MultimodalOps.m2DecodeHistogram _),
     "m3_frame_sample" -> (MultimodalOps.m3FrameSample _),
@@ -130,7 +132,9 @@ object SparkEntry {
     "x5_sketch_agg" -> (Relational.x5SketchAgg _),
     "x8_stream_sketch" -> (graft.streaming.StreamSketch.x8StreamSketch _),
     "x9_stream_quantile" -> (graft.streaming.StreamSketch.x9StreamQuantile _),
-    "x10_stream_cms" -> (graft.streaming.StreamSketch.x10StreamCms _)
+    "x10_stream_cms" -> (graft.streaming.StreamSketch.x10StreamCms _),
+    "x11_stream_window_quantile" ->
+      (graft.streaming.StreamSketch.x11StreamWindowQuantile _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -307,6 +311,34 @@ object SparkEntry {
        |FROM a WHERE n_docs >= 2 ORDER BY n_docs DESC, n_occ DESC, span LIMIT ${TextOps.TopSpans}""".stripMargin
   }
 
+  /** Mirror of TextOps.t17SpanScrub: rn > 1 over (doc_id, start) order
+    * marks the non-first occurrences of duplicated spans, their
+    * [[TextOps.SpanWords]]-token ranges become the removed position set,
+    * and the surviving token stream digests per doc. The span key is the
+    * raw concatenation where the engine groups on its md5 — the same
+    * partition of occurrences, and the span never reaches the output. */
+  private def spanScrubSql: String = {
+    val k = TextOps.SpanWords
+    val span = (1 to k).map(j => s"ts[st+$j]").mkString(" || ' ' || ")
+    s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
+       |o1 AS (SELECT doc_id, ts, unnest(range(len(ts) - ${k - 1})) AS st FROM tok WHERE len(ts) >= $k),
+       |occ AS (SELECT doc_id, st, $span AS span FROM o1),
+       |d AS (SELECT doc_id, st, row_number() OVER (PARTITION BY span ORDER BY doc_id, st) AS rn FROM occ),
+       |dup AS (SELECT doc_id, st FROM d WHERE rn > 1),
+       |r1 AS (SELECT doc_id, st, unnest(range($k)) AS off FROM dup),
+       |rem AS (SELECT DISTINCT doc_id, st + off AS p FROM r1),
+       |pos AS (SELECT doc_id, ts, unnest(range(len(ts))) AS p FROM tok WHERE len(ts) > 0),
+       |keep AS (SELECT pos.doc_id, pos.p, pos.ts[pos.p + 1] AS t FROM pos LEFT JOIN rem ON rem.doc_id = pos.doc_id AND rem.p = pos.p WHERE rem.p IS NULL),
+       |ka AS (SELECT doc_id, count(*) AS n_kept, md5(string_agg(t, ' ' ORDER BY p)) AS cmd5 FROM keep GROUP BY doc_id),
+       |nd AS (SELECT doc_id, count(*) AS n_dup_occ FROM dup GROUP BY doc_id)
+       |SELECT tok.doc_id AS doc_id, CAST(len(tok.ts) AS BIGINT) AS n_tok,
+       |CAST(coalesce(nd.n_dup_occ, 0) AS BIGINT) AS n_dup_occ,
+       |CAST(len(tok.ts) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+       |coalesce(ka.cmd5, md5('')) AS clean_md5
+       |FROM tok LEFT JOIN ka ON ka.doc_id = tok.doc_id LEFT JOIN nd ON nd.doc_id = tok.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirror of SimilarityOps.s6AnnIvfPq: s3's cell assignment composed
     * with s5's codes — probe the query's cell, score by ADC. */
   /** Shared CTE prefix of the s6/s9 oracles: IVF assignment + PQ encode
@@ -355,15 +387,19 @@ object SparkEntry {
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
       |n AS (SELECT vec_id, v, label, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
 
-  /** d15/d16's shared CTE chain: quantizer assignment (with the cosine
-    * to the own-cell centroid), within-cell exact-cosine pairs, and the
-    * thresholded pair set with its pairwise victim. */
-  private def semPairCte: String =
+  /** d15/d16/d17's shared quantizer-assignment CTE chain: every vector
+    * with its argmax cell and the cosine to its own-cell centroid. */
+  private def semAsnCte: String =
     s"""$embCte,
        |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
        |ac AS (SELECT n.vec_id, n.v, n.nrm, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
        |ar AS (SELECT vec_id, v, nrm, c_id AS cell, ccos, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
-       |asn AS (SELECT vec_id, v, nrm, cell, ccos FROM ar WHERE arn = 1),
+       |asn AS (SELECT vec_id, v, nrm, cell, ccos FROM ar WHERE arn = 1)""".stripMargin
+
+  /** d15/d16's shared CTE chain: the assignment plus within-cell
+    * exact-cosine pairs and the thresholded pair set with its victim. */
+  private def semPairCte: String =
+    s"""$semAsnCte,
        |p AS (SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id, a.ccos AS acc, b.ccos AS bcc,
        |  list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
        |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
@@ -948,6 +984,9 @@ object SparkEntry {
          |FROM hd LEFT JOIN tl ON tl.lang = hd.lang AND tl.source = hd.source ORDER BY hd.lang, hd.source""".stripMargin,
     "t10_gopher_rules" -> gopherRulesSql,
     "t11_dup_spans" -> dupSpansSql,
+    // t17 is t11's APPLY step — the scrub verdict is integer position
+    // arithmetic plus a digest of the surviving stream, all replayable
+    "t17_span_scrub" -> spanScrubSql,
     "d6_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e)
@@ -990,6 +1029,18 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY cluster_id ORDER BY ccos ASC, vec_id ASC) AS rn,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM k)
          |SELECT vec_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size, rn = 1 AS kept
+         |FROM r ORDER BY vec_id""".stripMargin,
+    // d17 is the SSL-prototypes/D4 pruning rule over the shared
+    // assignment chain: rank by centroid-cosine within the cell, cut the
+    // top ⌊n/den⌋ — integer arithmetic, so the verdict replays exactly
+    "d17_proto_prune" ->
+      s"""WITH $semAsnCte,
+         |r AS (SELECT vec_id, cell, ccos,
+         |  row_number() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id) AS proto_rank,
+         |  count(*) OVER (PARTITION BY cell) AS n FROM asn)
+         |SELECT vec_id, cell, round(ccos, 4) AS ccos,
+         |CAST(proto_rank AS BIGINT) AS proto_rank,
+         |proto_rank > n // ${SimilarityOps.ProtoPruneDen} AS kept
          |FROM r ORDER BY vec_id""".stripMargin,
     // pairs flagged by either modality, with provenance: nested-WITH
     // subqueries reuse the two pair chains verbatim, so d13's oracle IS
@@ -1258,6 +1309,29 @@ object SparkEntry {
         |       round((CAST(min(CASE WHEN cum * 2 >= total THEN b END) AS DOUBLE) - 0.5) * 3.90625, 4) AS p50_est,
         |       round((CAST(min(CASE WHEN cum * 10 >= total * 9 THEN b END) AS DOUBLE) - 0.5) * 3.90625, 4) AS p90_est
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // x11 serves the LAST-2-batches window from x9's partials store;
+    // batch membership is a data rule (event_id mod SplitFiles, waves
+    // mtime-ordered), so the window is a plain predicate over events and
+    // the oracle is x9's histogram SQL over exactly that slice
+    "x11_stream_window_quantile" -> {
+      val m = graft.streaming.StreamSketch.SplitFiles
+      val lo = m - graft.streaming.StreamSketch.WindowBatches
+      s"""WITH h AS (
+        |  SELECT event_type,
+        |         least(greatest(CAST(floor(value * 256.0 / 1000.0) AS BIGINT) + 1, 1), 256) AS b,
+        |         count(*) AS cnt
+        |  FROM events WHERE event_id % $m >= $lo GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, b, cnt,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+        |         sum(cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM h)
+        |SELECT event_type,
+        |       CAST(max(total) AS BIGINT) AS n_events,
+        |       round((CAST(min(CASE WHEN cum * 2 >= total THEN b END) AS DOUBLE) - 0.5) * 3.90625, 4) AS p50_est,
+        |       round((CAST(min(CASE WHEN cum * 10 >= total * 9 THEN b END) AS DOUBLE) - 0.5) * 3.90625, 4) AS p90_est
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     // x10's merged per-batch CMS counters equal the whole-table sketch
     // EXACTLY (counters are additive), so the oracle is t6's CTE chain
     // with the watchlist (top-WatchK exact rule) read from the merged

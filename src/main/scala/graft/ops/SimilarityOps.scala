@@ -948,4 +948,39 @@ object SimilarityOps {
         (col("rn") === 1).as("kept"))
       .orderBy("vec_id")
   }
+
+  /** d17's prune rule: the most-prototypical 1/[[ProtoPruneDen]] of each
+    * cell (⌊cell_size / den⌋ vectors, integer arithmetic so the cut is
+    * deterministic) is dropped. */
+  val ProtoPruneDen = 4
+
+  /** d17 prototype pruning: the density-pruning rule from Sorscher et al.
+    * 2022 ("Beyond neural scaling laws" — SSL-prototypes) that D4
+    * (Tirumala et al. 2023) chains AFTER SemDeDup: within each coarse
+    * cell, rank vectors by cosine TO their centroid and drop the
+    * most-prototypical ⌊n/[[ProtoPruneDen]]⌋ — near-centroid examples are
+    * the easy/redundant mass; cluster-edge examples carry the training
+    * signal. Emits every vector's (cell, centroid-cosine, prototype rank,
+    * keep verdict) — with d16 (one representative per duplicate group)
+    * this IS the D4 pipeline's curation verdict pair: run d16 to collapse
+    * semantic duplicates, d17 to thin what survives.
+    *
+    * Scale path: the assignment is d15's narrow expression-side argmax
+    * (centroids ride a single-row broadcast, the corpus never exchanges
+    * for it); the only shuffle is ONE hash exchange on cell for the
+    * rank/count window — cells are quantizer-bounded (SemDeDup's k-scales-
+    * with-corpus rule keeps them so), so no partition outgrows its cell,
+    * and unlike d15/d16 there is no pairwise term at all: the whole
+    * operator is linear in corpus size. */
+  def d17ProtoPrune(spark: SparkSession, dir: String): DataFrame = {
+    val asn = semAssignedK(spark, dir, IvfCells)
+    val w = Window.partitionBy("cell").orderBy(col("ccos").desc, col("vec_id").asc)
+    asn.select(col("vec_id"), col("cell"), col("ccos"))
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cell")))
+      .select(col("vec_id"), col("cell"), r4(col("ccos")).as("ccos"),
+        col("proto_rank"),
+        (col("proto_rank") > floor(col("n") / ProtoPruneDen)).as("kept"))
+      .orderBy("vec_id")
+  }
 }

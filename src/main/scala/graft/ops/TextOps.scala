@@ -584,4 +584,66 @@ object TextOps {
         r4(col("familiarity").cast("double") / col("n_bigrams").cast("double")))
       .orderBy("doc_id")
   }
+
+  /** t17 span-scrub: the APPLY step behind t11's duplicated-span mining —
+    * exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr pass):
+    * every occurrence of a duplicated [[SpanWords]]-token span EXCEPT the
+    * corpus-first one (lexicographic min (doc_id, start)) is cut from its
+    * document, and each document re-emits its scrub ledger — token count,
+    * duplicated-occurrence count, tokens removed, and the digest of the
+    * surviving token stream (the cleaned text a training writer would
+    * project through the identical plan; digests keep the gate output
+    * narrow, t12's move). A token position is removed iff ANY non-first
+    * duplicate occurrence covers it, so a kept-first occurrence can still
+    * lose tokens to an overlapping duplicate of a different span — the
+    * stated (and oracle-replayed) rule.
+    *
+    * Scale shape: spans are built array-side from one tokens array (t11's
+    * transform — no self-join), and every shuffle is keyed on a 32-char
+    * span digest, never text: one explode → groupBy(span) keeps only
+    * (n_occ, first) per span — map-side combinable — and the join back to
+    * occurrences builds from the DUPLICATED-span subset only (the
+    * overwhelmingly unique tail never joins). Removed positions return to
+    * array domain per doc (collect_list bounded by the doc's duplicate
+    * density), and the scrub itself is linear array arithmetic — coverage
+    * ranges flatten to a distinct position set, `array_except` cuts it
+    * from the position index, no per-token × per-range scan. The doc-id
+    * shuffle of the range list is the only other exchange; document text
+    * rides narrow the whole way.
+    * Reference lineage: the reference dedups nothing (BASELINE.md); this
+    * extends its per-tweet cleaning pattern (ProducerFinal.scala:63-66)
+    * to the corpus-scrub suite t11 opened. */
+  def t17SpanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val W = SpanWords
+    val toks = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+    val occ = toks.filter(size(col("ts")) >= W)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ts")) - W),
+        i => md5(concat_ws(" ", (0 until W).map(k => col("ts")(i + k)): _*)))))
+      .toDF("doc_id", "start", "span")
+    val spanStats = occ.groupBy("span").agg(
+      count(lit(1)).as("n_occ"),
+      min(struct(col("doc_id"), col("start"))).as("first"))
+    val dupOcc = occ.join(spanStats.filter(col("n_occ") >= 2), Seq("span"))
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("start") === col("first.start")))
+      .select(col("doc_id"), col("start"))
+    val ranges = dupOcc.groupBy("doc_id")
+      .agg(collect_list("start").as("starts"), count(lit(1)).as("n_dup_occ"))
+    toks.join(ranges, Seq("doc_id"), "left")
+      .withColumn("removed", array_distinct(flatten(transform(
+        coalesce(col("starts"), array().cast("array<int>")),
+        s => sequence(s, s + W - 1)))))
+      .withColumn("keptPos", array_except(
+        transform(col("ts"), (_, i) => i), col("removed")))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tok"),
+        coalesce(col("n_dup_occ"), lit(0L)).as("n_dup_occ"),
+        (size(col("ts")) - size(col("keptPos"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", transform(col("keptPos"), p => col("ts")(p))))
+          .as("clean_md5"))
+      .orderBy("doc_id")
+  }
 }

@@ -304,6 +304,88 @@ object StreamSketch {
       .orderBy(col("cms_est").desc, col("token"))
   }
 
+  // ---- x11: serving an arbitrary batch WINDOW from the partials store ----
+
+  /** x11's serve window: the LAST [[WindowBatches]] micro-batches. */
+  val WindowBatches = 2
+
+  def x11StreamWindowQuantile(spark: SparkSession, dir: String): DataFrame =
+    x11WithBatchCount(spark, dir)._1
+
+  /** x11: the claim x8/x9/x10 all make in prose — "any window of batches
+    * merges after the fact at interactive cost" — converted into an
+    * oracle-checked gate: per-type p50/p90 over ONLY the last
+    * [[WindowBatches]] micro-batches, answered entirely from x9's
+    * batch-partitioned histogram store (partition-prune the store to the
+    * window's `batch_id`s, sum counts, read quantiles) — the raw events
+    * are never re-read, and nothing outside the window is even scanned.
+    *
+    * For the window to name an oracle-expressible row set, batch
+    * membership must be a DATA rule, not an arrival accident: waves are
+    * written one at a time by `event_id mod [[SplitFiles]]` with
+    * ascending mtimes (the engine's stated file-replay order contract),
+    * so micro-batch b ≡ `event_id % SplitFiles = b` and the serve window
+    * is exactly `event_id % SplitFiles >= SplitFiles - WindowBatches` —
+    * the oracle runs x9's deterministic histogram SQL over that
+    * predicate. In production the same role is played by the event-time
+    * partition an ingest job assigns (batch ≈ hour/day); the window
+    * serve is this gate's plan verbatim.
+    *
+    * Scale design: this is the "p50 latency per key over the last N
+    * batches, on demand" production question. The serve reads
+    * types × 256 × [[WindowBatches]] tiny rows — independent of corpus
+    * size AND of total stream length (older partials are partition-pruned
+    * by `batch_id`, never deserialized) — where the exact twin re-sorts
+    * the window's raw values per question asked. */
+  private[graft] def x11WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val work = Files.createTempDirectory("graft_winquant_").toString
+    val splitDir = s"$work/in"
+    val events = Sources.table(spark, dir, "events")
+      .select("event_id", "event_type", "value")
+    var seen = Set.empty[String]
+    (0 until SplitFiles).foreach { b =>
+      events.filter(pmod(col("event_id"), lit(SplitFiles)) === b)
+        .coalesce(1).write.mode("append").parquet(splitDir)
+      val wave = new java.io.File(splitDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
+      wave.foreach(f =>
+        require(f.setLastModified(1000000000000L + b * 60000L),
+          s"cannot set mtime on $f; file-replay order would be undefined"))
+      seen ++= wave.map(_.getName)
+    }
+    val store = s"$work/hist"
+    val session = spark.newSession()
+    val q = session.readStream
+      .schema(session.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        batch.groupBy(col("event_type"), bucket(col("value")).as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(s"$store/batch_id=$batchId"))
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = Option(new java.io.File(store).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    val windowed = spark.read.parquet(store)
+      .filter(col("batch_id") >= nBatches - WindowBatches)
+      .drop("batch_id")
+    (quantilesFromHistogram(windowed), nBatches)
+  }
+
+  /** The batch twin: the window's rows (named by the membership rule)
+    * pushed through one histogram — equal to the pruned-store serve
+    * EXACTLY (counts are additive). */
+  private[graft] def x11Batch(spark: SparkSession, dir: String): DataFrame =
+    quantilesFromHistogram(
+      Sources.table(spark, dir, "events")
+        .filter(pmod(col("event_id"), lit(SplitFiles)) >= SplitFiles - WindowBatches)
+        .groupBy(col("event_type"), bucket(col("value")).as("b"))
+        .agg(count(lit(1)).as("cnt")))
+
   /** Equi-width bucket id in 1..[[Buckets]]; the floor argument's width
     * is binary-exact so boundary values bucket identically in DuckDB. */
   private def bucket(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

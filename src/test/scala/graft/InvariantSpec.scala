@@ -488,4 +488,54 @@ class InvariantSpec extends AnyFunSuite {
     val s = (0 until 8).map(i => col(s"b$i")).reduce(_ + _)
     assert(df.filter(abs(s - 1.0) > 0.01).count() == 0)
   }
+
+  test("t17 scrub laws: every doc ledgered once; removal bounded by coverage; clean docs untouched") {
+    val df = TextOps.t17SpanScrub(spark, sf).cache()
+    try {
+      // the ledger partitions the corpus: one row per document
+      assert(df.count() == nDocs)
+      assert(df.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+      // no duplicate occurrence → nothing removed, and vice versa a
+      // removal needs at least one covering occurrence
+      assert(df.filter(col("n_dup_occ") === 0 && col("n_removed") > 0).count() == 0)
+      assert(df.filter(col("n_removed") > col("n_dup_occ") * TextOps.SpanWords).count() == 0)
+      assert(df.filter(col("n_removed") > col("n_tok")).count() == 0)
+      // the fixture genuinely contains duplicated spans (t11 finds them),
+      // so the scrub must actually cut something somewhere
+      assert(df.agg(sum("n_removed")).collect()(0).getLong(0) > 0,
+        "no tokens removed — the scrub is vacuous on a fixture t11 mines spans from")
+      // untouched docs keep their exact token stream: clean_md5 must
+      // equal the digest of the full tokenization
+      val fullMd5 = Sources.table(spark, sf, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", TextOps.tokens(col("text")))).as("full_md5"))
+      val mismatched = df.filter(col("n_removed") === 0)
+        .join(fullMd5, "doc_id")
+        .filter(col("clean_md5") =!= col("full_md5"))
+      assert(mismatched.count() == 0,
+        "an untouched doc's clean digest differs from its full-token digest")
+    } finally { df.unpersist(); () }
+  }
+
+  test("d17 pruning laws: every vector verdicted once; per-cell cut is exactly ⌊n/den⌋, most-prototypical first") {
+    val df = SimilarityOps.d17ProtoPrune(spark, sf).cache()
+    try {
+      val nVecs = Sources.table(spark, sf, "embeddings").count()
+      assert(df.count() == nVecs)
+      // per cell: pruned count is exactly ⌊n/den⌋, and the pruned set is
+      // a rank prefix (max pruned rank == pruned count — no gaps)
+      val perCell = df.groupBy("cell").agg(
+        count(lit(1)).as("n"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_pruned"),
+        max(when(!col("kept"), col("proto_rank"))).as("max_pruned_rank"))
+      assert(perCell.filter(
+        col("n_pruned") =!= floor(col("n") / SimilarityOps.ProtoPruneDen)).count() == 0,
+        "a cell's pruned count is not ⌊n/den⌋")
+      assert(perCell.filter(col("n_pruned") > 0 &&
+        col("max_pruned_rank") =!= col("n_pruned")).count() == 0,
+        "pruned verdicts are not the rank-1..⌊n/den⌋ prefix")
+      // something is pruned somewhere (cells are bigger than den on the fixture)
+      assert(df.filter(!col("kept")).count() > 0)
+    } finally { df.unpersist(); () }
+  }
 }

@@ -311,6 +311,35 @@ class PlanSpec extends AnyFunSuite {
       "t11 limit is not a distributed TakeOrderedAndProject")
   }
 
+  test("t17 span scrub: every shuffle keyed on span digest or doc_id, no all-pairs") {
+    val plan = finalPlan(graft.ops.TextOps.t17SpanScrub(spark, sf))
+    assertNoBlowupJoin(plan, "t17")
+    // the dup-occurrence join must meet on the span key (AQE may choose
+    // to broadcast the dup-span stats side at fixture scale — also fine)
+    assert(plan.contains("hashpartitioning(span") || plan.contains("BroadcastHashJoin"),
+      "t17 dup-occurrence join lost its span-digest equi-key")
+    // the scrub is array arithmetic after the doc_id meet — a per-token
+    // coverage join here would be a corpus×W row blowup
+    assert(plan.contains("hashpartitioning(doc_id") || plan.contains("BroadcastHashJoin"),
+      "t17 range list no longer meets its documents on doc_id")
+  }
+
+  test("d17 prototype pruning: narrow assignment, one cell exchange, no pair term") {
+    val plan = finalPlan(SimilarityOps.d17ProtoPrune(spark, sf))
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      "d17 assignment shuffles the corpus by vec_id — the argmax " +
+        "regressed out of the narrow expression-side form")
+    assert(plan.contains("hashpartitioning(cell"),
+      "d17 rank/count windows lost their cell exchange key")
+    // unlike d15/d16 there is NO pairwise term: any real join here means
+    // the linear rank form regressed to a pair generation
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "d17 plans a corpus join — the linear window form regressed")
+    assert(!plan.contains("CartesianProduct"))
+    // (the 1-row centroid-array attach plans as a constant-size BNLJ,
+    // same as d15/s3 — not an all-pairs blowup)
+  }
+
   test("no gate query plans a mid-pipeline CollectLimit") {
     // static check: CollectLimit appears in the physical plan before
     // execution too, and this sweep covers every entry without re-running

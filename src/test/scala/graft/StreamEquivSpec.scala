@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.io.Sources
 import graft.ops.Windowed
 import graft.streaming.{Replay, StreamPipeline}
 
@@ -652,6 +653,42 @@ class StreamEquivSpec extends AnyFunSuite {
       .x10WithBatchCount(spark, sf, negate(col("doc_id")))
     assert(rows(revDf) == batch,
       "reversed-arrival CMS merge diverged — counter addition is not order-independent")
+  }
+
+  test("x11 windowed serve from the partials store ≡ batch over the window's rows; window ≠ whole corpus") {
+    import org.apache.spark.sql.functions._
+    val (streamDf, nBatches) =
+      graft.streaming.StreamSketch.x11WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val stream = rows(streamDf)
+    // the pruned-store merge must equal one histogram over exactly the
+    // window's rows (membership is the event_id mod rule, so the window
+    // names a plain predicate — the same slice the oracle queries)
+    val batch = rows(graft.streaming.StreamSketch.x11Batch(spark, sf))
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      "windowed store serve diverged from the window's batch histogram")
+    // the window is genuinely a subset: its per-type counts must sum to
+    // the window rows exactly and be strictly below the corpus total
+    val winRows = Sources.table(spark, sf, "events")
+      .filter(pmod(col("event_id"), lit(graft.streaming.StreamSketch.SplitFiles))
+        >= graft.streaming.StreamSketch.SplitFiles
+          - graft.streaming.StreamSketch.WindowBatches)
+      .count()
+    val total = Sources.table(spark, sf, "events").count()
+    val served = streamDf.collect().map(_.getLong(1)).sum
+    assert(served == winRows,
+      s"windowed n_events sum $served != window row count $winRows")
+    assert(served < total, "window spans the whole corpus — serve is vacuous")
+    // the serve must PRUNE the store, not scan-then-filter: the batch_id
+    // predicate has to reach the scan as a partition filter, so partials
+    // outside the window are never even deserialized
+    val plan = streamDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("batch_id")),
+      "windowed serve lost its batch_id partition filter — old partials are being scanned")
   }
 
   test("stream-static enrichment join ≡ batch join") {
