@@ -65,7 +65,11 @@ object ScaleCheck {
     // r10 second wave: the span scrub (digest-bounded equi-joins over a
     // linearly-growing dup set), prototype pruning (join-free, one cell
     // exchange), and the windowed partials serve (fixed-width, pruned)
-    "t17_span_scrub", "d17_proto_prune", "x11_stream_window_quantile")
+    "t17_span_scrub", "d17_proto_prune", "x11_stream_window_quantile",
+    // r10 third wave: the ranged-read resize (O(thumb) bytes per object,
+    // expected linear in object count) and the retrain + re-index sweep
+    // (one posexplode M-step shuffle + a narrow re-assignment)
+    "m8_bmp_thumbnail", "s17_ivf_retrain")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -90,6 +90,7 @@ object SparkEntry {
     "s14_ann_partial_compact" -> (graft.streaming.StreamAnnIngest.s14AnnPartialCompact _),
     "s15_stream_ann_multiprobe" -> (graft.streaming.StreamAnnIngest.s15StreamAnnMultiprobe _),
     "s16_stream_ann_upsert" -> (graft.streaming.StreamAnnIngest.s16StreamAnnUpsert _),
+    "s17_ivf_retrain" -> (SimilarityOps.s17IvfRetrain _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
     "s5_ann_pq" -> (SimilarityOps.s5AnnPq _),
     "s6_ann_ivfpq" -> (SimilarityOps.s6AnnIvfPq _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "m5_bmp_meta" -> (MultimodalOps.m5BmpMeta _),
     "m6_bmp_row_sample" -> (MultimodalOps.m6BmpRowSample _),
     "m7_wav_window_energy" -> (MultimodalOps.m7WavWindowEnergy _),
+    "m8_bmp_thumbnail" -> (MultimodalOps.m8BmpThumbnail _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -452,6 +454,33 @@ object SparkEntry {
        |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
        |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
        |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  /** s17's oracle: one Lloyd refinement of the seed quantizer replayed
+    * in closed form. `cm` is the M-step — per-(cell, dim) means over the
+    * gen-0 assignment, published at [[SimilarityOps.CentroidScale]]
+    * decimals so both engines' ~1-ulp-apart means round to the same
+    * codebook — `seeds1` rebuilds the centroid rows (cells that lost
+    * every member retire with the GROUP BY), and the rest is s3's
+    * assignment + probe verbatim under the new quantizer. */
+  private def s17RetrainSql: String = {
+    val dim = SimilarityOps.SignBands * SimilarityOps.BandBits
+    s"""WITH $embCte,
+       |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+       |ac0 AS (SELECT n.vec_id, n.v, n.nrm, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+       |ar0 AS (SELECT vec_id, v, nrm, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac0),
+       |asn0 AS (SELECT vec_id, v, nrm, cell FROM ar0 WHERE arn = 1),
+       |cm AS (SELECT cell, i, round(avg(v[i]), ${SimilarityOps.CentroidScale}) AS cval
+       |  FROM asn0 CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY cell, i),
+       |seeds1 AS (SELECT c_id, cv, sqrt(list_inner_product(cv, cv)) AS cn
+       |  FROM (SELECT cell AS c_id, list(cval ORDER BY i) AS cv FROM cm GROUP BY cell)),
+       |ac1 AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds1 s),
+       |ar1 AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac1),
+       |asn1 AS (SELECT vec_id, v, nrm, label, cell FROM ar1 WHERE arn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn1 WHERE label = 1),
+       |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn1 a USING (cell) WHERE a.vec_id <> q.q_id),
+       |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+       |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
 
   /** s15's oracle: s3's probe with the query side fanned out to its
     * top-`nprobe` cells (q reads `ar WHERE arn <= nprobe`, the s4
@@ -1093,6 +1122,11 @@ object SparkEntry {
     // physical entry) against the original quantizer — the oracle is s3
     // over the update-rule-rewritten vectors
     "s16_stream_ann_upsert" -> upsertIvfSql,
+    // s17 replays the retrain chain in closed form: gen-0 assignment,
+    // per-cell dimension-wise means published at CentroidScale decimals
+    // (fixed precision keeps the gen-1 codebook bit-identical across
+    // engines), gen-1 re-assignment, then s3's probe shape
+    "s17_ivf_retrain" -> s17RetrainSql,
     "s4_ann_recall" ->
       s"""${annRecallCtes(embCte)}
          |SELECT qs.q_id AS q_id, mth.method AS method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, round(coalesce(h.hits, 0) / 3.0, 4) AS recall
@@ -1258,6 +1292,25 @@ object SparkEntry {
         |CAST(14 + 40 + 1024 + stride * hgt AS BIGINT) AS file_size,
         |CAST(s.px AS BIGINT) AS pixel_sum
         |FROM d JOIN s ON s.doc_id = d.doc_id ORDER BY media_id""".stripMargin,
+    // every thumbnail pixel from closed form — source pixel (ri, ci) with
+    // ri = y·hgt//TH, ci = x·w//TW is data byte ri·w+ci when inside the
+    // payload, else the builder's zero fill; digest over the lower-hex
+    // rendering, luminance integer-exact (constants interpolated from
+    // the engine's ThumbW/ThumbH so they cannot desynchronize)
+    "m8_bmp_thumbnail" -> {
+      val tw = MultimodalOps.ThumbW; val th = MultimodalOps.ThumbH
+      s"""WITH g AS (SELECT doc_id, 16 + doc_id % 17 AS w, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h FROM documents),
+         |d AS (SELECT doc_id, w, n, h, greatest((n + w - 1) // w, 1) AS hgt FROM g),
+         |b AS (SELECT doc_id, list_transform(range(0, ${tw * th}),
+         |        p -> ((p // $tw) * hgt // $th) * w + ((p % $tw) * w // $tw)) AS idxs, n, h FROM d),
+         |t AS (SELECT doc_id, list_transform(idxs,
+         |        i -> CASE WHEN i < n THEN substr(h, CAST(2*i+1 AS INT), 2) ELSE '00' END) AS bhs FROM b)
+         |SELECT doc_id AS media_id, CAST($tw AS BIGINT) AS thumb_w, CAST($th AS BIGINT) AS thumb_h,
+         |CAST(list_sum(list_transform(bhs, bh -> (strpos('0123456789abcdef', substr(bh, 1, 1)) - 1) * 16
+         |  + strpos('0123456789abcdef', substr(bh, 2, 1)) - 1)) AS BIGINT) AS lum_sum,
+         |md5(array_to_string(bhs, '')) AS thumb_md5
+         |FROM t ORDER BY media_id""".stripMargin
+    },
     "m3_frame_sample" -> {
       val k = MultimodalOps.FrameCount; val fb = MultimodalOps.FrameBytes
       val is = (0 until k).map(_.toString).mkString(", ")

@@ -566,6 +566,79 @@ object MultimodalOps {
       .orderBy("media_id", "row_no")
   }
 
+  /** Thumbnail dimensions for m8 — fixed-size output regardless of the
+    * source image, the shape a training pipeline's preprocessor emits. */
+  val ThumbW = 8
+  val ThumbH = 8
+
+  /** Seek-decode a ThumbW×ThumbH nearest-neighbor thumbnail out of a
+    * BMP: the resize touches only the ThumbH distinct mapped source rows
+    * ([[decodeBmpRow]]'s header-arithmetic ranged read), never the whole
+    * pixel array — at 100 TB a thumbnail pass must read O(thumb) bytes
+    * per object, not O(image). Output is logical top-down row-major.
+    * Index math in Long first (the m6/m7 rule): a corrupt header's
+    * dimensions must not wrap Int into a plausible in-bounds index. */
+  private[graft] def decodeBmpThumb(bytes: Array[Byte]): Array[Byte] = {
+    val (width, height, _, _) = bmpHeader(bytes)
+    require(width > 0 && height > 0, s"bad BMP dims ${width}x$height")
+    val out = new Array[Byte](ThumbW * ThumbH)
+    var lastRi = -1
+    var rowBytes: Array[Byte] = null
+    var y = 0
+    while (y < ThumbH) {
+      // nearest-neighbor row map: floor(y * height / ThumbH) < height
+      val ri = (y.toLong * height / ThumbH).toInt
+      if (ri != lastRi) { rowBytes = decodeBmpRow(bytes, ri); lastRi = ri }
+      var x = 0
+      while (x < ThumbW) {
+        out(y * ThumbW + x) = rowBytes((x.toLong * width / ThumbW).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** m8: nearest-neighbor thumbnail through the real BMP codec — the
+    * RESIZE leg of the decode / feature-extract / resize / frame-sample
+    * family (m2 / m1 / m8 / m3). Each doc's image shrinks (or tiles up,
+    * when the source is shorter than 8 rows) to a fixed 8×8 grayscale
+    * thumbnail via integer index mapping over seek-decoded rows; the
+    * digest is over the thumbnail's lower-hex rendering and the
+    * luminance sum is integer-exact, so a row-map, column-map, stride,
+    * or bottom-up-flip bug lands on the wrong pixels and breaks both.
+    * The oracle recomputes every pixel from closed form (data byte at
+    * `ri*w + ci` when inside the payload, else the builder's zero
+    * fill). */
+  def m8BmpThumbnail(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("thumb_w", LongType),
+      StructField("thumb_h", LongType),
+      StructField("lum_sum", LongType),
+      StructField("thumb_md5", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .mapPartitions { rows =>
+        // digest instance init once per partition (the ProducerFinal.scala:66 move)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bmp = buildBmp(id, r.getAs[Array[Byte]](1))
+          val thumb = decodeBmpThumb(bmp)
+          var lum = 0L
+          thumb.foreach(b => lum += (b & 0xff))
+          val hexStr = thumb.map(b => f"${b & 0xff}%02x").mkString
+          md.reset()
+          val digest = md.digest(hexStr.getBytes("US-ASCII"))
+            .map(b => f"${b & 0xff}%02x").mkString
+          Row(id, ThumbW.toLong, ThumbH.toLong, lum, digest)
+        }
+      }(enc)
+      .orderBy("media_id")
+  }
+
   /** m1: metadata + content-hash projection over the media table —
     * the oracle-checkable slice of the multimodal path. */
   def m1MultimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -265,6 +265,113 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** Decimal places at which retrained centroids are published (s17).
+    * A shipped codebook is a frozen artifact, not a float accident:
+    * fixing the precision makes the gen-1 quantizer bit-identical
+    * between the engine and the oracle (both sides' means agree to
+    * ~1 ulp, so they round to the same fixed-precision value), which
+    * keeps every downstream cosine in the bit-identical regime the rest
+    * of the ANN suite lives in. */
+  val CentroidScale = 6
+
+  /** One deterministic Lloyd refinement of the coarse quantizer: every
+    * vector joins its current cell (argmax cosine against `seeds`), and
+    * the refined centroid of a cell is the dimension-wise MEAN of its
+    * members, published at [[CentroidScale]] decimals with its norm
+    * recomputed. Cells that lost all members retire — exactly what a
+    * production retrain does to a centroid the corpus drifted away from.
+    *
+    * Scale shape: the update is the standard KMeans M-step — a
+    * posexplode to (cell, dim, val) followed by a partial-aggregated
+    * groupBy(cell, dim) mean, i.e. one shuffle of 64 doubles per vector
+    * that map-side combines down to cells × dims rows, then a cells-sized
+    * rebuild. No driver-side math; the new codebook is a DataFrame the
+    * next stage broadcasts, exactly like the seed codebook it replaces. */
+  private[graft] def lloydStep(all: DataFrame, seeds: DataFrame): DataFrame =
+    assignCells(all, seeds)
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "val")))
+      .groupBy("cell", "i").agg(round(avg(col("val")), CentroidScale).as("cval"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("i"), col("cval")))).as("a"))
+      .select(col("cell").as("c_id"),
+        transform(col("a"), s => s.getField("cval")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+
+  /** s17 quantizer retrain + re-index: the index-lifecycle motion the
+    * ingest → delete → compact → upsert chain (s11/s12/s13/s16) still
+    * lacked. The gen-0 seed quantizer is refined by one deterministic
+    * Lloyd step ([[lloydStep]]) over the corpus it has drifted from,
+    * the WHOLE corpus re-assigns under the gen-1 centroids (a narrow
+    * map — re-indexing is an assignment sweep, not a data rewrite), and
+    * queries probe the rebuilt inverted lists. The oracle replays the
+    * full chain — gen-0 assignment, per-cell means at fixed precision,
+    * gen-1 assignment, probe — in closed form.
+    *
+    * [[s17WriteGeneration]] / [[s17ServeLatest]] are the deployment
+    * half: generations land as `gen=N` partitions with an explicit
+    * commit marker, readers serve the latest COMMITTED generation, so
+    * a rebuild in flight is invisible until its marker lands (the
+    * atomic flip) — proven in LayoutSpec with the partition-pruned,
+    * exchange-free plan. */
+  def s17IvfRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    val gen1 = lloydStep(all, ivfSeedCentroids(all))
+    probeAssigned(assignCells(all, gen1))
+  }
+
+  /** The gen-1 index store s17's deployment half writes: every corpus
+    * vector with its gen-1 cell assignment. */
+  private[graft] def s17Gen1Assigned(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    assignCells(all, lloydStep(all, ivfSeedCentroids(all)))
+  }
+
+  /** Append one index generation under `gen=N` and commit it with an
+    * explicit marker file. The marker — not the data files — is what a
+    * reader trusts: a half-written rebuild has no marker and stays
+    * invisible, so the generation flip is atomic from the serving side's
+    * point of view (create-marker is a single metadata operation). */
+  private[graft] def s17WriteGeneration(store: DataFrame, path: String, gen: Int): Unit = {
+    s17WriteGenData(store, path, gen)
+    s17CommitGen(store.sparkSession, path, gen)
+  }
+
+  /** The data half of a generation write — files land under `gen=N` but
+    * no reader may trust them until [[s17CommitGen]] publishes the
+    * marker. */
+  private[graft] def s17WriteGenData(store: DataFrame, path: String, gen: Int): Unit =
+    store.withColumn("gen", lit(gen))
+      .write.mode("append").partitionBy("gen").parquet(path)
+
+  /** Publish generation `gen`: one marker-file create, the atomic flip. */
+  private[graft] def s17CommitGen(spark: SparkSession, path: String, gen: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(path, s"_gen_${gen}_COMMITTED"), true).close()
+  }
+
+  /** Highest committed generation under `path` (marker files, not
+    * directory listings of data — a crashed rebuild leaves `gen=N/`
+    * files but no marker and must not win). */
+  private[graft] def s17LatestCommittedGen(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val re = "_gen_(\\d+)_COMMITTED".r
+    fs.listStatus(p).map(_.getPath.getName)
+      .collect { case re(g) => g.toInt }
+      .max
+  }
+
+  /** Serve the probe from the latest COMMITTED generation: the gen
+    * predicate is a partition filter, so the scan prunes every other
+    * generation's files — an in-flight gen-2 rebuild costs a reader
+    * nothing. */
+  private[graft] def s17ServeLatest(spark: SparkSession, path: String): DataFrame = {
+    val gen = s17LatestCommittedGen(spark, path)
+    probeAssigned(
+      spark.read.parquet(path).filter(col("gen") === gen).drop("gen"))
+  }
+
   /** The IVF probe plan, parameterized by the centroid table: assign every
     * vector to its nearest coarse centroid (argmax cosine against the
     * broadcast centroid set), build the inverted lists implicitly as the

@@ -484,4 +484,44 @@ class LayoutSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("s17's generation store: marker-gated flip, uncommitted rebuild invisible, serve partition-pruned") {
+    // The deployment half of s17's retrain: generations land as gen=N
+    // partitions, the commit MARKER (not the data files) is what a
+    // reader trusts, and the serve prunes every other generation at the
+    // scan. Sequence proven on a real written layout: (1) gen-0 serves
+    // s3's answer; (2) a gen-1 rebuild whose files have landed but whose
+    // marker hasn't stays invisible — the reader still serves gen-0
+    // verbatim; (3) the marker create flips the serve to s17's retrained
+    // answer atomically.
+    import graft.ops.SimilarityOps
+    val dir = Files.createTempDirectory("graft_gen_").toString + "/ann_gens"
+    val all = SimilarityOps.normed(spark, sf)
+    val gen0 = SimilarityOps.assignCells(all, SimilarityOps.ivfSeedCentroids(all))
+    SimilarityOps.s17WriteGeneration(gen0, dir, 0)
+    def served(): Array[(Long, Long, Double, Long)] =
+      SimilarityOps.s17ServeLatest(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    def expect(df: DataFrame): Array[(Long, Long, Double, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val s3Ans = expect(SimilarityOps.s3AnnIvf(spark, sf))
+    assert(served().sameElements(s3Ans), "gen-0 serve diverged from s3")
+    // rebuild in flight: data files land, marker does not
+    SimilarityOps.s17WriteGenData(SimilarityOps.s17Gen1Assigned(spark, sf), dir, 1)
+    assert(served().sameElements(s3Ans),
+      "uncommitted gen-1 files leaked into the serve — the flip is not marker-gated")
+    // the atomic flip: one marker create
+    SimilarityOps.s17CommitGen(spark, dir, 1)
+    val retrained = expect(SimilarityOps.s17IvfRetrain(spark, sf))
+    assert(served().sameElements(retrained), "post-flip serve diverged from s17")
+    assert(!served().sameElements(s3Ans),
+      "retrain was a no-op on this fixture — the flip test proves nothing")
+    // the serve's gen predicate must prune at the scan: a reader pays
+    // for ONE generation no matter how many rebuilds have accumulated
+    val df = SimilarityOps.s17ServeLatest(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("gen"),
+      "gen predicate did not reach the scan as a partition filter")
+  }
 }

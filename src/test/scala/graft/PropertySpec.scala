@@ -147,4 +147,22 @@ object BmpCodecProps extends Properties("bmpCodec") {
         MultimodalOps.decodeBmpRow(bmp, r).sameElements(expect)
       }
     }
+
+  property("thumbnail seek-decode equals nearest-neighbor over the full decode") =
+    forAll(idGen, bytesGen) { (id, data) =>
+      // the ranged path (header probe + per-row seeks) must agree with
+      // the trusted full decode sampled by the same floor-index map —
+      // a row-map, column-map, or bottom-up-flip slip diverges
+      val bmp = MultimodalOps.buildBmp(id, data)
+      val full = MultimodalOps.decodeBmp(bmp)
+      val w = MultimodalOps.bmpWidth(id)
+      val h = math.max((data.length + w - 1) / w, 1)
+      val tw = MultimodalOps.ThumbW; val th = MultimodalOps.ThumbH
+      val expect = Array.tabulate[Byte](tw * th) { p =>
+        val ri = (p / tw) * h / th
+        val ci = (p % tw) * w / tw
+        full(ri * w + ci)
+      }
+      MultimodalOps.decodeBmpThumb(bmp).sameElements(expect)
+    }
 }
