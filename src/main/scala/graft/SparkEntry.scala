@@ -136,7 +136,9 @@ object SparkEntry {
     "x9_stream_quantile" -> (graft.streaming.StreamSketch.x9StreamQuantile _),
     "x10_stream_cms" -> (graft.streaming.StreamSketch.x10StreamCms _),
     "x11_stream_window_quantile" ->
-      (graft.streaming.StreamSketch.x11StreamWindowQuantile _)
+      (graft.streaming.StreamSketch.x11StreamWindowQuantile _),
+    "x12_stream_window_distinct" ->
+      (graft.streaming.StreamSketch.x12StreamWindowDistinct _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------

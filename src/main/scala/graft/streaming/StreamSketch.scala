@@ -392,6 +392,92 @@ object StreamSketch {
     least(greatest(floor(value * lit(Buckets) / lit(Hi - Lo)) + lit(1L), lit(1L)),
       lit(Buckets.toLong))
 
+  // ---- x12: the windowed serve for the HLL store --------------------
+
+  /** x12: x11's windowed serve applied to x8's HLL sketch store — the
+    * distinct-count twin, completing the mergeable family's symmetry
+    * (histograms AND register sketches both answer "last N batches"
+    * from pruned partials). Per-type approximate distinct users plus
+    * the exact additive event count over ONLY the last
+    * [[WindowBatches]] micro-batches, answered entirely from the
+    * batch-partitioned sketch store: partition-prune to the window's
+    * `batch_id`s, `hll_union_agg` the surviving partials register-wise,
+    * estimate. Raw events are never re-read; partials outside the
+    * window are never deserialized.
+    *
+    * Batch membership is x11's DATA rule (`event_id mod [[SplitFiles]]`,
+    * waves written mtime-ascending per the engine's file-replay order
+    * contract), so the window names an exact row set and the batch twin
+    * — one sketch built directly over those rows — must agree
+    * BIT-FOR-BIT (register maxima are merge-invariant; StreamEquivSpec
+    * asserts it, plus the additive count and window ⊂ corpus). Output
+    * is rows-only by x8's declared design: DataSketches HLL internals
+    * are engine-specific, so DuckDB cannot replay the estimate — the
+    * exact `n_events` column IS the oracle-expressible slice, and the
+    * merge/error pins live in the spec.
+    *
+    * Scale design: "distinct users per key over the last N batches, on
+    * demand" reads types × [[WindowBatches]] kilobyte rows no matter
+    * how long the stream has run or how big the corpus is; the exact
+    * twin re-shuffles every user_id in the window per question. */
+  def x12StreamWindowDistinct(spark: SparkSession, dir: String): DataFrame =
+    x12WithBatchCount(spark, dir)._1
+
+  private[graft] def x12WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val work = Files.createTempDirectory("graft_windist_").toString
+    val splitDir = s"$work/in"
+    val events = Sources.table(spark, dir, "events")
+      .select("event_id", "event_type", "user_id")
+    var seen = Set.empty[String]
+    (0 until SplitFiles).foreach { b =>
+      events.filter(pmod(col("event_id"), lit(SplitFiles)) === b)
+        .coalesce(1).write.mode("append").parquet(splitDir)
+      val wave = new java.io.File(splitDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
+      wave.foreach(f =>
+        require(f.setLastModified(1000000000000L + b * 60000L),
+          s"cannot set mtime on $f; file-replay order would be undefined"))
+      seen ++= wave.map(_.getName)
+    }
+    val store = s"$work/sketches"
+    val session = spark.newSession()
+    val q = session.readStream
+      .schema(session.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, store))
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = Option(new java.io.File(store).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    val result = spark.read.parquet(store)
+      .filter(col("batch_id") >= nBatches - WindowBatches)
+      .drop("batch_id")
+      .groupBy("event_type")
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"),
+        sum("n_events").as("n_events"))
+      .orderBy("event_type")
+    (result, nBatches)
+  }
+
+  /** The batch twin: one sketch built directly over the window's rows
+    * (named by the membership rule) — equal to the pruned-store merge
+    * BIT-FOR-BIT (register maxima are merge-invariant). */
+  private[graft] def x12Batch(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "events")
+      .filter(pmod(col("event_id"), lit(SplitFiles)) >= SplitFiles - WindowBatches)
+      .groupBy("event_type")
+      .agg(
+        expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, $LgK))")
+          .as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** Merge (sum) histogram rows, then read p50/p90 as first-crossing
     * bucket midpoints — integer threshold comparisons only. */
   private def quantilesFromHistogram(hist: DataFrame): DataFrame = {

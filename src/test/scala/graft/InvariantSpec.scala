@@ -538,4 +538,29 @@ class InvariantSpec extends AnyFunSuite {
       assert(df.filter(!col("kept")).count() > 0)
     } finally { df.unpersist(); () }
   }
+
+  test("s17 Lloyd step does not decrease the spherical k-means objective") {
+    // The law that makes one refinement step a RETRAIN and not a shuffle
+    // of centroids: re-assignment only ever moves a vector to a centroid
+    // it is MORE cosine-similar to, and a cell's mean is the direction
+    // maximizing average cosine over its members — so the mean own-cell
+    // cosine must be monotone across the generation (up to the fixed
+    // CentroidScale publication rounding, bounded here at 1e-4).
+    import SimilarityOps.dot
+    val all = SimilarityOps.normed(spark, sf)
+    val seeds0 = SimilarityOps.ivfSeedCentroids(all)
+    def objective(seeds: org.apache.spark.sql.DataFrame): Double =
+      SimilarityOps.assignCells(all, seeds)
+        .join(seeds, col("cell") === col("c_id"))
+        .select((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("c"))
+        .agg(avg("c")).collect()(0).getDouble(0)
+    val gen0 = objective(seeds0)
+    val gen1 = objective(SimilarityOps.lloydStep(all, seeds0))
+    assert(gen1 >= gen0 - 1e-4,
+      f"retrain worsened the objective: gen0 $gen0%.6f -> gen1 $gen1%.6f")
+    // and on this fixture the improvement is macroscopic, so the gate's
+    // "retrained quantizer" claim is not vacuous
+    assert(gen1 > gen0 + 0.01,
+      f"retrain was a no-op on the fixture: gen0 $gen0%.6f -> gen1 $gen1%.6f")
+  }
 }

@@ -691,6 +691,49 @@ class StreamEquivSpec extends AnyFunSuite {
       "windowed serve lost its batch_id partition filter — old partials are being scanned")
   }
 
+  test("x12 windowed distinct serve from the sketch store ≡ batch sketch over the window's rows, within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val (streamDf, nBatches) =
+      graft.streaming.StreamSketch.x12WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val stream = rows(streamDf)
+    // merge-invariance on the WINDOW: the union of the window's per-batch
+    // sketches must estimate IDENTICALLY to one sketch built directly
+    // over the window's rows (register maxima don't care about batching)
+    val batch = rows(graft.streaming.StreamSketch.x12Batch(spark, sf))
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      "windowed sketch-store serve diverged from the window's batch sketch")
+    // declared error pin vs exact distinct over the window slice, plus
+    // the additive exact count — and the window must be a real subset
+    val win = Sources.table(spark, sf, "events")
+      .filter(pmod(col("event_id"), lit(graft.streaming.StreamSketch.SplitFiles))
+        >= graft.streaming.StreamSketch.SplitFiles
+          - graft.streaming.StreamSketch.WindowBatches)
+    val exact = win.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    streamDf.collect().foreach { r =>
+      val (exactUsers, exactEvents) = exact(r.getString(0))
+      val approx = r.getLong(1)
+      assert(math.abs(approx - exactUsers).toDouble / exactUsers <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exactUsers drifted >5%")
+      assert(r.getLong(2) == exactEvents,
+        s"${r.getString(0)}: additive exact count diverged")
+    }
+    assert(streamDf.collect().map(_.getLong(2)).sum <
+      Sources.table(spark, sf, "events").count(),
+      "window spans the whole corpus — serve is vacuous")
+    // prune, don't scan-then-filter: old partials never deserialize
+    val plan = streamDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("batch_id")),
+      "windowed serve lost its batch_id partition filter — old partials are being scanned")
+  }
+
   test("stream-static enrichment join ≡ batch join") {
     // q38's gate path IS the streaming side: broadcast static dim,
     // update-mode upserts through the idempotent materialized sink.
