@@ -69,7 +69,9 @@ object ScaleCheck {
     // r10 third wave: the ranged-read resize (O(thumb) bytes per object,
     // expected linear in object count) and the retrain + re-index sweep
     // (one posexplode M-step shuffle + a narrow re-assignment)
-    "m8_bmp_thumbnail", "s17_ivf_retrain", "x12_stream_window_distinct")
+    "m8_bmp_thumbnail", "s17_ivf_retrain", "x12_stream_window_distinct",
+    // the export composite: p1's funnel + one bounded shard exchange
+    "p4_curate_pack")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -126,6 +126,7 @@ object SparkEntry {
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
+    "p4_curate_pack" -> (PipelineOps.p4CuratePack _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
     "x3_ml_eval" -> (ScoringPipeline.x3MlEval _),
     "x4_ivf_kmeans" -> (SimilarityOps.x4IvfKmeans _),
@@ -983,6 +984,24 @@ object SparkEntry {
          |CAST(coalesce(n_contam, 0) AS BIGINT) AS n_contam, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, CAST(coalesce(tok_kept, 0) AS BIGINT) AS tok_kept
          |FROM hd LEFT JOIN tl ON tl.lang = hd.lang AND tl.source = hd.source ORDER BY hd.lang, hd.source""".stripMargin
     },
+    // p4 replays p1's whole funnel (same CTEs verbatim), keeps the
+    // survivors, and packs them in t13's geometry — with the shard's
+    // packed token stream DIGESTED (string_agg in doc_id order), so the
+    // oracle checks content, not just arithmetic
+    "p4_curate_pack" ->
+      s"""WITH RECURSIVE $dupClusterCte,
+         |$funnelHeadCtes,
+         |gg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))) AS g FROM tok WHERE len(ts) >= 5),
+         |ctd AS (SELECT DISTINCT t2.doc_id FROM gg t2 JOIN (SELECT DISTINCT g FROM gg WHERE doc_id % ${DedupOps.EvalMod} = 0) e2 ON e2.g = t2.g WHERE t2.doc_id % ${DedupOps.EvalMod} <> 0),
+         |kd AS (SELECT e.doc_id, e.source FROM elig e LEFT JOIN lab ON lab.doc_id = e.doc_id LEFT JOIN ctd ON ctd.doc_id = e.doc_id
+         |  WHERE e.doc_id = e.min_id AND (lab.cluster_id IS NULL OR lab.cluster_id = e.doc_id) AND ctd.doc_id IS NULL),
+         |kt AS (SELECT kd.doc_id, kd.source, kd.doc_id // ${TextOps.ShardDocs} AS shard, array_to_string(t.ts, ' ') AS s, len(t.ts) AS n_tok
+         |  FROM kd JOIN tok t ON t.doc_id = kd.doc_id WHERE len(t.ts) > 0)
+         |SELECT source, CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |CAST((sum(n_tok) + ${TextOps.SeqTokens - 1}) // ${TextOps.SeqTokens} AS BIGINT) AS n_seqs,
+         |md5(string_agg(s, ' ' ORDER BY doc_id)) AS pack_md5
+         |FROM kt GROUP BY source, shard ORDER BY source, shard""".stripMargin,
     // the stream ledger must equal the BATCH derivation of its stages —
     // same funnel-head CTEs as p1, minus the near-dup/contam tail
     "p2_stream_funnel" ->

@@ -59,16 +59,19 @@ object PipelineOps {
       .withColumn("wc", coalesce(col("wc"), lit(0L)))
   }
 
-  def p1PipelineLedger(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Sources.table(spark, dir, "documents")
-    val flagged = headFlags(docs)
+  /** The funnel tail as a per-document frame: every ELIGIBLE doc
+    * (non-eval, quality-passing) with its final stage label — the frame
+    * p1 aggregates into the ledger and p4 filters for the kept set, so
+    * the two gates share one curation semantics by construction. */
+  private[graft] def stagedEligible(spark: SparkSession, dir: String,
+                                    flagged: DataFrame): DataFrame = {
     val elig = flagged.filter(!col("is_eval") && col("q"))
     val keepExact =
       col("doc_id") === min("doc_id").over(Window.partitionBy("norm_key"))
     val clusters = DedupOps.d10DupClusters(spark, dir).select("doc_id", "cluster_id")
     val contam = DedupOps.d8Decontamination(spark, dir)
       .select(col("doc_id"), lit(true).as("ct"))
-    val staged = elig
+    elig
       .withColumn("keep_exact", keepExact)
       .join(clusters, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
@@ -77,6 +80,12 @@ object PipelineOps {
           .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), "near")
           .when(coalesce(col("ct"), lit(false)), "contam")
           .otherwise("kept"))
+  }
+
+  def p1PipelineLedger(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    val flagged = headFlags(docs)
+    val staged = stagedEligible(spark, dir, flagged)
     val head = flagged.groupBy("lang", "source").agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("is_eval"), 1L).otherwise(0L)).as("n_eval"),
@@ -90,5 +99,49 @@ object PipelineOps {
     head.join(tail, Seq("lang", "source"), "left")
       .na.fill(0L, Seq("n_exact_dup", "n_near_dup", "n_contam", "n_kept", "tok_kept"))
       .orderBy("lang", "source")
+  }
+
+  /** p4 curate-then-pack: the EXPORT step p1 stops short of — the
+    * funnel's kept documents (same [[stagedEligible]] labels, shared
+    * with p1 by construction) laid into t13's packing geometry and
+    * DIGESTED: per (source, shard), the doc count, token count, the
+    * fixed-length sequence count ⌈tokens / SeqTokens⌉, and the md5 of
+    * the shard's packed token stream (documents concatenated in doc_id
+    * order — the byte stream a training writer would emit through this
+    * exact plan). The content digest is what t13's arithmetic ledger
+    * can't give: a wrong keep decision, a doc ordered out of place, or
+    * a token dropped anywhere upstream lands in `pack_md5`.
+    *
+    * Scale shape: the funnel tail reuses p1's digest-keyed joins
+    * (proven non-corpus-sized); packing adds ONE hash exchange on
+    * (source, shard) where a shard holds ≤ [[TextOps.ShardDocs]] docs
+    * by construction — per-shard concat is bounded, shards are
+    * embarrassingly parallel, nothing global. The output is
+    * shards-sized, not corpus-sized: the manifest a 100 TB export job
+    * ships to the trainer. */
+  def p4CuratePack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    val kept = stagedEligible(spark, dir, headFlags(docs))
+      .filter(col("stage") === "kept")
+      .select("doc_id", "source")
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), concat_ws(" ", col("ts")).as("s"),
+        size(col("ts")).cast("long").as("n_tok"))
+    kept.join(toks, Seq("doc_id"))
+      .withColumn("shard", floor(col("doc_id") / lit(TextOps.ShardDocs)).cast("long"))
+      .groupBy("source", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tok"),
+        array_sort(collect_list(struct(col("doc_id"), col("s")))).as("a"))
+      .withColumn("n_seqs",
+        floor((col("n_tok") + lit(TextOps.SeqTokens - 1)) / lit(TextOps.SeqTokens)).cast("long"))
+      .withColumn("pack_md5",
+        md5(concat_ws(" ", transform(col("a"), x => x.getField("s")))))
+      .select(col("source"), col("shard"), col("n_docs"), col("n_tok"),
+        col("n_seqs"), col("pack_md5"))
+      .orderBy("source", "shard")
   }
 }

@@ -372,6 +372,30 @@ object SimilarityOps {
       spark.read.parquet(path).filter(col("gen") === gen).drop("gen"))
   }
 
+  /** Retire every generation below the latest committed one — marker
+    * FIRST, then data (the reverse of the commit order): a vacuum that
+    * dies between the two leaves unmarked data, which no reader trusts
+    * and which a re-run still finds by its `gen=N` directory — never a
+    * live marker pointing at deleted files. Readers resolve the LATEST
+    * marker, which vacuum never touches, so serving is undisturbed
+    * throughout. Storage for the store is thereby bounded at one
+    * serving generation plus any rebuild in flight — without this,
+    * every retrain would grow the store by a corpus-sized copy
+    * forever. Returns the retired generation ids. */
+  private[graft] def s17VacuumGenerations(spark: SparkSession, path: String): Seq[Int] = {
+    val latest = s17LatestCommittedGen(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genRe = "gen=(\\d+)".r
+    val old = fs.listStatus(p).map(_.getPath.getName)
+      .collect { case genRe(g) if g.toInt < latest => g.toInt }.sorted.toSeq
+    old.foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"_gen_${g}_COMMITTED"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"gen=$g"), true)
+    }
+    old
+  }
+
   /** The IVF probe plan, parameterized by the centroid table: assign every
     * vector to its nearest coarse centroid (argmax cosine against the
     * broadcast centroid set), build the inverted lists implicitly as the

@@ -539,6 +539,26 @@ class InvariantSpec extends AnyFunSuite {
     } finally { df.unpersist(); () }
   }
 
+  test("p4 packs exactly p1's kept set: doc and token totals agree, shards bounded") {
+    // the export must ship precisely what the funnel kept — nothing
+    // dropped on the floor, nothing resurrected (the two gates share
+    // stagedEligible, and this pins the contract observably)
+    val ledger = PipelineOps.p1PipelineLedger(spark, sf)
+      .agg(sum("n_kept"), sum("tok_kept")).collect()(0)
+    val packed = PipelineOps.p4CuratePack(spark, sf)
+      .agg(sum("n_docs"), sum("n_tok")).collect()(0)
+    assert(packed.getLong(0) == ledger.getLong(0),
+      s"packed ${packed.getLong(0)} docs != funnel kept ${ledger.getLong(0)}")
+    assert(packed.getLong(1) == ledger.getLong(1),
+      s"packed ${packed.getLong(1)} tokens != funnel kept ${ledger.getLong(1)}")
+    // t13's geometry: no shard exceeds its doc budget, and every shard's
+    // sequence count is exactly ceil(tokens / SeqTokens)
+    val bad = PipelineOps.p4CuratePack(spark, sf)
+      .filter(col("n_docs") > TextOps.ShardDocs ||
+        col("n_seqs") =!= ceil(col("n_tok") / lit(TextOps.SeqTokens.toDouble)).cast("long"))
+    assert(bad.count() == 0, "a shard broke the packing geometry")
+  }
+
   test("s17 Lloyd step does not decrease the spherical k-means objective") {
     // The law that makes one refinement step a RETRAIN and not a shuffle
     // of centroids: re-assignment only ever moves a vector to a centroid

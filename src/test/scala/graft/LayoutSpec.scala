@@ -523,5 +523,15 @@ class LayoutSpec extends AnyFunSuite {
     val plan = df.queryExecution.explainString(FormattedMode)
     assert(plan.contains("PartitionFilters") && plan.contains("gen"),
       "gen predicate did not reach the scan as a partition filter")
+    // vacuum bounds storage: gen-0's data AND marker go, gen-1 survives,
+    // and the serve is byte-for-byte undisturbed
+    val retired = SimilarityOps.s17VacuumGenerations(spark, dir)
+    assert(retired == Seq(0), s"expected to retire gen 0, got $retired")
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!left.contains("gen=0") && !left.contains("_gen_0_COMMITTED"),
+      s"vacuum left gen-0 artifacts behind: $left")
+    assert(left.contains("gen=1") && left.contains("_gen_1_COMMITTED"),
+      s"vacuum touched the serving generation: $left")
+    assert(served().sameElements(retrained), "serve changed after vacuum")
   }
 }

@@ -371,4 +371,43 @@ class PlanSpec extends AnyFunSuite {
       "threshold off + no hint should not broadcast — detector cannot fire")
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
   }
+
+  test("AQE splits a skewed join partition at runtime (the second skew lever)") {
+    // q35's salting is the PLANNED answer to skew; this locks the RUNTIME
+    // one — on a hot key the engine's AQE config must actually rewrite
+    // the shuffled join with skew-split partitions (OptimizeSkewedJoin),
+    // visible as `skew=true` on the join node of the final adaptive
+    // plan. Thresholds are lowered to let a megabyte-scale fixture
+    // cross them (sizes are COMPRESSED shuffle bytes — the repetitive
+    // fixture payload shrinks ~50×, which is why the threshold here is
+    // kilobytes); at production sizes the defaults (256 MB) play the
+    // same role. If this stops firing, a hot key once again pins one
+    // reducer at 100 TB while the rest of the cluster idles.
+    val child = spark.newSession()
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    child.conf.set("spark.sql.adaptive.enabled", "true")
+    child.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    child.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    child.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    child.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    child.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    import child.implicits._
+    // one hot key carrying ~90% of the rows, padded to real bytes
+    val hot = child.range(200000)
+      .select(when(col("id") % 10 === 0, col("id")).otherwise(lit(0L)).as("k"),
+        concat(lit("x"), col("id").cast("string"), lit("y" * 64)).as("payload"))
+    val dim = child.range(200)
+      .select(col("id").as("k"), concat(lit("d"), col("id").cast("string")).as("dv"))
+    // no keyed operator downstream of the join: an agg on the join key
+    // would REUSE the join's hash partitioning and legitimately veto the
+    // split (splitting breaks the partitioning contract) — the global
+    // count has no such requirement
+    val joined = hot.join(dim, Seq("k")).agg(count(lit(1)).as("cnt"))
+    joined.collect()
+    val plan = joined.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("skew=true"),
+      "AQE did not skew-split the hot partition — the runtime skew lever is dead")
+    assert(plan.contains("AQEShuffleRead"),
+      "no runtime shuffle-read rewrite in the final plan")
+  }
 }

@@ -15,10 +15,10 @@ class SmokeSpec extends AnyFunSuite {
   test("every query key has an oracle or is a declared rows-only check") {
     val rowsOnly = Set("x2_ml_score", "x3_ml_eval", "x4_ivf_kmeans",
       "x5_sketch_agg", "x6_pq_trained", "x7_res_trained",
-      // x8: DataSketches HLL bytes are engine-specific — DuckDB cannot
-      // replay the estimate; merge-exactness + error pins live in
+      // x8/x12: DataSketches HLL bytes are engine-specific — DuckDB
+      // cannot replay the estimate; merge-exactness + error pins live in
       // StreamEquivSpec
-      "x8_stream_sketch")
+      "x8_stream_sketch", "x12_stream_window_distinct")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracle entries without a query: ${o -- q}")
