@@ -71,7 +71,12 @@ object ScaleCheck {
     // (one posexplode M-step shuffle + a narrow re-assignment)
     "m8_bmp_thumbnail", "s17_ivf_retrain", "x12_stream_window_distinct",
     // the export composite: p1's funnel + one bounded shard exchange
-    "p4_curate_pack")
+    "p4_curate_pack",
+    // tenant-filtered probe (one more equi-join key) and the indexed
+    // frame-seek container (per-object constant ranged reads)
+    "s18_ann_filtered", "m9_video_frame_sample",
+    // the windowed CMS serve: fixed-width partials, pruned window
+    "x13_stream_window_cms")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -91,6 +91,7 @@ object SparkEntry {
     "s15_stream_ann_multiprobe" -> (graft.streaming.StreamAnnIngest.s15StreamAnnMultiprobe _),
     "s16_stream_ann_upsert" -> (graft.streaming.StreamAnnIngest.s16StreamAnnUpsert _),
     "s17_ivf_retrain" -> (SimilarityOps.s17IvfRetrain _),
+    "s18_ann_filtered" -> (SimilarityOps.s18AnnFiltered _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
     "s5_ann_pq" -> (SimilarityOps.s5AnnPq _),
     "s6_ann_ivfpq" -> (SimilarityOps.s6AnnIvfPq _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "m6_bmp_row_sample" -> (MultimodalOps.m6BmpRowSample _),
     "m7_wav_window_energy" -> (MultimodalOps.m7WavWindowEnergy _),
     "m8_bmp_thumbnail" -> (MultimodalOps.m8BmpThumbnail _),
+    "m9_video_frame_sample" -> (MultimodalOps.m9VideoFrameSample _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -139,7 +141,9 @@ object SparkEntry {
     "x11_stream_window_quantile" ->
       (graft.streaming.StreamSketch.x11StreamWindowQuantile _),
     "x12_stream_window_distinct" ->
-      (graft.streaming.StreamSketch.x12StreamWindowDistinct _)
+      (graft.streaming.StreamSketch.x12StreamWindowDistinct _),
+    "x13_stream_window_cms" ->
+      (graft.streaming.StreamSketch.x13StreamWindowCms _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -1148,6 +1152,22 @@ object SparkEntry {
     // (fixed precision keeps the gen-1 codebook bit-identical across
     // engines), gen-1 re-assignment, then s3's probe shape
     "s17_ivf_retrain" -> s17RetrainSql,
+    // s18 is s3's chain with the tenant equality added to the probe
+    // join — filtering DURING candidate generation, not after
+    "s18_ann_filtered" -> {
+      val tm = SimilarityOps.TenantMod
+      s"""WITH $embCte,
+         |nt AS (SELECT vec_id, v, nrm, label, vec_id % $tm AS tenant FROM n),
+         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+         |ac AS (SELECT nt.vec_id, nt.v, nt.nrm, nt.label, nt.tenant, s.c_id, list_inner_product(nt.v, s.cv) / (nt.nrm * s.cn) AS ccos FROM nt CROSS JOIN seeds s),
+         |ar AS (SELECT vec_id, v, nrm, label, tenant, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+         |asn AS (SELECT vec_id, v, nrm, label, tenant, cell FROM ar WHERE arn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell, tenant FROM asn WHERE label = 1),
+         |p AS (SELECT q.q_id, a.vec_id AS n_id, q.tenant, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a ON a.cell = q.cell AND a.tenant = q.tenant WHERE a.vec_id <> q.q_id),
+         |r AS (SELECT q_id, n_id, tenant, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk, CAST(tenant AS BIGINT) AS tenant
+         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    },
     "s4_ann_recall" ->
       s"""${annRecallCtes(embCte)}
          |SELECT qs.q_id AS q_id, mth.method AS method, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, round(coalesce(h.hits, 0) / 3.0, 4) AS recall
@@ -1332,6 +1352,26 @@ object SparkEntry {
          |md5(array_to_string(bhs, '')) AS thumb_md5
          |FROM t ORDER BY media_id""".stripMargin
     },
+    // every sampled frame from closed form: frame fi's payload is the
+    // byte slice [fi·fp, fi·fp+flen), its BMP pads to w·fh with zero
+    // fill — pixel sum over the slice's hex-nibble bytes, digest over
+    // slice hex + '00' fill (constants interpolated from the engine)
+    "m9_video_frame_sample" -> {
+      val fp = MultimodalOps.VideoFramePayload
+      val k = MultimodalOps.VideoSampleCount
+      val is = (0 until k).map(_.toString).mkString(", ")
+      s"""WITH g AS (SELECT doc_id, 16 + doc_id % 17 AS w, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h FROM documents),
+         |d AS (SELECT doc_id, w, n, h, greatest((n + ${fp - 1}) // $fp, 1) AS nf FROM g),
+         |f AS (SELECT doc_id, w, n, h, nf, i, CAST(i * (nf - 1) // ${k - 1} AS BIGINT) AS fi FROM d CROSS JOIN (SELECT unnest([$is]) AS i)),
+         |s AS (SELECT doc_id, i, fi, nf, w, least(greatest(n - fi * $fp, 0), $fp) AS flen,
+         |  substr(h, CAST(2 * fi * $fp + 1 AS INT), CAST(2 * least(greatest(n - fi * $fp, 0), $fp) AS INT)) AS fhx FROM f),
+         |t AS (SELECT doc_id, i, fi, nf, w, flen, fhx, greatest((flen + w - 1) // w, 1) AS fh FROM s)
+         |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_no, fi AS frame_idx, CAST(nf AS BIGINT) AS n_frames,
+         |CAST(coalesce(list_sum(list_transform(range(flen), j -> (strpos('0123456789abcdef', substr(fhx, CAST(2*j+1 AS INT), 1)) - 1) * 16
+         |  + strpos('0123456789abcdef', substr(fhx, CAST(2*j+2 AS INT), 1)) - 1)), 0) AS BIGINT) AS px_sum,
+         |md5(fhx || repeat('00', CAST(w * fh - flen AS INT))) AS frame_md5
+         |FROM t ORDER BY media_id, frame_no""".stripMargin
+    },
     "m3_frame_sample" -> {
       val k = MultimodalOps.FrameCount; val fb = MultimodalOps.FrameBytes
       val is = (0 until k).map(_.toString).mkString(", ")
@@ -1424,6 +1464,28 @@ object SparkEntry {
          |SELECT w.token, CAST(min(c.c) AS BIGINT) AS cms_est
          |FROM wl w JOIN h ON h.token = w.token JOIN counters c ON c.r = h.r AND c.bucket = h.bucket
          |GROUP BY w.token ORDER BY 2 DESC, 1""".stripMargin
+    },
+    // x13 is x10's sketch rebuilt from ONLY the window's docs (the
+    // doc_id mod membership rule), read by the whole-corpus watchlist —
+    // counters are integer sums, so the windowed serve replays exactly
+    "x13_stream_window_cms" -> {
+      val d = TextOps.CmsDepth
+      val rs = (0 until d).map(_.toString).mkString(", ")
+      val k = graft.streaming.StreamSketch.WatchK
+      val sfK = graft.streaming.StreamSketch.SplitFiles
+      val win = sfK - graft.streaming.StreamSketch.WindowBatches
+      s"""WITH t AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
+         |tc AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+         |wl AS (SELECT token FROM tc ORDER BY cnt DESC, token LIMIT $k),
+         |wt AS (SELECT token, count(*) AS cnt FROM t WHERE doc_id % $sfK >= $win GROUP BY token),
+         |h AS (SELECT token, cnt, r, (strpos('0123456789abcdef', substr(md5(r || '|' || token), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(r || '|' || token), 2, 1)) - 1 AS bucket
+         |FROM wt CROSS JOIN (SELECT unnest([$rs]) AS r)),
+         |counters AS (SELECT r, bucket, sum(cnt) AS c FROM h GROUP BY 1, 2),
+         |wh AS (SELECT token, r, (strpos('0123456789abcdef', substr(md5(r || '|' || token), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(r || '|' || token), 2, 1)) - 1 AS bucket
+         |FROM wl CROSS JOIN (SELECT unnest([$rs]) AS r))
+         |SELECT wh.token, CAST(min(c.c) AS BIGINT) AS cms_est
+         |FROM wh JOIN counters c ON c.r = wh.r AND c.bucket = wh.bucket
+         |GROUP BY wh.token ORDER BY 2 DESC, 1""".stripMargin
     }
   )
 }

@@ -639,6 +639,113 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
+  // ---- m9: indexed multi-frame ("video") container -------------------
+
+  /** Per-frame payload budget and frames sampled per video (m9). */
+  val VideoFramePayload = 64
+  val VideoSampleCount = 4
+
+  /** Build a GMV1 container: magic + LE u32 frame count + LE u32 payload
+    * budget + a u32 offset INDEX + one complete BMP per frame (frame k
+    * holds payload bytes [k·fp, (k+1)·fp), the last frame short). The
+    * index-then-frames layout is the structural essence of a video
+    * container (MP4's sample table, AVI's idx1): frame access is a
+    * table lookup plus one ranged read, never a scan-and-parse walk. */
+  private[graft] def buildVideo(docId: Long, data: Array[Byte]): Array[Byte] = {
+    val fp = VideoFramePayload
+    val nf = math.max((data.length + fp - 1) / fp, 1)
+    val frames = (0 until nf).map { k =>
+      val lo = math.min(k * fp, data.length)
+      val hi = math.min(lo + fp, data.length)
+      buildBmp(docId, java.util.Arrays.copyOfRange(data, lo, hi))
+    }
+    val headerLen = 12 + 4 * nf
+    val buf = java.nio.ByteBuffer.allocate(headerLen + frames.map(_.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('G'.toByte).put('M'.toByte).put('V'.toByte).put('1'.toByte)
+    buf.putInt(nf)
+    buf.putInt(fp)
+    var off = headerLen
+    frames.foreach { f => buf.putInt(off); off += f.length }
+    frames.foreach(buf.put)
+    buf.array()
+  }
+
+  /** Parse the GMV1 index: (n_frames, payload budget, frame offsets) —
+    * the ~(12 + 4·nf)-byte header probe a ranged reader issues before
+    * any frame fetch. */
+  private[graft] def videoIndex(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.get() == 'G'.toByte && buf.get() == 'M'.toByte &&
+      buf.get() == 'V'.toByte && buf.get() == '1'.toByte, "not a GMV1 container")
+    val nf = buf.getInt
+    val fp = buf.getInt
+    require(nf > 0 && fp > 0, s"bad GMV1 header: nf=$nf fp=$fp")
+    // table arithmetic in Long (the m6/m7 rule): a corrupt nf must not
+    // wrap the table size into a plausible bound
+    require(12L + 4L * nf <= bytes.length, s"index table overruns file (nf=$nf)")
+    val offs = Array.fill(nf)(buf.getInt)
+    (nf, fp, offs)
+  }
+
+  /** Seek-decode ONE frame's logical pixels out of a GMV1 container:
+    * index lookup gives the frame's byte range, the embedded BMP decodes
+    * from that slice alone — index + one ranged read, never the whole
+    * object. */
+  private[graft] def decodeVideoFrame(bytes: Array[Byte], k: Int): Array[Byte] = {
+    val (nf, _, offs) = videoIndex(bytes)
+    require(k >= 0 && k < nf, s"frame $k out of [0, $nf)")
+    val end = if (k + 1 < nf) offs(k + 1) else bytes.length
+    require(offs(k) >= 0 && offs(k) <= end && end <= bytes.length,
+      s"frame $k byte range [${offs(k)}, $end) outside ${bytes.length}-byte file")
+    decodeBmp(java.util.Arrays.copyOfRange(bytes, offs(k), end))
+  }
+
+  /** m9: codec-addressed frame sampling through a REAL indexed container
+    * — m3's frame-sample shape upgraded the way m6 upgraded row access:
+    * the doc's bytes become a GMV1 multi-frame container (an offset
+    * index over per-frame BMPs), four evenly spaced frames are fetched
+    * by index seek + ranged decode, and each decoded frame reports its
+    * pixel count, integer-exact unsigned pixel sum, and the md5 of its
+    * logical pixels (payload slice + the builder's zero fill). The
+    * oracle recomputes all three from closed form; an index, offset,
+    * slice, or stride bug lands the seek on the wrong bytes and breaks
+    * sum and digest both. */
+  def m9VideoFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_no", LongType),
+      StructField("frame_idx", LongType),
+      StructField("n_frames", LongType),
+      StructField("px_sum", LongType),
+      StructField("frame_md5", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .mapPartitions { rows =>
+        // digest instance init once per partition (the ProducerFinal.scala:66 move)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val video = buildVideo(id, r.getAs[Array[Byte]](1))
+          val (nf, _, _) = videoIndex(video)
+          (0 until VideoSampleCount).map { i =>
+            val fi = i * (nf - 1) / (VideoSampleCount - 1)
+            val px = decodeVideoFrame(video, fi)
+            var sum = 0L
+            px.foreach(b => sum += (b & 0xff))
+            val hexStr = px.map(b => f"${b & 0xff}%02x").mkString
+            md.reset()
+            val digest = md.digest(hexStr.getBytes("US-ASCII"))
+              .map(b => f"${b & 0xff}%02x").mkString
+            Row(id, i.toLong, fi.toLong, nf.toLong, sum, digest)
+          }
+        }
+      }(enc)
+      .orderBy("media_id", "frame_no")
+  }
+
   /** m1: metadata + content-hash projection over the media table —
     * the oracle-checkable slice of the multimodal path. */
   def m1MultimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -450,6 +450,60 @@ object SimilarityOps {
     ivfProbe(all, seeds, nprobe)
   }
 
+  /** Tenant count for s18's metadata rule (`vec_id mod TenantMod`). */
+  val TenantMod = 3
+
+  /** s18 filtered ANN: the IVF probe under a metadata predicate — each
+    * query searches ONLY its own tenant's vectors (tenant ≡ vec_id mod
+    * [[TenantMod]], the deterministic stand-in for the org/language/
+    * licence column a production corpus carries). This is the
+    * "filtered vector search" problem dedicated vector stores treat as
+    * a research topic (pre- vs post-filtering, filter-aware graph
+    * traversal); in a relational engine it is one more equi-join key:
+    * the corpus meets queries on (cell, tenant) instead of (cell), so
+    * filtering happens DURING candidate generation — no post-filter
+    * recall loss (top-3 is computed among tenant matches, not salvaged
+    * from a global top-k), no wasted distance computations on
+    * out-of-tenant rows, and the plan is byte-identical in shape to
+    * s3's (the extra key rides the same hash join; under a
+    * cell-bucketed store the subset-key co-partition rule keeps it
+    * exchange-free). The oracle is s3's chain with the tenant equality
+    * added to the probe join. */
+  def s18AnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+      .withColumn("tenant", (col("vec_id") % TenantMod).cast("long"))
+    val seeds = ivfSeedCentroids(all.drop("tenant"))
+    val assigned = assignCellsKeep(all, seeds, Seq("tenant"))
+    val q = assigned.filter(col("label") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("qn_t").as("qn"), col("cell"), col("tenant"))
+    val pairs = assigned.join(broadcast(q), Seq("cell", "tenant"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("qn_t")))
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("cos_sim"),
+        col("rnk"), col("tenant"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** [[assignCells]] with pass-through metadata columns (s18): the same
+    * broadcast-codebook narrow argmax, keeping `extra` alongside the
+    * vector columns. `nrm` is emitted as `qn_t` to avoid colliding with
+    * the probe's query-side aliasing. */
+  private def assignCellsKeep(frame: DataFrame, seeds: DataFrame,
+                              extra: Seq[String]): DataFrame = {
+    val centArr = seeds
+      .select(struct(col("c_id"), col("cv"), col("cn")).as("cent"))
+      .agg(array_sort(collect_list(col("cent"))).as("cents"))
+    frame.crossJoin(broadcast(centArr))
+      .withColumn("cell",
+        element_at(rankedCells(col("cents"), col("v"), col("nrm"), 1), 1))
+      .select((Seq("vec_id", "v", "label", "cell").map(col) :+
+        col("nrm").as("qn_t")) ++ extra.map(col): _*)
+  }
+
   /** x4: the IVF probe with a KMeans-trained coarse quantizer
     * (`ml.clustering.KMeans`, seed-pinned) — the production form of s3:
     * train once on a sample, broadcast the (tiny) centroid table, and the

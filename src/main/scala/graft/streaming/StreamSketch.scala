@@ -478,6 +478,86 @@ object StreamSketch {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  // ---- x13: the windowed serve for the CMS store ---------------------
+
+  /** x13: the windowed serve applied to x10's CMS counter store — the
+    * third member of the windowed-serve family (x11 histograms, x12 HLL
+    * registers, x13 CMS counters), and like x11 it is ORACLE-CHECKED:
+    * counters are deterministic integer sums, so the pruned-window
+    * merge replays exactly in SQL. Watched-term count estimates over
+    * ONLY the last [[WindowBatches]] micro-batches: partition-prune the
+    * counter store, sum the surviving ≤ d·256-row partials, read each
+    * watchlist term as the min over its d cells. The watchlist stays
+    * the OFFLINE whole-corpus artifact (yesterday's heavy hitters) —
+    * the question is "how often did the tracked terms appear in the
+    * last N batches", the trend-detection read a monitoring pipeline
+    * issues. Batch membership is x11's DATA rule (`doc_id mod
+    * [[SplitFiles]]`, mtime-ascending waves), so the window names an
+    * exact row set and the oracle rebuilds the identical windowed
+    * sketch. StreamEquivSpec pins serve ≡ window batch twin bit-for-bit
+    * and the per-term overcount property vs exact window counts. */
+  def x13StreamWindowCms(spark: SparkSession, dir: String): DataFrame =
+    x13WithBatchCount(spark, dir)._1
+
+  private[graft] def x13WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    import graft.ops.TextOps
+    val work = Files.createTempDirectory("graft_wincms_").toString
+    val splitDir = s"$work/in"
+    val docs = Sources.table(spark, dir, "documents").select("doc_id", "text")
+    var seen = Set.empty[String]
+    (0 until SplitFiles).foreach { b =>
+      docs.filter(pmod(col("doc_id"), lit(SplitFiles)) === b)
+        .coalesce(1).write.mode("append").parquet(splitDir)
+      val wave = new java.io.File(splitDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
+      wave.foreach(f =>
+        require(f.setLastModified(1000000000000L + b * 60000L),
+          s"cannot set mtime on $f; file-replay order would be undefined"))
+      seen ++= wave.map(_.getName)
+    }
+    // the offline watchlist artifact: whole-corpus heavy hitters
+    val watchPath = s"$work/watchlist"
+    docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(WatchK)
+      .select("token").coalesce(1).write.parquet(watchPath)
+    val store = s"$work/counters"
+    val session = spark.newSession()
+    val q = session.readStream
+      .schema(session.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        cmsPartial(batch)
+          .write.mode("overwrite").parquet(s"$store/batch_id=$batchId"))
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = Option(new java.io.File(store).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    val merged = spark.read.parquet(store)
+      .filter(col("batch_id") >= nBatches - WindowBatches)
+      .drop("batch_id")
+      .groupBy("r", "bucket").agg(sum("c").as("c"))
+    (watchEstimates(spark.read.parquet(watchPath), merged), nBatches)
+  }
+
+  /** The batch twin: the window's rows (named by the membership rule)
+    * pushed through one sketch, read by the SAME whole-corpus
+    * watchlist — equal to the pruned-store merge EXACTLY. */
+  private[graft] def x13Batch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextOps
+    val docs = Sources.table(spark, dir, "documents").select("doc_id", "text")
+    val watch = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(WatchK).select("token")
+    val win = docs.filter(
+      pmod(col("doc_id"), lit(SplitFiles)) >= SplitFiles - WindowBatches)
+    watchEstimates(watch, cmsPartial(win))
+  }
+
   /** Merge (sum) histogram rows, then read p50/p90 as first-crossing
     * bucket midpoints — integer threshold comparisons only. */
   private def quantilesFromHistogram(hist: DataFrame): DataFrame = {

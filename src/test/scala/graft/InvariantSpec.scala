@@ -559,6 +559,27 @@ class InvariantSpec extends AnyFunSuite {
     assert(bad.count() == 0, "a shard broke the packing geometry")
   }
 
+  test("s18 filtered ANN: every neighbour shares its query's tenant, and the filter bites") {
+    val df = SimilarityOps.s18AnnFiltered(spark, sf).cache()
+    try {
+      // tenant purity: the metadata predicate holds on BOTH endpoints of
+      // every returned pair (pre-filtering, so no out-of-tenant row can
+      // even reach the ranking)
+      val impure = df.filter(
+        col("q_id") % SimilarityOps.TenantMod =!= col("tenant") ||
+          col("n_id") % SimilarityOps.TenantMod =!= col("tenant"))
+      assert(impure.count() == 0, "a returned neighbour crossed the tenant boundary")
+      // and the filter is not vacuous: restricting candidates must change
+      // some query's top-3 vs the unfiltered s3 probe
+      val unfiltered = SimilarityOps.s3AnnIvf(spark, sf)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val filtered = df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(filtered != unfiltered,
+        "filtered probe returned s3's exact pairs — the tenant predicate did nothing")
+    } finally { df.unpersist(); () }
+  }
+
   test("s17 Lloyd step does not decrease the spherical k-means objective") {
     // The law that makes one refinement step a RETRAIN and not a shuffle
     // of centroids: re-assignment only ever moves a vector to a centroid

@@ -372,6 +372,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
   }
 
+  test("s18 filtered probe keeps s3's equi-join shape — the tenant key adds no blowup") {
+    // filtered vector search must stay candidate generation by equi-join:
+    // the metadata predicate rides the (cell, tenant) join key, it never
+    // degrades the probe to a filtered cross product. The probe itself
+    // must be a hash join keyed on cell AND tenant (the 1-row codebook
+    // attach plans as a constant-size broadcast nested loop, same as
+    // s3's centroid attach — not a blowup).
+    val plan = finalPlan(SimilarityOps.s18AnnFiltered(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "s18 probe is not a broadcast hash join")
+    assert(plan.contains("cell") && plan.contains("tenant"),
+      "probe join keys lost cell/tenant")
+    assert(!plan.contains("CartesianProduct"), "s18 plan contains CartesianProduct")
+  }
+
   test("AQE splits a skewed join partition at runtime (the second skew lever)") {
     // q35's salting is the PLANNED answer to skew; this locks the RUNTIME
     // one — on a hot key the engine's AQE config must actually rewrite

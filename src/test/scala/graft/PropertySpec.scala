@@ -166,3 +166,41 @@ object BmpCodecProps extends Properties("bmpCodec") {
       MultimodalOps.decodeBmpThumb(bmp).sameElements(expect)
     }
 }
+
+/** The m9 GMV1 container: index-addressed frame seeks must recover
+  * exactly the per-frame payload slices (plus the embedded BMP's zero
+  * fill), for every frame of arbitrary payloads. */
+object VideoCodecProps extends Properties("videoCodec") {
+  import graft.ops.MultimodalOps
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+  private val idGen: Gen[Long] = Gen.choose(0L, 1000000L)
+
+  property("index counts frames per the payload budget") =
+    forAll(idGen, bytesGen) { (id, data) =>
+      val (nf, fp, offs) = MultimodalOps.videoIndex(MultimodalOps.buildVideo(id, data))
+      fp == MultimodalOps.VideoFramePayload &&
+        nf == math.max((data.length + fp - 1) / fp, 1) &&
+        offs.length == nf && offs.head == 12 + 4 * nf
+    }
+
+  property("frame seek-decode recovers slice then zero fill, any frame") =
+    forAll(idGen, bytesGen) { (id, data) =>
+      val video = MultimodalOps.buildVideo(id, data)
+      val (nf, fp, _) = MultimodalOps.videoIndex(video)
+      val w = MultimodalOps.bmpWidth(id)
+      (0 until nf).forall { k =>
+        val lo = math.min(k * fp, data.length)
+        val slice = data.slice(lo, math.min(lo + fp, data.length))
+        val h = math.max((slice.length + w - 1) / w, 1)
+        val expect = slice ++ Array.fill[Byte](w * h - slice.length)(0)
+        MultimodalOps.decodeVideoFrame(video, k).sameElements(expect)
+      }
+    }
+
+  property("rejects payloads without the GMV1 magic") = forAll(bytesGen) { bs =>
+    bs.length >= 4 && bs.startsWith("GMV1".getBytes("US-ASCII")) ||
+      scala.util.Try(MultimodalOps.videoIndex(bs)).isFailure
+  }
+}

@@ -734,6 +734,44 @@ class StreamEquivSpec extends AnyFunSuite {
       "windowed serve lost its batch_id partition filter — old partials are being scanned")
   }
 
+  test("x13 windowed CMS serve from the counter store ≡ window batch sketch; estimates dominate window counts") {
+    import org.apache.spark.sql.functions._
+    val (streamDf, nBatches) =
+      graft.streaming.StreamSketch.x13WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val stream = rows(streamDf)
+    // counters are integer sums: the pruned-window merge must equal the
+    // window's direct sketch EXACTLY (same watchlist, window counters)
+    val batch = rows(graft.streaming.StreamSketch.x13Batch(spark, sf))
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      "windowed counter-store serve diverged from the window's batch sketch")
+    // CMS overcount law on the WINDOW: every watched term's estimate
+    // dominates its exact count within the window's rows — and at least
+    // one watched term has fewer window occurrences than corpus ones
+    // (the window genuinely restricts)
+    val winCounts = Sources.table(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(graft.streaming.StreamSketch.SplitFiles))
+        >= graft.streaming.StreamSketch.SplitFiles
+          - graft.streaming.StreamSketch.WindowBatches)
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpusCounts = Sources.table(spark, sf, "documents")
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    var restricted = false
+    streamDf.collect().foreach { r =>
+      val t = r.getString(0); val est = r.getLong(1)
+      val exact = winCounts.getOrElse(t, 0L)
+      assert(est >= exact, s"$t: CMS window estimate $est < exact window count $exact")
+      if (exact < corpusCounts(t)) restricted = true
+    }
+    assert(restricted, "every watched term had all its occurrences inside the window — serve is vacuous")
+  }
+
   test("stream-static enrichment join ≡ batch join") {
     // q38's gate path IS the streaming side: broadcast static dim,
     // update-mode upserts through the idempotent materialized sink.
