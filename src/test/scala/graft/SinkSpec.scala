@@ -32,6 +32,78 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == expected, "replay duplicated rows")
   }
 
+  test("a partials pipeline killed mid-batch resumes from its checkpoint exactly-once") {
+    // The crash shape every foreachBatch store pipeline (d12, x8–x13,
+    // p2/p3, s11) must survive: the job dies DURING a batch — possibly
+    // after a torn partial write — and the restarted job must (a) not
+    // reprocess committed batches, (b) redo the failed batch from the
+    // checkpoint, overwriting any torn output, and (c) end with the
+    // store bit-identical to an uninterrupted run.
+    import org.apache.spark.sql.streaming.Trigger
+    val work = tmp("graft_crash_")
+    val splitDir = s"$work/in"; val store = s"$work/st"; val ckpt = s"$work/ckpt"
+    val events = Sources.table(spark, sf, "events").select("event_id", "event_type")
+    var seen = Set.empty[String]
+    (0 until 4).foreach { b =>
+      events.filter(pmod(col("event_id"), lit(4)) === b)
+        .coalesce(1).write.mode("append").parquet(splitDir)
+      val wave = new java.io.File(splitDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
+      wave.foreach(f => assert(f.setLastModified(1000000000000L + b * 60000L)))
+      seen ++= wave.map(_.getName)
+    }
+    def run(crashAt: Option[Long]): Unit = {
+      val session = spark.newSession()
+      val q = session.readStream
+        .schema(session.read.parquet(splitDir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(splitDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          if (crashAt.contains(batchId)) sys.error(s"injected crash in batch $batchId")
+          batch.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+            .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(crashAt = Some(2L))
+    }
+    val committed = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(committed == Set("batch_id=0", "batch_id=1"),
+      s"crash at batch 2 should leave exactly batches 0-1 committed, got $committed")
+    // tag the committed dirs: a resume that reprocesses them would
+    // overwrite the dir and lose the sentinel
+    committed.foreach { d =>
+      new java.io.File(s"$store/$d/_SENTINEL").createNewFile(): Unit
+    }
+    // torn write: the dying batch got PART of its output down before the
+    // crash — poison rows the redo must overwrite, not merge with
+    spark.range(1).select(lit("poison").as("event_type"), lit(999999L).as("cnt"))
+      .write.mode("overwrite").parquet(s"$store/batch_id=2")
+    run(crashAt = None)
+    val dirs = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(dirs == (0 to 3).map(b => s"batch_id=$b").toSet,
+      s"resume did not complete the remaining batches: $dirs")
+    assert(new java.io.File(s"$store/batch_id=0/_SENTINEL").exists() &&
+      new java.io.File(s"$store/batch_id=1/_SENTINEL").exists(),
+      "resume reprocessed an already-committed batch")
+    val merged = spark.read.parquet(s"$store/batch_id=*")
+      .groupBy("event_type").agg(sum("cnt").as("cnt"))
+    assert(merged.filter(col("event_type") === "poison").count() == 0,
+      "torn partial output survived the redo — overwrite is not redo-safe")
+    val expected = events.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"resumed store diverged from the uninterrupted aggregate: $got vs $expected")
+  }
+
   test("partitionedAppend writes the ES-analog partitioned layout, replay-safe") {
     val out = tmp("graft_part_out_"); val ckpt = tmp("graft_part_ckpt_")
     val expected = Sources.table(spark, sf, "events").count()
