@@ -534,4 +534,46 @@ class LayoutSpec extends AnyFunSuite {
       s"vacuum touched the serving generation: $left")
     assert(served().sameElements(retrained), "serve changed after vacuum")
   }
+
+  test("a bucketed generation serves s17's probe with zero cell exchanges") {
+    // the deployment composition: a generation written cell-bucketed
+    // (the s11/s13 store recipe applied to s17's gen-1 rows) must serve
+    // the retrained probe with NO exchange on cell — flip atomicity
+    // comes from the marker, probe locality from the bucketing, and the
+    // two compose because the generation is just a table name away
+    import graft.ops.SimilarityOps
+    SimilarityOps.s17Gen1Assigned(spark, sf)
+      .write.mode("overwrite")
+      .bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("ann_gen1_b")
+    try {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      val store = child.table("ann_gen1_b")
+      val q = store.filter(col("label") === 1)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val pairs = store.join(q, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      pairs.collect()
+      val plan = pairs.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "generation scan does not report a bucketed read")
+      val nCellExchanges = "hashpartitioning\\(cell".r.findAllMatchIn(plan).length
+      assert(nCellExchanges == 0,
+        s"expected an exchange-free generation probe, got $nCellExchanges cell exchanges")
+      // and the answer is the retrained one: same pair set as s17's probe
+      val expect = SimilarityOps.s17IvfRetrain(spark, sf)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expect.subsetOf(got),
+        "bucketed generation probe lost candidate pairs vs s17")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_gen1_b")
+      ()
+    }
+  }
 }

@@ -372,6 +372,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
   }
 
+  test("p4 packing joins stay bounded: no blowup join, shard exchange keyed on (source, shard)") {
+    // the export composite must add exactly one exchange class to p1's
+    // audited funnel — the (source, shard) hash for the per-shard pack —
+    // and must never degrade a keep-decision join to all-pairs
+    import graft.ops.PipelineOps
+    val plan = finalPlan(PipelineOps.p4CuratePack(spark, sf))
+    assertNoBlowupJoin(plan, "p4")
+    assert(plan.contains("hashpartitioning(source") ||
+      plan.contains("hashpartitioning(shard"),
+      "packing lost its (source, shard) exchange — per-shard concat would be global")
+  }
+
   test("s18 filtered probe keeps s3's equi-join shape — the tenant key adds no blowup") {
     // filtered vector search must stay candidate generation by equi-join:
     // the metadata predicate rides the (cell, tenant) join key, it never
