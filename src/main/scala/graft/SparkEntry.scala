@@ -1483,8 +1483,8 @@ object SparkEntry {
          |counters AS (SELECT r, bucket, sum(cnt) AS c FROM h GROUP BY 1, 2),
          |wh AS (SELECT token, r, (strpos('0123456789abcdef', substr(md5(r || '|' || token), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(r || '|' || token), 2, 1)) - 1 AS bucket
          |FROM wl CROSS JOIN (SELECT unnest([$rs]) AS r))
-         |SELECT wh.token, CAST(min(c.c) AS BIGINT) AS cms_est
-         |FROM wh JOIN counters c ON c.r = wh.r AND c.bucket = wh.bucket
+         |SELECT wh.token, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS cms_est
+         |FROM wh LEFT JOIN counters c ON c.r = wh.r AND c.bucket = wh.bucket
          |GROUP BY wh.token ORDER BY 2 DESC, 1""".stripMargin
     }
   )

@@ -529,6 +529,16 @@ object MultimodalOps {
   /** Rows sampled per image (m6). */
   val RowSampleCount = 4
 
+  /** Render `bytes` as lower-hex and md5 that rendering (digest itself
+    * lower-hex) — the convention every ranged-decode gate's oracle
+    * replays as `md5(lower(hex(...)))`. One definition so the charset
+    * and casing contract cannot drift between m6/m8/m9. */
+  private def hexDigest(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
+    val hexStr = bytes.map(b => f"${b & 0xff}%02x").mkString
+    md.reset()
+    md.digest(hexStr.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   /** m6: random-access row sampling over the BMP container — m3's
     * frame-sampling shape upgraded from opaque byte windows to REAL
     * codec-addressed units: four evenly spaced logical rows are
@@ -554,12 +564,7 @@ object MultimodalOps {
           val (_, height, _, _) = bmpHeader(bmp)
           (0 until RowSampleCount).map { i =>
             val ri = i * (height - 1) / (RowSampleCount - 1)
-            val hexStr = decodeBmpRow(bmp, ri)
-              .map(b => f"${b & 0xff}%02x").mkString
-            md.reset()
-            val digest = md.digest(hexStr.getBytes("US-ASCII"))
-              .map(b => f"${b & 0xff}%02x").mkString
-            Row(id, i.toLong, ri.toLong, digest)
+            Row(id, i.toLong, ri.toLong, hexDigest(md, decodeBmpRow(bmp, ri)))
           }
         }
       }(enc)
@@ -629,11 +634,7 @@ object MultimodalOps {
           val thumb = decodeBmpThumb(bmp)
           var lum = 0L
           thumb.foreach(b => lum += (b & 0xff))
-          val hexStr = thumb.map(b => f"${b & 0xff}%02x").mkString
-          md.reset()
-          val digest = md.digest(hexStr.getBytes("US-ASCII"))
-            .map(b => f"${b & 0xff}%02x").mkString
-          Row(id, ThumbW.toLong, ThumbH.toLong, lum, digest)
+          Row(id, ThumbW.toLong, ThumbH.toLong, lum, hexDigest(md, thumb))
         }
       }(enc)
       .orderBy("media_id")
@@ -735,11 +736,7 @@ object MultimodalOps {
             val px = decodeVideoFrame(video, fi)
             var sum = 0L
             px.foreach(b => sum += (b & 0xff))
-            val hexStr = px.map(b => f"${b & 0xff}%02x").mkString
-            md.reset()
-            val digest = md.digest(hexStr.getBytes("US-ASCII"))
-              .map(b => f"${b & 0xff}%02x").mkString
-            Row(id, i.toLong, fi.toLong, nf.toLong, sum, digest)
+            Row(id, i.toLong, fi.toLong, nf.toLong, sum, hexDigest(md, px))
           }
         }
       }(enc)

@@ -203,14 +203,15 @@ object SimilarityOps {
     * the same expression-side argmax as [[ivfProbe]], exposed for the
     * streaming ingest path where assignment happens per batch and the
     * probe later reads cells from the index store. */
-  private[graft] def assignCells(frame: DataFrame, seeds: DataFrame): DataFrame = {
+  private[graft] def assignCells(frame: DataFrame, seeds: DataFrame,
+                                 extra: Seq[String] = Nil): DataFrame = {
     val centArr = seeds
       .select(struct(col("c_id"), col("cv"), col("cn")).as("cent"))
       .agg(array_sort(collect_list(col("cent"))).as("cents"))
     frame.crossJoin(broadcast(centArr))
       .withColumn("cell",
         element_at(rankedCells(col("cents"), col("v"), col("nrm"), 1), 1))
-      .select(col("vec_id"), col("v"), col("nrm"), col("label"), col("cell"))
+      .select((Seq("vec_id", "v", "nrm", "label", "cell") ++ extra).map(col): _*)
   }
 
   /** The nprobe=1 IVF probe over an ALREADY-ASSIGNED frame (vec_id, v,
@@ -338,10 +339,22 @@ object SimilarityOps {
 
   /** The data half of a generation write — files land under `gen=N` but
     * no reader may trust them until [[s17CommitGen]] publishes the
-    * marker. */
-  private[graft] def s17WriteGenData(store: DataFrame, path: String, gen: Int): Unit =
+    * marker. Redo-safe: a retried rebuild first clears any torn debris
+    * a crashed attempt left under its own `gen=N` (safe precisely
+    * because the marker is absent — nothing references the files), so
+    * the commit can never publish a merged torn+redo generation. A
+    * committed generation refuses the write outright: generations are
+    * immutable once published. */
+  private[graft] def s17WriteGenData(store: DataFrame, path: String, gen: Int): Unit = {
+    val spark = store.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path, s"_gen_${gen}_COMMITTED")),
+      s"generation $gen is already committed — generations are immutable")
+    fs.delete(new org.apache.hadoop.fs.Path(path, s"gen=$gen"), true)
     store.withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("gen").parquet(path)
+  }
 
   /** Publish generation `gen`: one marker-file create, the atomic flip. */
   private[graft] def s17CommitGen(spark: SparkSession, path: String, gen: Int): Unit = {
@@ -357,9 +370,12 @@ object SimilarityOps {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val re = "_gen_(\\d+)_COMMITTED".r
-    fs.listStatus(p).map(_.getPath.getName)
+    val gens = fs.listStatus(p).map(_.getPath.getName)
       .collect { case re(g) => g.toInt }
-      .max
+    require(gens.nonEmpty,
+      s"no committed generation under $path — a rebuild may be in flight, but " +
+        "nothing is servable yet")
+    gens.max
   }
 
   /** Serve the probe from the latest COMMITTED generation: the gen
@@ -473,35 +489,19 @@ object SimilarityOps {
     val all = normed(spark, dir)
       .withColumn("tenant", (col("vec_id") % TenantMod).cast("long"))
     val seeds = ivfSeedCentroids(all.drop("tenant"))
-    val assigned = assignCellsKeep(all, seeds, Seq("tenant"))
+    val assigned = assignCells(all, seeds, extra = Seq("tenant"))
     val q = assigned.filter(col("label") === 1)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("qn_t").as("qn"), col("cell"), col("tenant"))
+        col("nrm").as("qn"), col("cell"), col("tenant"))
     val pairs = assigned.join(broadcast(q), Seq("cell", "tenant"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("qn_t")))
+      .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
     pairs.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("cos_sim"),
         col("rnk"), col("tenant"))
       .orderBy("q_id", "rnk")
-  }
-
-  /** [[assignCells]] with pass-through metadata columns (s18): the same
-    * broadcast-codebook narrow argmax, keeping `extra` alongside the
-    * vector columns. `nrm` is emitted as `qn_t` to avoid colliding with
-    * the probe's query-side aliasing. */
-  private def assignCellsKeep(frame: DataFrame, seeds: DataFrame,
-                              extra: Seq[String]): DataFrame = {
-    val centArr = seeds
-      .select(struct(col("c_id"), col("cv"), col("cn")).as("cent"))
-      .agg(array_sort(collect_list(col("cent"))).as("cents"))
-    frame.crossJoin(broadcast(centArr))
-      .withColumn("cell",
-        element_at(rankedCells(col("cents"), col("v"), col("nrm"), 1), 1))
-      .select((Seq("vec_id", "v", "label", "cell").map(col) :+
-        col("nrm").as("qn_t")) ++ extra.map(col): _*)
   }
 
   /** x4: the IVF probe with a KMeans-trained coarse quantizer

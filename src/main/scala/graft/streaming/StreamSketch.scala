@@ -293,14 +293,19 @@ object StreamSketch {
 
   /** Each watched term's estimate from the merged counters: min over
     * its d cells (the CMS read rule; the watchlist side is tiny and
-    * broadcasts into the ≤ d·256-row counter table). */
+    * broadcasts into the ≤ d·256-row counter table). The join is LEFT
+    * with missing cells read as 0 — in sparse counter storage an absent
+    * (r, bucket) row IS a zero counter, and a windowed serve (x13) can
+    * genuinely hit one when a watched term has no occurrence in the
+    * window: the true CMS read is then 0 (or the colliding mass), never
+    * a dropped row or a min over only the nonzero cells. */
   private def watchEstimates(watch: DataFrame, counters: DataFrame): DataFrame = {
     import graft.ops.TextOps
     watch.select(col("token"), explode(array((0 until TextOps.CmsDepth).map(r =>
         struct(lit(r).as("r"), TextOps.cmsBucket(r, col("token")).as("bucket"))): _*)).as("h"))
       .select(col("token"), col("h.r").as("r"), col("h.bucket").as("bucket"))
-      .join(counters, Seq("r", "bucket"))
-      .groupBy("token").agg(min("c").as("cms_est"))
+      .join(counters, Seq("r", "bucket"), "left")
+      .groupBy("token").agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
       .orderBy(col("cms_est").desc, col("token"))
   }
 
@@ -308,6 +313,43 @@ object StreamSketch {
 
   /** x11's serve window: the LAST [[WindowBatches]] micro-batches. */
   val WindowBatches = 2
+
+  /** x11/x12/x13's shared replay scaffolding: write `src` as
+    * [[SplitFiles]] mtime-ascending waves keyed by `splitKey` mod
+    * SplitFiles — the DATA membership rule that lets a serve window
+    * name an exact, oracle-expressible row set — replay them one file
+    * per micro-batch through `body`, and return how many micro-batches
+    * ran. One definition so the replay-order contract (mtime base,
+    * part-file filter, wave accounting) cannot drift between the
+    * windowed gates. */
+  private def runWaveReplay(spark: SparkSession, src: DataFrame, splitKey: String,
+      work: String, store: String)(body: (DataFrame, Long) => Unit): Int = {
+    val splitDir = s"$work/in"
+    var seen = Set.empty[String]
+    (0 until SplitFiles).foreach { b =>
+      src.filter(pmod(col(splitKey), lit(SplitFiles)) === b)
+        .coalesce(1).write.mode("append").parquet(splitDir)
+      val wave = new java.io.File(splitDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
+      wave.foreach(f =>
+        require(f.setLastModified(1000000000000L + b * 60000L),
+          s"cannot set mtime on $f; file-replay order would be undefined"))
+      seen ++= wave.map(_.getName)
+    }
+    val session = spark.newSession()
+    val q = session.readStream
+      .schema(session.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .writeStream
+      .foreachBatch(body)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Option(new java.io.File(store).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+  }
 
   def x11StreamWindowQuantile(spark: SparkSession, dir: String): DataFrame =
     x11WithBatchCount(spark, dir)._1
@@ -339,37 +381,15 @@ object StreamSketch {
     * the window's raw values per question asked. */
   private[graft] def x11WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
     val work = Files.createTempDirectory("graft_winquant_").toString
-    val splitDir = s"$work/in"
+    val store = s"$work/hist"
     val events = Sources.table(spark, dir, "events")
       .select("event_id", "event_type", "value")
-    var seen = Set.empty[String]
-    (0 until SplitFiles).foreach { b =>
-      events.filter(pmod(col("event_id"), lit(SplitFiles)) === b)
-        .coalesce(1).write.mode("append").parquet(splitDir)
-      val wave = new java.io.File(splitDir).listFiles()
-        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
-      wave.foreach(f =>
-        require(f.setLastModified(1000000000000L + b * 60000L),
-          s"cannot set mtime on $f; file-replay order would be undefined"))
-      seen ++= wave.map(_.getName)
-    }
-    val store = s"$work/hist"
-    val session = spark.newSession()
-    val q = session.readStream
-      .schema(session.read.parquet(splitDir).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(splitDir)
-      .writeStream
-      .foreachBatch((batch: DataFrame, batchId: Long) =>
+    val nBatches = runWaveReplay(spark, events, "event_id", work, store) {
+      (batch, batchId) =>
         batch.groupBy(col("event_type"), bucket(col("value")).as("b"))
           .agg(count(lit(1)).as("cnt"))
-          .write.mode("overwrite").parquet(s"$store/batch_id=$batchId"))
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val nBatches = Option(new java.io.File(store).listFiles())
-      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+          .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+    }
     val windowed = spark.read.parquet(store)
       .filter(col("batch_id") >= nBatches - WindowBatches)
       .drop("batch_id")
@@ -414,7 +434,13 @@ object StreamSketch {
     * is rows-only by x8's declared design: DataSketches HLL internals
     * are engine-specific, so DuckDB cannot replay the estimate — the
     * exact `n_events` column IS the oracle-expressible slice, and the
-    * merge/error pins live in the spec.
+    * merge/error pins live in the spec. Estimator caveat (inherited
+    * from x8, stated rather than hidden): the union-equals-direct
+    * bit-equality is pinned at the tested scales; DataSketches'
+    * estimator can differ between a unioned and a directly-built
+    * sketch across some high-cardinality mode transitions, which is
+    * why the declared ≤5% error bound vs exact — not the bit-equality
+    * — is the contract a deployment should rely on.
     *
     * Scale design: "distinct users per key over the last N batches, on
     * demand" reads types × [[WindowBatches]] kilobyte rows no matter
@@ -425,35 +451,12 @@ object StreamSketch {
 
   private[graft] def x12WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
     val work = Files.createTempDirectory("graft_windist_").toString
-    val splitDir = s"$work/in"
+    val store = s"$work/sketches"
     val events = Sources.table(spark, dir, "events")
       .select("event_id", "event_type", "user_id")
-    var seen = Set.empty[String]
-    (0 until SplitFiles).foreach { b =>
-      events.filter(pmod(col("event_id"), lit(SplitFiles)) === b)
-        .coalesce(1).write.mode("append").parquet(splitDir)
-      val wave = new java.io.File(splitDir).listFiles()
-        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
-      wave.foreach(f =>
-        require(f.setLastModified(1000000000000L + b * 60000L),
-          s"cannot set mtime on $f; file-replay order would be undefined"))
-      seen ++= wave.map(_.getName)
+    val nBatches = runWaveReplay(spark, events, "event_id", work, store) {
+      (batch, batchId) => processBatch(batch, batchId, store)
     }
-    val store = s"$work/sketches"
-    val session = spark.newSession()
-    val q = session.readStream
-      .schema(session.read.parquet(splitDir).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(splitDir)
-      .writeStream
-      .foreachBatch((batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, store))
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val nBatches = Option(new java.io.File(store).listFiles())
-      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
     val result = spark.read.parquet(store)
       .filter(col("batch_id") >= nBatches - WindowBatches)
       .drop("batch_id")
@@ -502,41 +505,19 @@ object StreamSketch {
   private[graft] def x13WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
     import graft.ops.TextOps
     val work = Files.createTempDirectory("graft_wincms_").toString
-    val splitDir = s"$work/in"
+    val store = s"$work/counters"
     val docs = Sources.table(spark, dir, "documents").select("doc_id", "text")
-    var seen = Set.empty[String]
-    (0 until SplitFiles).foreach { b =>
-      docs.filter(pmod(col("doc_id"), lit(SplitFiles)) === b)
-        .coalesce(1).write.mode("append").parquet(splitDir)
-      val wave = new java.io.File(splitDir).listFiles()
-        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
-      wave.foreach(f =>
-        require(f.setLastModified(1000000000000L + b * 60000L),
-          s"cannot set mtime on $f; file-replay order would be undefined"))
-      seen ++= wave.map(_.getName)
-    }
     // the offline watchlist artifact: whole-corpus heavy hitters
     val watchPath = s"$work/watchlist"
     docs.select(explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(WatchK)
       .select("token").coalesce(1).write.parquet(watchPath)
-    val store = s"$work/counters"
-    val session = spark.newSession()
-    val q = session.readStream
-      .schema(session.read.parquet(splitDir).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(splitDir)
-      .writeStream
-      .foreachBatch((batch: DataFrame, batchId: Long) =>
+    val nBatches = runWaveReplay(spark, docs, "doc_id", work, store) {
+      (batch, batchId) =>
         cmsPartial(batch)
-          .write.mode("overwrite").parquet(s"$store/batch_id=$batchId"))
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val nBatches = Option(new java.io.File(store).listFiles())
-      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+          .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+    }
     val merged = spark.read.parquet(store)
       .filter(col("batch_id") >= nBatches - WindowBatches)
       .drop("batch_id")

@@ -510,6 +510,11 @@ class LayoutSpec extends AnyFunSuite {
     SimilarityOps.s17WriteGenData(SimilarityOps.s17Gen1Assigned(spark, sf), dir, 1)
     assert(served().sameElements(s3Ans),
       "uncommitted gen-1 files leaked into the serve — the flip is not marker-gated")
+    // crashed-rebuild retry: the data write runs AGAIN before the commit;
+    // redo-safety demands the retried generation replace the torn first
+    // attempt, not merge with it — a merged (duplicated) store would
+    // corrupt the post-flip top-3 below
+    SimilarityOps.s17WriteGenData(SimilarityOps.s17Gen1Assigned(spark, sf), dir, 1)
     // the atomic flip: one marker create
     SimilarityOps.s17CommitGen(spark, dir, 1)
     val retrained = expect(SimilarityOps.s17IvfRetrain(spark, sf))
