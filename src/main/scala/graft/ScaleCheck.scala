@@ -76,7 +76,13 @@ object ScaleCheck {
     // frame-seek container (per-object constant ranged reads)
     "s18_ann_filtered", "m9_video_frame_sample",
     // the windowed CMS serve: fixed-width partials, pruned window
-    "x13_stream_window_cms")
+    "x13_stream_window_cms",
+    // r10 fourth wave: the radius probe (s3's join minus the rank
+    // window — expected to track s3's band), the training-order
+    // reshuffle (p4's funnel + one bounded oshard exchange), and the
+    // sketch overlap (per-source HLL partials — the exchange is
+    // sketch-sized, expected flat-to-linear in the scan)
+    "s19_ann_radius", "p5_shuffle_shard", "x14_sketch_overlap")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

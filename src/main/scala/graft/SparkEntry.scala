@@ -92,6 +92,7 @@ object SparkEntry {
     "s16_stream_ann_upsert" -> (graft.streaming.StreamAnnIngest.s16StreamAnnUpsert _),
     "s17_ivf_retrain" -> (SimilarityOps.s17IvfRetrain _),
     "s18_ann_filtered" -> (SimilarityOps.s18AnnFiltered _),
+    "s19_ann_radius" -> (SimilarityOps.s19AnnRadius _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
     "s5_ann_pq" -> (SimilarityOps.s5AnnPq _),
     "s6_ann_ivfpq" -> (SimilarityOps.s6AnnIvfPq _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
     "p4_curate_pack" -> (PipelineOps.p4CuratePack _),
+    "p5_shuffle_shard" -> (PipelineOps.p5ShuffleShard _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
     "x3_ml_eval" -> (ScoringPipeline.x3MlEval _),
     "x4_ivf_kmeans" -> (SimilarityOps.x4IvfKmeans _),
@@ -143,7 +145,8 @@ object SparkEntry {
     "x12_stream_window_distinct" ->
       (graft.streaming.StreamSketch.x12StreamWindowDistinct _),
     "x13_stream_window_cms" ->
-      (graft.streaming.StreamSketch.x13StreamWindowCms _)
+      (graft.streaming.StreamSketch.x13StreamWindowCms _),
+    "x14_sketch_overlap" -> (TextOps.x14SketchOverlap _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -435,6 +438,20 @@ object SparkEntry {
 
   /** s3's oracle, shared verbatim by s11 (stream-built index ≡ batch). */
   private def s3IvfSql: String = s3IvfSqlWhere("")
+
+  /** s19's oracle: s3's chain verbatim through the probed-pair CTE, with
+    * the radius predicate in place of the rank window — the engine and
+    * the oracle share every upstream cosine bit-for-bit, so the τ
+    * comparison lands identically on both sides. */
+  private def radiusIvfSql: String =
+    s"""WITH $embCte,
+       |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+       |ac AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+       |ar AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+       |asn AS (SELECT vec_id, v, nrm, label, cell FROM ar WHERE arn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
+       |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id)
+       |SELECT q_id, n_id, round(c, 4) AS cos_sim FROM p WHERE c >= ${SimilarityOps.RadiusTau} ORDER BY q_id, n_id""".stripMargin
 
   /** s12/s13's shared oracle: s3 over the surviving corpus (the delete
     * rule mirrors StreamAnnIngest.deleteRequests) with the ORIGINAL
@@ -1006,6 +1023,29 @@ object SparkEntry {
          |CAST((sum(n_tok) + ${TextOps.SeqTokens - 1}) // ${TextOps.SeqTokens} AS BIGINT) AS n_seqs,
          |md5(string_agg(s, ' ' ORDER BY doc_id)) AS pack_md5
          |FROM kt GROUP BY source, shard ORDER BY source, shard""".stripMargin,
+    // p5 replays the same funnel, then the training-order reshuffle:
+    // t14's deterministic multiplicative hash orders and shards the kept
+    // docs, and each output shard's packed stream is digested in hash
+    // order — the integer hash is closed-form, so the oracle re-derives
+    // the exact permutation
+    "p5_shuffle_shard" ->
+      s"""WITH RECURSIVE $dupClusterCte,
+         |$funnelHeadCtes,
+         |gg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))) AS g FROM tok WHERE len(ts) >= 5),
+         |ctd AS (SELECT DISTINCT t2.doc_id FROM gg t2 JOIN (SELECT DISTINCT g FROM gg WHERE doc_id % ${DedupOps.EvalMod} = 0) e2 ON e2.g = t2.g WHERE t2.doc_id % ${DedupOps.EvalMod} <> 0),
+         |kd AS (SELECT e.doc_id, e.source FROM elig e LEFT JOIN lab ON lab.doc_id = e.doc_id LEFT JOIN ctd ON ctd.doc_id = e.doc_id
+         |  WHERE e.doc_id = e.min_id AND (lab.cluster_id IS NULL OR lab.cluster_id = e.doc_id) AND ctd.doc_id IS NULL),
+         |kt AS (SELECT kd.doc_id, kd.source,
+         |  kd.doc_id % ${TextOps.MixHashMod} * ${TextOps.MixHashMul} % ${TextOps.MixHashMod} AS u,
+         |  array_to_string(t.ts, ' ') AS s, len(t.ts) AS n_tok
+         |  FROM kd JOIN tok t ON t.doc_id = kd.doc_id WHERE len(t.ts) > 0)
+         |SELECT CAST(u % ${PipelineOps.OutShards} AS BIGINT) AS oshard,
+         |CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |CAST((sum(n_tok) + ${TextOps.SeqTokens - 1}) // ${TextOps.SeqTokens} AS BIGINT) AS n_seqs,
+         |md5(string_agg(s, ' ' ORDER BY u, doc_id)) AS pack_md5
+         |FROM kt GROUP BY 1 ORDER BY oshard""".stripMargin,
     // the stream ledger must equal the BATCH derivation of its stages —
     // same funnel-head CTEs as p1, minus the near-dup/contam tail
     "p2_stream_funnel" ->
@@ -1119,6 +1159,9 @@ object SparkEntry {
          |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
          |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "s3_ann_ivf" -> s3IvfSql,
+    // s19 shares s3's candidate chain; only the final read differs
+    // (radius predicate instead of the rank window)
+    "s19_ann_radius" -> radiusIvfSql,
     // s11 serves s3's answer from a STREAM-BUILT index store, so the
     // oracle is s3's SQL verbatim (shared string): stream-built ≡
     // batch-built is the claim, same pattern as d12 vs d3

@@ -144,4 +144,62 @@ object PipelineOps {
         col("n_seqs"), col("pack_md5"))
       .orderBy("source", "shard")
   }
+
+  /** Output shard count for p5's training-order reshuffle. At 100 TB this
+    * constant scales with the corpus (shards ≈ corpus / target-shard-size)
+    * — per-shard work is bounded by construction either way. */
+  val OutShards = 8L
+
+  /** p5 shuffle-shard: the TRAINING-ORDER export — p4 packs the kept
+    * corpus in (source, doc_id) order, which is exactly the order a
+    * trainer must NOT consume (consecutive docs correlate: same crawl,
+    * same source, same day), so the step after packing is a global
+    * shuffle into output shards. The permutation is t14's deterministic
+    * multiplicative hash (`u = (doc_id mod 2³¹)·2654435761 mod 2³¹` —
+    * pure 64-bit integer arithmetic, so ANY engine replays the exact
+    * same order: no RNG state, resumable, and the oracle re-derives it
+    * in closed form): a kept doc lands in shard `u mod OutShards` and
+    * shards order internally by (u, doc_id). Per output shard: doc
+    * count, DISTINCT SOURCE count (the interleaving evidence — a shard
+    * of one source means the shuffle failed its purpose), token count,
+    * sequence count in t13's geometry, and the md5 of the shard's packed
+    * token stream in hash order — the byte stream the trainer reads.
+    *
+    * Scale shape: no global sort and no global rank — shard assignment
+    * is a narrow hash map (the 100 TB reason to hash-partition instead
+    * of rank round-robin, which would need a total order over the
+    * corpus), so the ONE exchange is the hash partition on `oshard`,
+    * and each shard sorts only its own ≈ corpus/OutShards docs
+    * in-partition. Source interleaving is `collect_set` — a single
+    * aggregate, no count-distinct Expand doubling the text shuffle.
+    * Funnel tail reuses p1's digest-keyed joins, proven non-corpus-
+    * sized. */
+  def p5ShuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    val kept = stagedEligible(spark, dir, headFlags(docs))
+      .filter(col("stage") === "kept")
+      .select("doc_id", "source")
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), concat_ws(" ", col("ts")).as("s"),
+        size(col("ts")).cast("long").as("n_tok"))
+    kept.join(toks, Seq("doc_id"))
+      .withColumn("u",
+        col("doc_id") % TextOps.MixHashMod * TextOps.MixHashMul % TextOps.MixHashMod)
+      .withColumn("oshard", (col("u") % OutShards).cast("long"))
+      .groupBy("oshard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        size(collect_set(col("source"))).cast("long").as("n_sources"),
+        sum("n_tok").as("n_tok"),
+        array_sort(collect_list(struct(col("u"), col("doc_id"), col("s")))).as("a"))
+      .withColumn("n_seqs",
+        floor((col("n_tok") + lit(TextOps.SeqTokens - 1)) / lit(TextOps.SeqTokens)).cast("long"))
+      .withColumn("pack_md5",
+        md5(concat_ws(" ", transform(col("a"), x => x.getField("s")))))
+      .select(col("oshard"), col("n_docs"), col("n_sources"), col("n_tok"),
+        col("n_seqs"), col("pack_md5"))
+      .orderBy("oshard")
+  }
 }

@@ -504,6 +504,42 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** Cosine threshold for s19's radius search — chosen against the
+    * fixture's in-cell cosine distribution (≈14% of probed pairs clear
+    * it at both sf0.001 and sf0.01, 45 of the 4·IvfCells queries match)
+    * so the gate output is non-trivial and stable across scale factors. */
+  val RadiusTau = 0.2
+
+  /** s19 radius search: the IVF probe answering "EVERYTHING with cosine
+    * ≥ [[RadiusTau]]" instead of top-k — the retrieval shape a RAG
+    * context builder or a threshold-keyed near-dup feed issues ("give me
+    * all sufficiently-similar corpus rows", output size data-dependent),
+    * where s3 answers the fixed-budget top-3 read. Candidates come from
+    * the same nprobe=1 cell equi-join as s3 (same quantizer, same
+    * assignment, same broadcast probe), so the oracle is s3's SQL chain
+    * with the threshold predicate in place of the rank window.
+    *
+    * Scale shape: strictly CHEAPER than s3 — the per-query rank window
+    * (an exchange + sort on q_id at scale) disappears entirely; the
+    * threshold is a codegen'd filter fused into the join output, so the
+    * whole probe is one broadcast hash join with no shuffle after the
+    * scan. The radius bounds the answer the way top-k can't: a query in
+    * a dense cell returns more rows, but never more than clear τ —
+    * exactly the semantics the downstream consumer asked for. */
+  def s19AnnRadius(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    val assigned = assignCells(all, ivfSeedCentroids(all))
+    val q = assigned.filter(col("label") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .filter(col("c") >= RadiusTau)
+      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("cos_sim"))
+      .orderBy("q_id", "n_id")
+  }
+
   /** x4: the IVF probe with a KMeans-trained coarse quantizer
     * (`ml.clustering.KMeans`, seed-pinned) — the production form of s3:
     * train once on a sample, broadcast the (tiny) centroid table, and the

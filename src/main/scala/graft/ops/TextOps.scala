@@ -524,6 +524,51 @@ object TextOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** lgConfigK for x14's per-source HLL sketches (≈1.6% relative
+    * standard error at 2¹² registers; matches x8's stream lgK so the
+    * engine ships ONE sketch precision). */
+  val OverlapLgK = 12
+
+  /** x14 sketch source-overlap: t15's overlap matrix re-expressed as
+    * HLL inclusion–exclusion — the form that survives 100 TB. t15 is
+    * exact but shuffles every distinct (source, gram) row to build the
+    * sets and joins the gram table against itself; x14 builds ONE
+    * ~1.5 KB HLL sketch per source (map-side partial sketches merge
+    * register-wise, so the exchange is sketches × partitions, never
+    * gram-volume) and answers every pairwise question from the sketch
+    * table alone: est_union = estimate(union(a, b)), est_shared =
+    * est_a + est_b − est_union (clamped at 0 — inclusion–exclusion can
+    * go fractionally negative on disjoint sets), est_jaccard =
+    * shared/union. The corpus is READ ONCE for all n² pair answers —
+    * with t15 every new source re-joins the full gram table.
+    *
+    * Rows-only by x8's declared precedent (DataSketches HLL internals
+    * are engine-specific, so no DuckDB oracle) — ApproxSpec pins the
+    * estimates against t15's exact matrix: set and union estimates
+    * within 5% relative, and est_shared within the honest
+    * inclusion–exclusion bound 0.05·(n_a + n_b) absolute (differencing
+    * amplifies relative error when the overlap is small; the bound
+    * states that truthfully instead of hiding it). Determinism-tested:
+    * HLL register state is a pure function of the input multiset. */
+  def x14SketchOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    // no (source, gram) DISTINCT shuffle: HLL counts distinct natively,
+    // so duplicate grams across docs ride the map-side partial sketch
+    val sk = gram5(docs, col("source"))
+      .groupBy("source")
+      .agg(hll_sketch_agg(col("g"), lit(OverlapLgK)).as("sk"))
+      .withColumn("est_n", hll_sketch_estimate(col("sk")))  // BIGINT estimate
+    sk.as("x").join(sk.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.est_n").as("est_a"), col("y.est_n").as("est_b"),
+        hll_sketch_estimate(hll_union(col("x.sk"), col("y.sk"))).as("est_union"))
+      .withColumn("est_shared",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .withColumn("est_jaccard", round(
+        col("est_shared").cast("double") / col("est_union").cast("double"), 6))
+      .orderBy("source_a", "source_b")
+  }
+
   /** t16 char-bigram familiarity: the corpus-trained statistical quality
     * filter (the CCNet "LM perplexity" stage reshaped for exactness) —
     * where t2/t10 apply STATIC heuristics, t16 trains its model FROM the

@@ -49,4 +49,33 @@ class ApproxSpec extends AnyFunSuite {
     assert(rows(Relational.x5SketchAgg(spark, sf)) ==
       rows(Relational.x5SketchAgg(spark, sf)))
   }
+
+  test("x14 sketch overlap tracks t15's exact matrix within declared error") {
+    import graft.ops.TextOps
+    val est = TextOps.x14SketchOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val exact = TextOps.t15SourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(est.keySet == exact.keySet, "sketch matrix covers different source pairs")
+    exact.foreach { case (k, (na, nb, shared)) =>
+      val (ea, eb, eu, es) = est(k)
+      val union = na + nb - shared
+      assert(math.abs(ea - na) <= 0.05 * na, s"$k: est_a $ea vs exact $na exceeds 5%")
+      assert(math.abs(eb - nb) <= 0.05 * nb, s"$k: est_b $eb vs exact $nb exceeds 5%")
+      assert(math.abs(eu - union) <= 0.05 * union,
+        s"$k: est_union $eu vs exact $union exceeds 5%")
+      // inclusion–exclusion differences amplify relative error when the
+      // overlap is small, so the honest pin is ABSOLUTE in the set sizes
+      assert(math.abs(es - shared) <= 0.05 * (na + nb),
+        s"$k: est_shared $es vs exact $shared exceeds 0.05·(n_a+n_b)")
+    }
+  }
+
+  test("x14 is deterministic run-to-run") {
+    import graft.ops.TextOps
+    assert(rows(TextOps.x14SketchOverlap(spark, sf)) ==
+      rows(TextOps.x14SketchOverlap(spark, sf)))
+  }
 }

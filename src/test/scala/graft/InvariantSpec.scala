@@ -604,4 +604,79 @@ class InvariantSpec extends AnyFunSuite {
     assert(gen1 > gen0 + 0.01,
       f"retrain was a no-op on the fixture: gen0 $gen0%.6f -> gen1 $gen1%.6f")
   }
+
+  test("p5 shuffle-shard conserves p4's export and genuinely permutes it") {
+    val packed = PipelineOps.p4CuratePack(spark, sf)
+      .agg(sum("n_docs"), sum("n_tok")).collect()(0)
+    val shuffled = PipelineOps.p5ShuffleShard(spark, sf).cache()
+    try {
+      // conservation: the reshuffle ships exactly the packed corpus —
+      // same doc and token totals as p4 (and hence p1's kept set)
+      val tot = shuffled.agg(sum("n_docs"), sum("n_tok")).collect()(0)
+      assert(tot.getLong(0) == packed.getLong(0),
+        s"shuffled ${tot.getLong(0)} docs != packed ${packed.getLong(0)}")
+      assert(tot.getLong(1) == packed.getLong(1),
+        s"shuffled ${tot.getLong(1)} tokens != packed ${packed.getLong(1)}")
+      // shard geometry: ids in [0, OutShards), n_seqs = ceil(tok/SeqTokens)
+      val bad = shuffled.filter(
+        col("oshard") < 0 || col("oshard") >= PipelineOps.OutShards ||
+          col("n_seqs") =!= ceil(col("n_tok") / lit(TextOps.SeqTokens.toDouble)).cast("long"))
+      assert(bad.count() == 0, "an output shard broke the shuffle geometry")
+      // interleaving: the POINT of the shuffle — every output shard mixes
+      // sources (a single-source shard means the permutation failed)
+      val monoculture = shuffled.filter(col("n_docs") >= 2 && col("n_sources") < 2)
+      assert(monoculture.count() == 0, "an output shard holds a single source")
+    } finally { shuffled.unpersist(); () }
+  }
+
+  test("p5 hash order is a nontrivial permutation of corpus order") {
+    // rebuild p5 with the hash-order sort key replaced by corpus order:
+    // if every shard's digest still matched, the 'shuffle' would be the
+    // identity and the training-order claim vacuous
+    val docs = Sources.table(spark, sf, "documents")
+    val hashOrdered = PipelineOps.p5ShuffleShard(spark, sf)
+      .select("oshard", "pack_md5").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val corpusOrdered = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), concat_ws(" ", col("ts")).as("s"))
+      .withColumn("u",
+        col("doc_id") % TextOps.MixHashMod * TextOps.MixHashMul % TextOps.MixHashMod)
+      .withColumn("oshard", (col("u") % PipelineOps.OutShards).cast("long"))
+      .groupBy("oshard")
+      .agg(md5(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("doc_id"), col("s")))),
+        x => x.getField("s")))).as("corpus_md5"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val differing = hashOrdered.keySet.count(k =>
+      corpusOrdered.get(k).exists(_ != hashOrdered(k)))
+    assert(differing > 0,
+      "every shard digests identically in hash order and corpus order — no permutation happened")
+  }
+
+  test("s19 radius search: every match clears τ, and it agrees with s3's ranked view") {
+    val radius = SimilarityOps.s19AnnRadius(spark, sf).cache()
+    try {
+      // the defining predicate, on the gate's own output
+      assert(radius.filter(col("cos_sim") < SimilarityOps.RadiusTau).count() == 0,
+        "a returned pair is below the radius")
+      // pair uniqueness (each corpus row lives in one cell → no dups)
+      assert(radius.groupBy("q_id", "n_id").count().filter(col("count") > 1).count() == 0)
+      // consistency with s3 over the SAME candidate set: every top-3
+      // neighbour at/above τ must appear in the radius answer, and every
+      // radius match must score ≥ any s3 top-3 row it outranks — checked
+      // as subset: s3's τ-clearing rows ⊆ s19
+      val fromS3 = SimilarityOps.s3AnnIvf(spark, sf)
+        .filter(col("cos_sim") >= SimilarityOps.RadiusTau)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fromRadius = radius.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fromS3.subsetOf(fromRadius),
+        s"${(fromS3 -- fromRadius).size} τ-clearing s3 neighbours missing from the radius answer")
+      // and the radius view is strictly wider than the top-3 view on this
+      // fixture (some query has > 3 matches), so the gate is not s3 renamed
+      assert(fromRadius.size > fromS3.size,
+        "radius answer equals s3's τ-clearing top-3 rows — the unbounded read added nothing")
+    } finally { radius.unpersist(); () }
+  }
 }

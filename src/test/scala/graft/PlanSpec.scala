@@ -399,6 +399,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "s18 plan contains CartesianProduct")
   }
 
+  test("s19 radius probe is s3's hash join with NO rank exchange after it") {
+    // the radius read's scale advantage over top-k is structural: the
+    // threshold is a filter fused into the join output, so the per-query
+    // rank Window — and the q_id exchange + sort it costs at scale —
+    // must be absent from the plan entirely
+    val plan = finalPlan(SimilarityOps.s19AnnRadius(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "s19 probe is not a broadcast hash join")
+    assert(!plan.contains("CartesianProduct"), "s19 plan contains CartesianProduct")
+    assert(!plan.contains("Window"),
+      "s19 plan contains a Window — the radius read must not pay the top-k rank machinery")
+  }
+
+  test("p5 reshuffle is one oshard exchange — no global sort, no rank window") {
+    // the training-order shuffle must hash-partition (shard = hash mod
+    // OutShards), never rank round-robin: a global rank would need a
+    // total order over the corpus (one all-data sort + a single-partition
+    // window). The only wide exchange is the oshard hash partition.
+    val plan = finalPlan(graft.ops.PipelineOps.p5ShuffleShard(spark, sf))
+    assertNoBlowupJoin(plan, "p5")
+    assert(plan.contains("hashpartitioning(oshard"),
+      "reshuffle lost its oshard hash exchange — per-shard packing would be global")
+    // the funnel's norm_key window is inherent (exact-dup keep-one); what
+    // must NOT appear is rank machinery over the hash order — a
+    // round-robin-by-rank implementation would row_number the whole
+    // corpus in one partition
+    assert(!plan.contains("row_number"),
+      "p5 plan ranks rows — shard assignment degraded to a global rank")
+    assert(!plan.contains("rangepartitioning(u"),
+      "p5 plan globally sorts the corpus by hash — assignment must be a narrow map")
+  }
+
   test("AQE splits a skewed join partition at runtime (the second skew lever)") {
     // q35's salting is the PLANNED answer to skew; this locks the RUNTIME
     // one — on a hot key the engine's AQE config must actually rewrite

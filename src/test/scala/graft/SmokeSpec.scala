@@ -18,7 +18,9 @@ class SmokeSpec extends AnyFunSuite {
       // x8/x12: DataSketches HLL bytes are engine-specific — DuckDB
       // cannot replay the estimate; merge-exactness + error pins live in
       // StreamEquivSpec
-      "x8_stream_sketch", "x12_stream_window_distinct")
+      "x8_stream_sketch", "x12_stream_window_distinct",
+      // x14: same HLL precedent as x8/x12 — error pins live in ApproxSpec
+      "x14_sketch_overlap")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracle entries without a query: ${o -- q}")
