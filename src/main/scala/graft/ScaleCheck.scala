@@ -82,7 +82,11 @@ object ScaleCheck {
     // reshuffle (p4's funnel + one bounded oshard exchange), and the
     // sketch overlap (per-source HLL partials — the exchange is
     // sketch-sized, expected flat-to-linear in the scan)
-    "s19_ann_radius", "p5_shuffle_shard", "x14_sketch_overlap")
+    "s19_ann_radius", "p5_shuffle_shard", "x14_sketch_overlap",
+    // the alert-on-ingest stream (batch-sized assignment + broadcast
+    // watchlist probe per batch) and the audio resample (O(thumb)
+    // ranged reads per object, m8's expected-linear class)
+    "s20_stream_radius_alert", "m10_wav_thumbnail")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -93,6 +93,8 @@ object SparkEntry {
     "s17_ivf_retrain" -> (SimilarityOps.s17IvfRetrain _),
     "s18_ann_filtered" -> (SimilarityOps.s18AnnFiltered _),
     "s19_ann_radius" -> (SimilarityOps.s19AnnRadius _),
+    "s20_stream_radius_alert" ->
+      (graft.streaming.StreamAnnIngest.s20StreamRadiusAlert _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
     "s5_ann_pq" -> (SimilarityOps.s5AnnPq _),
     "s6_ann_ivfpq" -> (SimilarityOps.s6AnnIvfPq _),
@@ -126,6 +128,7 @@ object SparkEntry {
     "m7_wav_window_energy" -> (MultimodalOps.m7WavWindowEnergy _),
     "m8_bmp_thumbnail" -> (MultimodalOps.m8BmpThumbnail _),
     "m9_video_frame_sample" -> (MultimodalOps.m9VideoFrameSample _),
+    "m10_wav_thumbnail" -> (MultimodalOps.m10WavThumbnail _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -1162,6 +1165,10 @@ object SparkEntry {
     // s19 shares s3's candidate chain; only the final read differs
     // (radius predicate instead of the rank window)
     "s19_ann_radius" -> radiusIvfSql,
+    // s20 is s19 raised incrementally at arrival time — the union of the
+    // per-batch alert ledgers must BE the batch radius answer, so the
+    // oracle is s19's shared string (the s11 ≡ s3 move for the radius)
+    "s20_stream_radius_alert" -> radiusIvfSql,
     // s11 serves s3's answer from a STREAM-BUILT index store, so the
     // oracle is s3's SQL verbatim (shared string): stream-built ≡
     // batch-built is the claim, same pattern as d12 vs d3
@@ -1361,6 +1368,30 @@ object SparkEntry {
         |       s.ns AS n_samples, CAST(coalesce(e.energy, 0) AS BIGINT) AS energy
         |FROM s LEFT JOIN e ON e.doc_id = s.doc_id AND e.i = s.i
         |ORDER BY media_id, win_no""".stripMargin
+    },
+    // every m10 thumbnail slot from closed form: frame fi = k·nf//T maps
+    // slot k to data byte offset fi·blockAlign, hex-nibble recovery +
+    // LE pairing + two's-complement fold give the signed sample, and the
+    // digest replays the engine's lower-hex rendering of the read byte
+    // pairs in slot order (constants interpolated from AudioThumb)
+    "m10_wav_thumbnail" -> {
+      val t = MultimodalOps.AudioThumb
+      s"""WITH g AS (SELECT doc_id, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h, (1 + doc_id % 2) AS ch FROM documents),
+         |d AS (SELECT doc_id, n, h, ch, 2 * ch AS ba, n // (2 * ch) AS nf FROM g),
+         |s AS (SELECT doc_id, h, ba, nf, unnest(range($t)) AS k FROM d),
+         |v AS (SELECT doc_id, nf, k,
+         |  (strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba)+1 AS INT), 1)) - 1) * 16
+         |  + strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba)+2 AS INT), 1)) - 1 AS lo,
+         |  (strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba+1)+1 AS INT), 1)) - 1) * 16
+         |  + strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba+1)+2 AS INT), 1)) - 1 AS hi,
+         |  substring(h, CAST(2*(k*nf//$t*ba)+1 AS INT), 4) AS bh
+         |  FROM s),
+         |a AS (SELECT doc_id, nf,
+         |  sum(CASE WHEN lo + 256*hi >= 32768 THEN lo + 256*hi - 65536 ELSE lo + 256*hi END) AS ssum,
+         |  md5(string_agg(bh, '' ORDER BY k)) AS tmd5
+         |  FROM v GROUP BY doc_id, nf)
+         |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames, CAST($t AS BIGINT) AS thumb_n,
+         |CAST(ssum AS BIGINT) AS sample_sum, tmd5 AS thumb_md5 FROM a ORDER BY media_id""".stripMargin
     },
     // every parsed BMP field from its closed form; pixel_sum from the raw
     // bytes (hex-nibble recovery — DuckDB substring can't slice BLOBs),

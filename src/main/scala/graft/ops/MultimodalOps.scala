@@ -743,6 +743,88 @@ object MultimodalOps {
       .orderBy("media_id", "frame_no")
   }
 
+  // ---- m10: audio thumbnail (nearest-neighbor resample) -------------
+
+  /** Output sample count for m10's audio thumbnail — fixed-size output
+    * regardless of source duration, m8's contract for audio. */
+  val AudioThumb = 16
+
+  /** Seek-decode a fixed [[AudioThumb]]-sample nearest-neighbor
+    * "thumbnail" of a WAV's first channel: the chunk walk reads only
+    * the headers, then frame index fi = k·nf/AudioThumb maps each
+    * output slot to its source frame and ONLY that frame's first
+    * 2-byte sample is touched (header-arithmetic ranged read — the
+    * audio preview/downsample pass of a media pipeline, O(thumb)
+    * bytes per object, never O(audio)). Returns (n_frames, signed
+    * sample values in slot order). Offset math in Long first (the
+    * m6/m7 rule). */
+  private[graft] def decodeWavThumb(bytes: Array[Byte]): (Long, Array[Int]) = {
+    val (meta, dataOff) = walkWav(bytes)
+    val ba = (meta.nChannels * (meta.bitDepth / 8)).toInt
+    val nf = meta.dataBytes / ba
+    require(nf >= 1, s"no complete frame in ${meta.dataBytes}-byte data chunk")
+    val out = new Array[Int](AudioThumb)
+    var k = 0
+    while (k < AudioThumb) {
+      // nearest-neighbor frame map: floor(k·nf/AudioThumb) < nf
+      val fi = k.toLong * nf / AudioThumb
+      val boff = dataOff.toLong + fi * ba
+      require(boff >= 0 && boff + 2 <= bytes.length,
+        s"slot $k byte range [$boff, ${boff + 2}) outside ${bytes.length}-byte file")
+      val lo = java.lang.Byte.toUnsignedInt(bytes(boff.toInt))
+      val hi = bytes(boff.toInt + 1).toInt // sign-carrying high byte
+      out(k) = (hi << 8) | lo // signed 16-bit, first channel
+      k += 1
+    }
+    (nf, out)
+  }
+
+  /** m10: nearest-neighbor audio resample through the real WAV codec —
+    * the RESIZE leg for the audio family, completing the verb across
+    * both codec families (m8 resizes images, m10 resizes audio): each
+    * payload shrinks (or tiles up, when shorter than [[AudioThumb]]
+    * frames) to a fixed [[AudioThumb]]-sample first-channel thumbnail
+    * by integer frame mapping over header-arithmetic ranged reads.
+    * The signed integer sample sum proves the decoder interprets
+    * samples (endianness + two's complement), and the digest over the
+    * read byte pairs pins the exact seek positions — a block-align,
+    * frame-map, or channel-stride bug lands on the wrong bytes and
+    * breaks both. The oracle recomputes every slot from closed form
+    * (hex-nibble recovery at fi·blockAlign, LE pairing, sign fold);
+    * thumbnail ≡ decimated-full-decode is property-tested. */
+  def m10WavThumbnail(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_frames", LongType),
+      StructField("thumb_n", LongType),
+      StructField("sample_sum", LongType),
+      StructField("thumb_md5", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text").cast("binary").as("data"))
+      .mapPartitions { rows =>
+        // digest instance init once per partition (the ProducerFinal.scala:66 move)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val wav = buildWav(id, r.getString(1), r.getAs[Array[Byte]](2))
+          val (nf, samples) = decodeWavThumb(wav)
+          var sum = 0L
+          samples.foreach(sum += _)
+          // digest over the decoded byte pairs exactly as read (LE order)
+          val raw = new Array[Byte](2 * AudioThumb)
+          var k = 0
+          while (k < AudioThumb) {
+            raw(2 * k) = (samples(k) & 0xff).toByte
+            raw(2 * k + 1) = ((samples(k) >> 8) & 0xff).toByte
+            k += 1
+          }
+          Row(id, nf, AudioThumb.toLong, sum, hexDigest(md, raw))
+        }
+      }(enc)
+      .orderBy("media_id")
+  }
+
   /** m1: metadata + content-hash projection over the media table —
     * the oracle-checkable slice of the multimodal path. */
   def m1MultimodalMeta(spark: SparkSession, dir: String): DataFrame =

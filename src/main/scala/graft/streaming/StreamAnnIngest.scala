@@ -539,4 +539,89 @@ object StreamAnnIngest {
       .join(prior, Seq("vec_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$tombs/batch_id=$batchId")
   }
+
+  // ---- s20: streaming radius alerts (the watchlist match-on-ingest) --
+
+  def s20StreamRadiusAlert(spark: SparkSession, dir: String): DataFrame =
+    s20WithBatchCount(spark, dir)._1
+
+  /** s20: s19's radius read turned into the ALERT-ON-INGEST motion — the
+    * content-flagging / dedup-on-arrival read a production pipeline
+    * issues ("tell me the moment something within τ of a watchlist
+    * vector lands"), where s19 asks after the fact. The WATCHLIST is an
+    * offline artifact (the query set with its cells, written once before
+    * the stream — the s11 quantizer move applied to the query side); per
+    * micro-batch, newly-arrived vectors are assigned their cell (narrow
+    * map, batch-sized) and meet the broadcast watchlist on the cell
+    * equi-join with the τ filter fused — matches append to a
+    * batch-partitioned alert ledger AT ARRIVAL TIME, so each s19 pair is
+    * alerted exactly once, in the batch its corpus vector arrived.
+    * The union of all alert batches must equal batch s19 VERBATIM — the
+    * gate's oracle is s19's shared SQL string, and StreamEquivSpec
+    * additionally pins the per-batch alert spread (alerts genuinely
+    * raised incrementally, not in one final batch).
+    *
+    * Scale: per-batch cost is batch-size assignment + a broadcast join
+    * against the constant-size watchlist with a fused threshold filter —
+    * nothing corpus-sized ever joins or shuffles, no rank machinery
+    * (s19's structural saving), and the alert ledger is output-sized.
+    * No ordering precondition: each arrival is checked independently
+    * against the static watchlist, so the alert SET is replay-order
+    * invariant (same class as s11's set-union index). */
+  private[graft] def s20WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int, Array[Long]) = {
+    val work = Files.createTempDirectory("graft_annstream_radius_").toString
+    val splitDir = s"$work/in"
+    val all = SimilarityOps.normed(spark, dir)
+    all.select("vec_id", "v", "nrm", "label")
+      .repartitionByRange(SplitFiles, col("vec_id"))
+      .write.parquet(splitDir)
+    val seedsPath = s"$work/quantizer"
+    SimilarityOps.ivfSeedCentroids(all).coalesce(1).write.parquet(seedsPath)
+    // the offline watchlist artifact: queries with their cells, once
+    val watchPath = s"$work/watchlist"
+    SimilarityOps.assignCells(all.filter(col("label") === 1),
+        SimilarityOps.ivfSeedCentroids(all))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+      .coalesce(1).write.parquet(watchPath)
+    val alerts = s"$work/alerts"
+    val session = spark.newSession()
+    val q = session.readStream
+      .schema(session.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        processAlertBatch(batch, batchId, seedsPath, watchPath, alerts))
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = Option(new java.io.File(alerts).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    val ledger = spark.read.parquet(alerts)
+    // test seam: alerts raised per arrival batch, in batch order
+    val perBatch = ledger.groupBy("batch_id").count().orderBy("batch_id")
+      .collect().map(_.getLong(1))
+    val result = ledger
+      .select(col("q_id"), col("n_id"), graft.out.Canonical.r4(col("c")).as("cos_sim"))
+      .orderBy("q_id", "n_id")
+    (result, nBatches, perBatch)
+  }
+
+  private def processAlertBatch(batch: DataFrame, batchId: Long,
+                                seedsPath: String, watchPath: String,
+                                alerts: String): Unit = {
+    val spark = batch.sparkSession
+    val seeds = spark.read.parquet(seedsPath)
+    val watch = spark.read.parquet(watchPath)
+    SimilarityOps.assignCells(batch, seeds)
+      .join(broadcast(watch), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c",
+        SimilarityOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .filter(col("c") >= SimilarityOps.RadiusTau)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("c"))
+      .write.mode("overwrite").parquet(s"$alerts/batch_id=$batchId")
+  }
 }

@@ -95,6 +95,28 @@ object WavCodecProps extends Properties("wavCodec") {
         start == expStart && ns == expNs && energy == expEnergy
       }
     }
+
+  property("thumbnail seek-decode equals the decimated full decode, any payload") =
+    forAll(idGen, langGen, bytesGen) { (id, lang, data) =>
+      // m10's ranged path (header probe + one 2-byte read per slot) must
+      // agree with the trusted full decode decimated by the same integer
+      // frame map — a block-align, frame-map, or channel-stride slip
+      // lands on the wrong sample
+      val wav = MultimodalOps.buildWav(id, lang, data)
+      val full = MultimodalOps.decodeWav(wav)
+      val ba = MultimodalOps.wavChannels(id) * 2
+      val nf = full.length / ba
+      if (nf < 1)
+        scala.util.Try(MultimodalOps.decodeWavThumb(wav)).isFailure
+      else {
+        val (gotNf, got) = MultimodalOps.decodeWavThumb(wav)
+        gotNf == nf.toLong && got.length == MultimodalOps.AudioThumb &&
+          (0 until MultimodalOps.AudioThumb).forall { k =>
+            val o = (k.toLong * nf / MultimodalOps.AudioThumb).toInt * ba
+            got(k) == ((full(o + 1).toInt << 8) | java.lang.Byte.toUnsignedInt(full(o)))
+          }
+      }
+    }
 }
 
 /** The m5 BMP codec: strided bottom-up rows must invert exactly — a

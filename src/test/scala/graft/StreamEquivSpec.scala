@@ -131,6 +131,25 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("s20 streaming radius alerts: per-arrival alert union ≡ batch s19, raised incrementally") {
+    val batch = rows(graft.ops.SimilarityOps.s19AnnRadius(spark, sf))
+    val (streamDf, nBatches, perBatch) =
+      graft.streaming.StreamAnnIngest.s20WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    assert(batch.nonEmpty)
+    // the union of the per-batch alert ledgers IS the batch radius answer
+    assert(rows(streamDf) == batch,
+      "streamed alerts diverged from the batch radius answer")
+    // and the alerts were genuinely raised at arrival time across the
+    // replay, not accumulated into one final batch — each s19 pair fires
+    // in the batch its corpus vector arrived
+    assert(perBatch.count(_ > 0) >= 2,
+      s"alerts concentrated in one batch (${perBatch.mkString(",")}) — nothing incremental happened")
+    assert(perBatch.sum == batch.size.toLong,
+      "per-batch alert counts do not sum to the answer size — a pair fired twice or never")
+  }
+
   test("s15 store-served multi-probe: stream-built index ≡ batch s3 at nprobe=2, fan-out touches only query rows") {
     val np = graft.streaming.StreamAnnIngest.MultiNprobe
     val batch = rows(graft.ops.SimilarityOps.s3AnnIvfProbe(spark, sf, np))
