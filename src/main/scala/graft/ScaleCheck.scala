@@ -86,7 +86,9 @@ object ScaleCheck {
     // the alert-on-ingest stream (batch-sized assignment + broadcast
     // watchlist probe per batch) and the audio resample (O(thumb)
     // ranged reads per object, m8's expected-linear class)
-    "s20_stream_radius_alert", "m10_wav_thumbnail")
+    "s20_stream_radius_alert", "m10_wav_thumbnail",
+    // the drift read: fixed-width moment partials, x9's expected band
+    "x15_stream_drift")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -149,7 +149,8 @@ object SparkEntry {
       (graft.streaming.StreamSketch.x12StreamWindowDistinct _),
     "x13_stream_window_cms" ->
       (graft.streaming.StreamSketch.x13StreamWindowCms _),
-    "x14_sketch_overlap" -> (TextOps.x14SketchOverlap _)
+    "x14_sketch_overlap" -> (TextOps.x14SketchOverlap _),
+    "x15_stream_drift" -> (graft.streaming.StreamSketch.x15StreamDrift _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -1519,6 +1520,27 @@ object SparkEntry {
         |       round((CAST(min(CASE WHEN cum * 2 >= total THEN b END) AS DOUBLE) - 0.5) * 3.90625, 4) AS p50_est,
         |       round((CAST(min(CASE WHEN cum * 10 >= total * 9 THEN b END) AS DOUBLE) - 0.5) * 3.90625, 4) AS p90_est
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+    // x15's drift read from the moments store: decimal sums replay
+    // exactly (the q04/q12 DECIMAL-addend precedent), batch membership
+    // is x11's data rule, and mean/std/z are identical IEEE expressions
+    // on both engines (constants interpolated from SplitFiles/DriftZ)
+    "x15_stream_drift" -> {
+      val m = graft.streaming.StreamSketch.SplitFiles
+      val latest = m - 1
+      val dz = graft.streaming.StreamSketch.DriftZ
+      s"""WITH b AS (SELECT event_type, event_id % $m AS bid, value FROM events),
+         |lt AS (SELECT event_type, count(*) AS n_latest, sum(CAST(value AS DECIMAL(18,4))) AS sl FROM b WHERE bid = $latest GROUP BY 1),
+         |pr AS (SELECT event_type, count(*) AS np, sum(CAST(value AS DECIMAL(18,4))) AS sp, sum(CAST(value*value AS DECIMAL(18,4))) AS sp2 FROM b WHERE bid < $latest GROUP BY 1),
+         |j AS (SELECT lt.event_type, n_latest, CAST(sl AS DOUBLE)/n_latest AS m_b,
+         |  CAST(sp AS DOUBLE)/np AS mu,
+         |  sqrt(CAST(sp2 AS DOUBLE)/np - (CAST(sp AS DOUBLE)/np)*(CAST(sp AS DOUBLE)/np)) AS sigma
+         |  FROM lt JOIN pr USING (event_type))
+         |SELECT event_type, CAST(n_latest AS BIGINT) AS n_latest,
+         |round(m_b, 4) AS mean_latest, round(mu, 4) AS mean_prior,
+         |round(sigma, 4) AS std_prior, round((m_b - mu)/sigma, 4) AS z,
+         |CAST(CASE WHEN abs((m_b - mu)/sigma) > $dz THEN 1 ELSE 0 END AS BIGINT) AS drifted
+         |FROM j ORDER BY event_type""".stripMargin
     },
     // x10's merged per-batch CMS counters equal the whole-table sketch
     // EXACTLY (counters are additive), so the oracle is t6's CTE chain

@@ -539,6 +539,113 @@ object StreamSketch {
     watchEstimates(watch, cmsPartial(win))
   }
 
+  // ---- x15: mergeable moments + the drift read -----------------------
+
+  /** Drift alarm threshold: the latest batch flags when its mean sits
+    * more than [[DriftZ]] pooled-prior standard deviations from the
+    * pooled-prior mean. */
+  val DriftZ = 2.0
+
+  def x15StreamDrift(spark: SparkSession, dir: String): DataFrame =
+    x15WithBatchCount(spark, dir)._1
+
+  /** x15: the MONITORING member of the mergeable family — per-batch
+    * MOMENT partials (count, Σvalue, Σvalue² as DECIMAL(18,4) addends,
+    * so the sums are order-independent and merge by exact addition) and
+    * the read every production pipeline actually wires to a pager:
+    * "does the latest batch's mean drift from everything before it?"
+    * Per event_type, the latest batch's mean is z-scored against the
+    * pooled prior batches' mean and population std, all computed FROM
+    * THE PARTIALS STORE — raw events are never re-read, and the serve
+    * cost is types × batches tiny rows regardless of corpus size.
+    *
+    * Fully deterministic, so — like x9/x11/x13 and unlike the HLL pair
+    * — ORACLE-CHECKED end to end: batch membership is x11's DATA rule
+    * (`event_id mod [[SplitFiles]]`, mtime-ascending waves), the
+    * decimal sums replay exactly in SQL (the q04/q12 DECIMAL-addend
+    * precedent), and mean/std/z are the same IEEE expressions on both
+    * engines. The fixture's pseudo-random split carries a law worth
+    * pinning in itself: an IID batch rule must NOT drift (all |z| <
+    * [[DriftZ]] — the no-false-alarm property), while StreamEquivSpec's
+    * injected-drift case (latest batch's values scaled) must flag every
+    * type — the alarm fires exactly when it should.
+    *
+    * Scale design: per-batch work is one fixed-width partial aggregate
+    * (types × 3 numbers); the store grows by types × batches rows; any
+    * batch-over-baseline comparison merges after the fact by decimal
+    * addition. The exact twin re-aggregates the full history per
+    * question asked. */
+  private[graft] def x15WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val work = Files.createTempDirectory("graft_driftstream_").toString
+    val store = s"$work/moments"
+    val events = Sources.table(spark, dir, "events")
+      .select("event_id", "event_type", "value")
+    val nBatches = runWaveReplay(spark, events, "event_id", work, store) {
+      (batch, batchId) =>
+        momentPartial(batch)
+          .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+    }
+    (driftFromMoments(spark.read.parquet(store), nBatches - 1), nBatches)
+  }
+
+  /** The batch twin: the latest/prior slices named by the membership
+    * rule, aggregated directly — equal to the store-served read
+    * EXACTLY (decimal sums are additive). `scaleLatest` is the
+    * injected-drift seam: the spec scales the latest slice's values to
+    * prove the alarm fires. */
+  private[graft] def x15Batch(spark: SparkSession, dir: String,
+      scaleLatest: Double = 1.0): DataFrame = {
+    val events = Sources.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        when(pmod(col("event_id"), lit(SplitFiles)) === SplitFiles - 1,
+          col("value") * scaleLatest).otherwise(col("value")).as("value"))
+      .withColumn("batch_id", pmod(col("event_id"), lit(SplitFiles)).cast("long"))
+    val partials = momentPartial(events.groupBy(col("batch_id"),
+      col("event_type")))
+    driftFromMoments(partials, SplitFiles - 1)
+  }
+
+  /** One slice's moment partial: count + decimal-exact Σv and Σv² per
+    * event_type (fixed-width output regardless of input size). The
+    * overload keyed by (batch_id, event_type) serves the batch twin. */
+  private def momentPartial(batch: DataFrame): DataFrame =
+    batch.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,4)")).as("s"),
+      sum((col("value") * col("value")).cast("decimal(18,4)")).as("s2"))
+
+  private def momentPartial(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    grouped.agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,4)")).as("s"),
+      sum((col("value") * col("value")).cast("decimal(18,4)")).as("s2"))
+
+  /** The drift read over a (batch_id-carrying) moments store: latest
+    * batch's mean z-scored against the pooled priors. Decimal merge
+    * first (exact), doubles only in the final mean/std/z expressions —
+    * identical IEEE ops on both engines. */
+  private def driftFromMoments(store: DataFrame, latestId: Long): DataFrame = {
+    import graft.out.Canonical.r4
+    val latest = store.filter(col("batch_id") === latestId)
+      .groupBy("event_type").agg(
+        sum("n").as("n_latest"), sum("s").as("sl"))
+    val prior = store.filter(col("batch_id") < latestId)
+      .groupBy("event_type").agg(
+        sum("n").as("np"), sum("s").as("sp"), sum("s2").as("sp2"))
+    latest.join(prior, Seq("event_type"))
+      .withColumn("m_b", col("sl").cast("double") / col("n_latest"))
+      .withColumn("mu", col("sp").cast("double") / col("np"))
+      .withColumn("sigma", sqrt(
+        col("sp2").cast("double") / col("np") - col("mu") * col("mu")))
+      .withColumn("z", (col("m_b") - col("mu")) / col("sigma"))
+      .select(col("event_type"), col("n_latest"),
+        r4(col("m_b")).as("mean_latest"), r4(col("mu")).as("mean_prior"),
+        r4(col("sigma")).as("std_prior"), r4(col("z")).as("z"),
+        when(abs(col("z")) > DriftZ, 1L).otherwise(0L).as("drifted"))
+      .orderBy("event_type")
+  }
+
   /** Merge (sum) histogram rows, then read p50/p90 as first-crossing
     * bucket midpoints — integer threshold comparisons only. */
   private def quantilesFromHistogram(hist: DataFrame): DataFrame = {

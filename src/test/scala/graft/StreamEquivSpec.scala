@@ -547,6 +547,31 @@ class StreamEquivSpec extends AnyFunSuite {
     }
   }
 
+  test("x15 drift read: store-served ≡ batch twin, IID split raises no alarm, injected drift flags every type") {
+    import org.apache.spark.sql.functions.col
+    // the store-served read (decimal partials merged by addition) must
+    // equal the direct aggregation of the membership-rule slices exactly
+    val (streamDf, nBatches) =
+      graft.streaming.StreamSketch.x15WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val batch = rows(graft.streaming.StreamSketch.x15Batch(spark, sf))
+    assert(batch.nonEmpty)
+    assert(rows(streamDf) == batch,
+      "store-served drift read diverged from the direct slice aggregation")
+    // the no-false-alarm law: an IID batch rule (event_id mod 4 is
+    // independent of value) must NOT drift — a monitor that pages on
+    // this fixture pages on everything
+    assert(streamDf.filter(col("drifted") =!= 0L).count() == 0,
+      "the IID split raised a drift alarm — the z statistic is miscalibrated")
+    // and the alarm genuinely fires when drift exists: scaling the
+    // latest batch's values 6× moves every type's mean far past the
+    // DriftZ band of the (unchanged) prior distribution
+    val injected = graft.streaming.StreamSketch.x15Batch(spark, sf, scaleLatest = 6.0)
+    assert(injected.filter(col("drifted") =!= 1L).count() == 0,
+      "a 6x-scaled latest batch failed to flag — the alarm never fires")
+  }
+
   test("x8/x9 under reversed arrival: merged results are bit-identical — merge invariance holds under disorder") {
     import org.apache.spark.sql.functions._
     // the merge-invariance claim ("register maxima / count addition are
