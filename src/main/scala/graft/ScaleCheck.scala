@@ -88,7 +88,11 @@ object ScaleCheck {
     // ranged reads per object, m8's expected-linear class)
     "s20_stream_radius_alert", "m10_wav_thumbnail",
     // the drift read: fixed-width moment partials, x9's expected band
-    "x15_stream_drift")
+    "x15_stream_drift",
+    // candidate-union top-k (K-row candidates + fixed-width counters
+    // per batch) and the header-probe audit (one ~50-byte ranged probe
+    // per object — rejects never fetch the body)
+    "x16_stream_topk", "m11_wav_audit")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

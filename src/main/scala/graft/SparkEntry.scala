@@ -129,6 +129,7 @@ object SparkEntry {
     "m8_bmp_thumbnail" -> (MultimodalOps.m8BmpThumbnail _),
     "m9_video_frame_sample" -> (MultimodalOps.m9VideoFrameSample _),
     "m10_wav_thumbnail" -> (MultimodalOps.m10WavThumbnail _),
+    "m11_wav_audit" -> (MultimodalOps.m11WavAudit _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -150,7 +151,8 @@ object SparkEntry {
     "x13_stream_window_cms" ->
       (graft.streaming.StreamSketch.x13StreamWindowCms _),
     "x14_sketch_overlap" -> (TextOps.x14SketchOverlap _),
-    "x15_stream_drift" -> (graft.streaming.StreamSketch.x15StreamDrift _)
+    "x15_stream_drift" -> (graft.streaming.StreamSketch.x15StreamDrift _),
+    "x16_stream_topk" -> (graft.streaming.StreamSketch.x16StreamTopk _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -1394,6 +1396,20 @@ object SparkEntry {
          |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames, CAST($t AS BIGINT) AS thumb_n,
          |CAST(ssum AS BIGINT) AS sample_sum, tmd5 AS thumb_md5 FROM a ORDER BY media_id""".stripMargin
     },
+    // m11's audit ledger from the corruption rule's closed form — the
+    // gate's claim is precisely that the real parser's classification
+    // agrees with this prediction on every doc (constants interpolated
+    // from the engine's rule)
+    "m11_wav_audit" -> {
+      val m = MultimodalOps.CorruptMod
+      val bm = MultimodalOps.BadMagicResidue
+      val ov = MultimodalOps.OverrunResidue
+      s"""WITH c AS (SELECT doc_id, octet_length(encode(text)) AS n,
+         |  CASE WHEN doc_id % $m = $bm THEN 'bad_magic' WHEN doc_id % $m = $ov THEN 'overrun' ELSE 'ok' END AS outcome FROM documents)
+         |SELECT outcome, CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(sum(CASE WHEN outcome = 'ok' THEN n ELSE 0 END) AS BIGINT) AS data_bytes
+         |FROM c GROUP BY outcome ORDER BY outcome""".stripMargin
+    },
     // every parsed BMP field from its closed form; pixel_sum from the raw
     // bytes (hex-nibble recovery — DuckDB substring can't slice BLOBs),
     // pad pixels contribute zero by construction
@@ -1560,6 +1576,29 @@ object SparkEntry {
          |SELECT w.token, CAST(min(c.c) AS BIGINT) AS cms_est
          |FROM wl w JOIN h ON h.token = w.token JOIN counters c ON c.r = h.r AND c.bucket = h.bucket
          |GROUP BY w.token ORDER BY 2 DESC, 1""".stripMargin
+    },
+    // x16 discovers its candidates from the stream (per-slice local
+    // top-K via the batch-membership rule, unioned distinct) and ranks
+    // them by the whole-table CMS — every count, rank, and hash is
+    // integer-exact, so the full chain replays in SQL
+    "x16_stream_topk" -> {
+      val d = TextOps.CmsDepth
+      val rs = (0 until d).map(_.toString).mkString(", ")
+      val k = graft.streaming.StreamSketch.WatchK
+      val sfK = graft.streaming.StreamSketch.SplitFiles
+      s"""WITH t AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
+         |sc AS (SELECT doc_id % $sfK AS bid, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+         |rk AS (SELECT bid, token, row_number() OVER (PARTITION BY bid ORDER BY cnt DESC, token) AS rk FROM sc),
+         |cand AS (SELECT DISTINCT token FROM rk WHERE rk <= $k),
+         |tc AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+         |h AS (SELECT token, cnt, r, (strpos('0123456789abcdef', substr(md5(r || '|' || token), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(r || '|' || token), 2, 1)) - 1 AS bucket
+         |FROM tc CROSS JOIN (SELECT unnest([$rs]) AS r)),
+         |counters AS (SELECT r, bucket, sum(cnt) AS c FROM h GROUP BY 1, 2),
+         |ch AS (SELECT token, r, (strpos('0123456789abcdef', substr(md5(r || '|' || token), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(r || '|' || token), 2, 1)) - 1 AS bucket
+         |FROM cand CROSS JOIN (SELECT unnest([$rs]) AS r))
+         |SELECT ch.token, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS cms_est
+         |FROM ch LEFT JOIN counters c ON c.r = ch.r AND c.bucket = ch.bucket
+         |GROUP BY ch.token ORDER BY 2 DESC, 1 LIMIT $k""".stripMargin
     },
     // x13 is x10's sketch rebuilt from ONLY the window's docs (the
     // doc_id mod membership rule), read by the whole-corpus watchlist —

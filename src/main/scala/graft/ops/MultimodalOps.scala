@@ -825,6 +825,91 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
+  // ---- m11: malformed-container audit (the codec-layer O18 guard) ----
+
+  /** m11's deterministic corruption rules — the stand-ins for what a
+    * real 100 TB crawl actually contains: truncated uploads, wrong
+    * magics, lying length fields. Both rules and their parser-visible
+    * outcomes are closed-form in doc_id, so the oracle replays the
+    * whole audit. */
+  val CorruptMod = 17
+  val BadMagicResidue = 5
+  val OverrunResidue = 11
+
+  /** Apply m11's corruption rule to a built WAV: residue
+    * [[BadMagicResidue]] flips the first magic byte ('R' → 'X');
+    * residue [[OverrunResidue]] inflates the data chunk's declared
+    * size so it overruns the file; every other doc passes through
+    * clean. Returns the (possibly corrupted) bytes. */
+  private[graft] def corruptWav(docId: Long, wav: Array[Byte]): Array[Byte] = {
+    val out = wav.clone()
+    if (docId % CorruptMod == BadMagicResidue) {
+      out(0) = 'X'.toByte
+    } else if (docId % CorruptMod == OverrunResidue) {
+      // the data chunk is the LAST chunk; its LE size field sits 8 bytes
+      // before the payload — find it from the clean parse, then lie
+      val dataLen = parseWav(wav).dataBytes.toInt
+      val sizeOff = wav.length - dataLen - (dataLen % 2) - 4
+      java.nio.ByteBuffer.wrap(out, sizeOff, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(dataLen + 1000000)
+    }
+    out
+  }
+
+  /** Classify one container through the REAL parser: 'ok' with its
+    * data size, or the parser's stated rejection. The mapping is from
+    * the parser's own failure messages — the audit reports what the
+    * codec SAW, never what the corruption rule intended (a guard that
+    * reports the rule instead of the parse is circular). */
+  private[graft] def auditWav(bytes: Array[Byte]): (String, Long) =
+    try { ("ok", parseWav(bytes).dataBytes) }
+    catch {
+      case e: IllegalArgumentException =>
+        val msg = Option(e.getMessage).getOrElse("")
+        val reason =
+          if (msg.contains("not a RIFF container")) "bad_magic"
+          else if (msg.contains("overruns file")) "overrun"
+          else "other"
+        (reason, 0L)
+    }
+
+  /** m11: the malformed-media audit — O18's malformed-record guard
+    * applied at the CODEC layer, the first pass a 100 TB media crawl
+    * runs before any decode work is scheduled: every container is
+    * header-probed through the real parser, rejects are COUNTED AND
+    * CLASSIFIED by the parser's own failure mode (wrong magic vs
+    * lying length field), and the ledger reports, per outcome, the
+    * doc count and the decodable byte mass. Corruption here is a
+    * deterministic fixture rule ([[corruptWav]]) so the oracle
+    * replays the audit in closed form — but the classification path
+    * is the parser's, exercised on genuinely malformed bytes (the
+    * reject branches m4's happy path never enters).
+    *
+    * Scale shape: one narrow header-probe map per object (the ~50-byte
+    * ranged read of m7's story — rejects cost ONLY the probe, never a
+    * fetch of the object body) and a 3-row ledger aggregation. The
+    * audit is exactly as parallel as the scan. */
+  def m11WavAudit(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("outcome", StringType),
+      StructField("n_docs", LongType),
+      StructField("data_bytes", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text").cast("binary").as("data"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val wav = corruptWav(id, buildWav(id, r.getString(1), r.getAs[Array[Byte]](2)))
+          val (outcome, bytes) = auditWav(wav)
+          Row(outcome, 1L, bytes)
+        }
+      }(enc)
+      .groupBy("outcome")
+      .agg(sum("n_docs").as("n_docs"), sum("data_bytes").as("data_bytes"))
+      .orderBy("outcome")
+  }
+
   /** m1: metadata + content-hash projection over the media table —
     * the oracle-checkable slice of the multimodal path. */
   def m1MultimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -539,6 +539,82 @@ object StreamSketch {
     watchEstimates(watch, cmsPartial(win))
   }
 
+  // ---- x16: streaming top-k (candidate union + CMS estimates) --------
+
+  /** x16: the DISCOVERY twin of x10 — x10 tracks a KNOWN offline
+    * watchlist; x16 answers "what ARE the heavy hitters?" from the
+    * stream itself, the SpaceSaving-shaped question a CMS alone cannot
+    * answer (counters don't enumerate). Per micro-batch: the batch's
+    * CMS counter partial (x10's fixed-width append) PLUS the batch's
+    * LOCAL exact top-[[WatchK]] tokens appended to a candidates store
+    * (K tiny rows per batch). The serve unions the per-batch candidates
+    * (distinct) and ranks them by their merged-CMS estimates — raw
+    * tokens are never re-counted at serve time.
+    *
+    * The stated approximation (the honest caveat of candidate-union
+    * top-k): a token can only surface if it entered SOME batch's local
+    * top-K, so mass spread so uniformly it never ranks locally is
+    * invisible — the standard failure mode of every candidate-based
+    * streaming top-k, bounded in practice by Zipfian skew (on the
+    * fixture the candidate union recovers the exact top-K verbatim —
+    * spec-pinned, alongside the CMS overcount law). Batch membership is
+    * x11's DATA rule, every count and hash is integer-exact, so the
+    * whole chain — slices, local ranks, union, grid, min-read —
+    * replays in SQL: ORACLE-CHECKED end to end.
+    *
+    * Scale design: per-batch work is x10's fixed-width partial plus one
+    * K-row local top-k (a TakeOrdered over the batch's count table);
+    * the candidate store grows by K × batches tiny rows; the serve
+    * touches candidates × d grid rows. "Who is trending over 100 TB of
+    * stream" costs kilobytes per batch — the exact twin re-shuffles
+    * every token ever seen, per question. */
+  def x16StreamTopk(spark: SparkSession, dir: String): DataFrame =
+    x16WithBatchCount(spark, dir)._1
+
+  private[graft] def x16WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val work = Files.createTempDirectory("graft_topkstream_").toString
+    val store = s"$work/counters"
+    val cands = s"$work/candidates"
+    val docs = Sources.table(spark, dir, "documents").select("doc_id", "text")
+    val nBatches = runWaveReplay(spark, docs, "doc_id", work, store) {
+      (batch, batchId) =>
+        import graft.ops.TextOps
+        cmsPartial(batch)
+          .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+        batch.select(explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token")).limit(WatchK)
+          .select("token")
+          .write.mode("overwrite").parquet(s"$cands/batch_id=$batchId")
+    }
+    val merged = spark.read.parquet(store).drop("batch_id")
+      .groupBy("r", "bucket").agg(sum("c").as("c"))
+    val candidates = spark.read.parquet(cands).select("token").distinct()
+    val result = watchEstimates(candidates, merged)
+      .orderBy(col("cms_est").desc, col("token")).limit(WatchK)
+    (result, nBatches)
+  }
+
+  /** The batch twin: per-slice local top-K unioned, ranked by the
+    * whole-table sketch — equal to the store-served read EXACTLY
+    * (counters additive, candidate sets identical by the membership
+    * rule). */
+  private[graft] def x16Batch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextOps
+    import org.apache.spark.sql.expressions.Window
+    val docs = Sources.table(spark, dir, "documents").select("doc_id", "text")
+    val sliceCounts = docs
+      .withColumn("bid", pmod(col("doc_id"), lit(SplitFiles)))
+      .select(col("bid"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("bid", "token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("bid").orderBy(col("cnt").desc, col("token"))
+    val candidates = sliceCounts
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= WatchK)
+      .select("token").distinct()
+    watchEstimates(candidates, cmsPartial(docs))
+      .orderBy(col("cms_est").desc, col("token")).limit(WatchK)
+  }
+
   // ---- x15: mergeable moments + the drift read -----------------------
 
   /** Drift alarm threshold: the latest batch flags when its mean sits

@@ -654,6 +654,28 @@ class InvariantSpec extends AnyFunSuite {
       "every shard digests identically in hash order and corpus order — no permutation happened")
   }
 
+  test("m11 audit outcomes partition the corpus and every reject branch fires") {
+    val audit = MultimodalOps.m11WavAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the guard loses nothing: outcome counts partition the corpus
+    assert(audit.values.map(_._1).sum == nDocs,
+      s"audit rows sum to ${audit.values.map(_._1).sum}, corpus has $nDocs")
+    // both parser reject branches genuinely fired on the fixture — the
+    // audit exercised paths m4's happy case never enters
+    assert(audit.contains("bad_magic") && audit("bad_magic")._1 > 0)
+    assert(audit.contains("overrun") && audit("overrun")._1 > 0)
+    assert(!audit.contains("other"), "a reject fell through classification")
+    // rejects carry zero decodable bytes; ok mass equals the clean docs'
+    // total payload
+    assert(audit("bad_magic")._2 == 0L && audit("overrun")._2 == 0L)
+    val cleanBytes = Sources.table(spark, sf, "documents")
+      .filter(!(col("doc_id") % MultimodalOps.CorruptMod)
+        .isin(MultimodalOps.BadMagicResidue, MultimodalOps.OverrunResidue))
+      .agg(sum(length(col("text")))).collect()(0).getLong(0)
+    assert(audit("ok")._2 == cleanBytes,
+      s"ok byte mass ${audit("ok")._2} != clean payload total $cleanBytes")
+  }
+
   test("s19 radius search: every match clears τ, and it agrees with s3's ranked view") {
     val radius = SimilarityOps.s19AnnRadius(spark, sf).cache()
     try {

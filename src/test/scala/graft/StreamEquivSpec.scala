@@ -547,6 +547,33 @@ class StreamEquivSpec extends AnyFunSuite {
     }
   }
 
+  test("x16 streaming top-k: store-served ≡ batch twin, candidates recover the exact top-K, estimates overcount") {
+    import org.apache.spark.sql.functions.col
+    val (streamDf, nBatches) =
+      graft.streaming.StreamSketch.x16WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val batch = rows(graft.streaming.StreamSketch.x16Batch(spark, sf))
+    assert(batch.nonEmpty)
+    assert(rows(streamDf) == batch,
+      "store-served top-k diverged from the batch candidate-union twin")
+    // the candidate union's stated approximation does not bite on the
+    // fixture: the served token set IS the exact top-K set (t6's rule)
+    val served = streamDf.select("token").collect().map(_.getString(0)).toSet
+    val exactTop = graft.ops.TextOps.t6CmsHeavyHitters(spark, sf)
+      .select("token").collect().map(_.getString(0)).toSet
+    assert(served == exactTop,
+      s"candidate union missed heavy hitters: ${(exactTop -- served).mkString(",")}")
+    // CMS overcount law on the served estimates
+    val exactCnt = graft.ops.TextOps.t6CmsHeavyHitters(spark, sf)
+      .select("token", "cnt").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    streamDf.collect().foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) >= exactCnt(t),
+        s"$t: cms_est ${r.getLong(1)} undercounts exact ${exactCnt(t)}")
+    }
+  }
+
   test("x15 drift read: store-served ≡ batch twin, IID split raises no alarm, injected drift flags every type") {
     import org.apache.spark.sql.functions.col
     // the store-served read (decimal partials merged by addition) must
