@@ -92,7 +92,10 @@ object ScaleCheck {
     // candidate-union top-k (K-row candidates + fixed-width counters
     // per batch) and the header-probe audit (one ~50-byte ranged probe
     // per object — rejects never fetch the body)
-    "x16_stream_topk", "m11_wav_audit")
+    "x16_stream_topk", "m11_wav_audit",
+    // the incremental export: batch-sized flagging + digest-keyed joins
+    // vs a key-pruned store + a per-(batch, source) packing exchange
+    "p6_incremental_export")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -322,7 +322,7 @@ object StreamSketch {
     * ran. One definition so the replay-order contract (mtime base,
     * part-file filter, wave accounting) cannot drift between the
     * windowed gates. */
-  private def runWaveReplay(spark: SparkSession, src: DataFrame, splitKey: String,
+  private[streaming] def runWaveReplay(spark: SparkSession, src: DataFrame, splitKey: String,
       work: String, store: String)(body: (DataFrame, Long) => Unit): Int = {
     val splitDir = s"$work/in"
     var seen = Set.empty[String]

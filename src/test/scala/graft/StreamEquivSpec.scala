@@ -547,6 +547,25 @@ class StreamEquivSpec extends AnyFunSuite {
     }
   }
 
+  test("p6 incremental export: manifest ≡ from-scratch twin, rows spread across batches") {
+    import org.apache.spark.sql.functions.col
+    val (streamDf, nBatches) =
+      graft.streaming.IncrementalExport.p6WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val twin = rows(graft.streaming.IncrementalExport.p6BatchTwin(spark, sf))
+    assert(twin.nonEmpty)
+    // the incremental ≡ from-scratch claim, digests included: every
+    // manifest row the stream appended matches the closed-form replay
+    assert(rows(streamDf) == twin,
+      "incremental manifest diverged from the from-scratch derivation")
+    // and the export genuinely accreted across the replay — multiple
+    // batches contributed shards (the append-only motion happened)
+    val batches = streamDf.select("batch_id").collect().map(_.getLong(0)).toSet
+    assert(batches.size >= 2,
+      s"manifest rows came from ${batches.size} batch(es) — nothing incremental")
+  }
+
   test("x16 streaming top-k: store-served ≡ batch twin, candidates recover the exact top-K, estimates overcount") {
     import org.apache.spark.sql.functions.col
     val (streamDf, nBatches) =
