@@ -95,7 +95,9 @@ object ScaleCheck {
     "x16_stream_topk", "m11_wav_audit",
     // the incremental export: batch-sized flagging + digest-keyed joins
     // vs a key-pruned store + a per-(batch, source) packing exchange
-    "p6_incremental_export")
+    "p6_incremental_export",
+    // the growth read: sketch-store triangle join, corpus-size-free serve
+    "x17_stream_growth")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

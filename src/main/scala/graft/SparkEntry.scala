@@ -154,7 +154,8 @@ object SparkEntry {
       (graft.streaming.StreamSketch.x13StreamWindowCms _),
     "x14_sketch_overlap" -> (TextOps.x14SketchOverlap _),
     "x15_stream_drift" -> (graft.streaming.StreamSketch.x15StreamDrift _),
-    "x16_stream_topk" -> (graft.streaming.StreamSketch.x16StreamTopk _)
+    "x16_stream_topk" -> (graft.streaming.StreamSketch.x16StreamTopk _),
+    "x17_stream_growth" -> (graft.streaming.StreamSketch.x17StreamGrowth _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------

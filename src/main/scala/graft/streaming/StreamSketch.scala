@@ -539,6 +539,76 @@ object StreamSketch {
     watchEstimates(watch, cmsPartial(win))
   }
 
+  // ---- x17: the growth curve from cumulative sketch unions -----------
+
+  /** x17: "how many users are NEW each batch" — the growth-metric read
+    * (DAU/WAU-style accretion) answered WITHOUT a user table: per
+    * batch, x8's HLL partial is appended as usual; the serve computes,
+    * per (batch, event_type), the cumulative-union estimate over all
+    * partials up to that batch and reads the batch's new-user count as
+    * the DIFFERENCE of consecutive cumulative estimates — inclusion–
+    * exclusion on the stream axis, x14's move applied over time. The
+    * differences telescope, so Σ approx_new per type equals the final
+    * cumulative estimate EXACTLY (spec-pinned), cumulative estimates
+    * are monotone, and each batch's estimate sits within the declared
+    * error of the exact first-appearance count (computable in closed
+    * form because batch membership is the mod-[[SplitFiles]] DATA
+    * rule: a user's first batch is min(event_id mod m) over their
+    * events). Rows-only by x8's declared precedent (HLL internals are
+    * engine-specific); all pins live in StreamEquivSpec.
+    *
+    * Scale design: the serve is a triangle join of the SKETCH STORE
+    * against its own batch-id list — (types × batches) × batches
+    * kilobyte rows, independent of corpus size — then one register-wise
+    * union per (batch, type). The exact twin re-shuffles every user_id
+    * ever seen and windows over their first appearance, per question;
+    * the sketch answer is free once the per-batch partials the store
+    * already pays for exist. */
+  def x17StreamGrowth(spark: SparkSession, dir: String): DataFrame =
+    x17WithBatchCount(spark, dir)._1
+
+  private[graft] def x17WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val work = Files.createTempDirectory("graft_growthstream_").toString
+    val store = s"$work/sketches"
+    val events = Sources.table(spark, dir, "events")
+      .select("event_id", "event_type", "user_id")
+    val nBatches = runWaveReplay(spark, events, "event_id", work, store) {
+      (batch, batchId) => processBatch(batch, batchId, store)
+    }
+    val partials = spark.read.parquet(store)
+    // triangle join: every batch b meets all partials with batch_id ≤ b
+    // — store-sized × batch-count rows, kilobytes total
+    val ids = partials.select(col("batch_id").as("b")).distinct()
+    val cum = partials.join(ids, col("batch_id") <= col("b"))
+      .groupBy(col("b").as("batch_id"), col("event_type"))
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("cum_users"),
+        sum(when(col("batch_id") === col("b"), col("n_events"))
+          .otherwise(0L)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("batch_id")
+    val result = cum
+      .withColumn("approx_new",
+        col("cum_users") - coalesce(lag("cum_users", 1).over(w), lit(0L)))
+      .select(col("batch_id").cast("long").as("batch_id"), col("event_type"),
+        col("approx_new"), col("cum_users"), col("n_events"))
+      .orderBy("batch_id", "event_type")
+    (result, nBatches)
+  }
+
+  /** The exact twin of the growth curve under the membership rule: a
+    * user's first batch is min(event_id mod [[SplitFiles]]) over their
+    * events — the ground truth the sketch differences are pinned
+    * against. */
+  private[graft] def x17Exact(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        pmod(col("event_id"), lit(SplitFiles)).cast("long").as("bid"))
+      .groupBy("event_type", "user_id").agg(min("bid").as("first_bid"))
+      .groupBy("event_type", "first_bid")
+      .agg(count(lit(1)).as("exact_new"))
+      .orderBy("first_bid", "event_type")
+
   // ---- x16: streaming top-k (candidate union + CMS estimates) --------
 
   /** x16: the DISCOVERY twin of x10 — x10 tracks a KNOWN offline

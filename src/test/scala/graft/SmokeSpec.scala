@@ -19,8 +19,9 @@ class SmokeSpec extends AnyFunSuite {
       // cannot replay the estimate; merge-exactness + error pins live in
       // StreamEquivSpec
       "x8_stream_sketch", "x12_stream_window_distinct",
-      // x14: same HLL precedent as x8/x12 — error pins live in ApproxSpec
-      "x14_sketch_overlap")
+      // x14/x17: same HLL precedent as x8/x12 — error pins live in
+      // ApproxSpec (x14) and StreamEquivSpec (x17)
+      "x14_sketch_overlap", "x17_stream_growth")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracle entries without a query: ${o -- q}")

@@ -547,6 +547,39 @@ class StreamEquivSpec extends AnyFunSuite {
     }
   }
 
+  test("x17 growth curve: telescoping exactness, monotone unions, differences track exact first appearances") {
+    import org.apache.spark.sql.functions._
+    val (growth, nBatches) =
+      graft.streaming.StreamSketch.x17WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val g = growth.collect()
+    assert(g.nonEmpty)
+    // telescoping: Σ approx_new per type ≡ the final cumulative
+    // estimate EXACTLY — differences of a telescoping series
+    val byType = g.groupBy(_.getString(1))
+    byType.foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getLong(0))
+      assert(sorted.map(_.getLong(2)).sum == sorted.last.getLong(3),
+        s"$t: approx_new does not telescope to the final cumulative estimate")
+      // monotone: a union can never shrink
+      assert(sorted.map(_.getLong(3)).sliding(2).forall(p => p(0) <= p(1)),
+        s"$t: cumulative estimate shrank")
+    }
+    // accuracy: each batch's sketch-differenced new-user count within
+    // the honest inclusion–exclusion bound of the exact first-appearance
+    // count (absolute in the union size — differencing amplifies
+    // relative error, x14's stated rule)
+    val exact = graft.streaming.StreamSketch.x17Exact(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    g.foreach { r =>
+      val key = (r.getString(1), r.getLong(0))
+      val ex = exact.getOrElse(key, 0L)
+      assert(math.abs(r.getLong(2) - ex) <= math.max(2L, math.round(0.05 * r.getLong(3))),
+        s"$key: approx_new ${r.getLong(2)} vs exact $ex beyond 0.05·cum(${r.getLong(3)})")
+    }
+  }
+
   test("p6 incremental export: manifest ≡ from-scratch twin, rows spread across batches") {
     import org.apache.spark.sql.functions.col
     val (streamDf, nBatches) =
