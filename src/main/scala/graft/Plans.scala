@@ -23,7 +23,17 @@ object Plans {
   val StreamingGates: Set[String] = Set(
     "q07_tumbling_window", "q08_sliding_window", "q09_session_window",
     "q24_stream_score", "q37_stream_join", "q38_static_enrich",
-    "d12_stream_minhash", "s11_stream_ann_ingest")
+    "d12_stream_minhash", "s11_stream_ann_ingest",
+    // the index-lifecycle and funnel/sketch replays added since r9 —
+    // each executes a full foreachBatch stream inside its gate function
+    "s12_stream_ann_delete", "s13_ann_compact", "s14_ann_partial_compact",
+    "s15_stream_ann_multiprobe", "s16_stream_ann_upsert",
+    "s20_stream_radius_alert",
+    "p2_stream_funnel", "p3_full_funnel", "p6_incremental_export",
+    "x8_stream_sketch", "x9_stream_quantile", "x10_stream_cms",
+    "x11_stream_window_quantile", "x12_stream_window_distinct",
+    "x13_stream_window_cms", "x15_stream_drift", "x16_stream_topk",
+    "x17_stream_growth")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
