@@ -58,14 +58,21 @@ object IncrementalExport {
   def p6IncrementalExport(spark: SparkSession, dir: String): DataFrame =
     p6WithBatchCount(spark, dir)._1
 
-  private[graft] def p6WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
-    val work = Files.createTempDirectory("graft_increxport_").toString
+  /** `crashAt`/`workDir` are the crash-recovery test seam (SinkSpec's
+    * restart shape applied to a TWO-store batch): a crash between the
+    * manifest write and the keys write leaves the stores torn relative
+    * to each other, and the resumed run over the same workDir must
+    * converge to the from-scratch answer. */
+  private[graft] def p6WithBatchCount(spark: SparkSession, dir: String,
+      crashAt: Option[Long] = None,
+      workDir: Option[String] = None): (DataFrame, Int) = {
+    val work = workDir.getOrElse(Files.createTempDirectory("graft_increxport_").toString)
     val manifest = s"$work/manifest"
     val keys = s"$work/keys"
     val docs = Sources.table(spark, dir, "documents")
       .select("doc_id", "text", "lang", "source")
     val nBatches = StreamSketch.runWaveReplay(spark, docs, "doc_id", work, manifest) {
-      (batch, batchId) => processBatch(batch, batchId, keys, manifest)
+      (batch, batchId) => processBatch(batch, batchId, keys, manifest, crashAt)
     }
     val result = spark.read.parquet(manifest)
       .select(col("batch_id").cast("long").as("batch_id"), col("source"),
@@ -75,7 +82,8 @@ object IncrementalExport {
   }
 
   private def processBatch(batch: DataFrame, batchId: Long,
-                           keys: String, manifest: String): Unit = {
+                           keys: String, manifest: String,
+                           crashAt: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val flagged = PipelineOps.headFlags(batch)
     val elig = flagged.filter(!col("is_eval") && col("q"))
@@ -112,6 +120,9 @@ object IncrementalExport {
         md5(concat_ws(" ", transform(col("a"), x => x.getField("s")))))
       .select("source", "n_docs", "n_tok", "n_seqs", "pack_md5")
       .write.mode("overwrite").parquet(s"$manifest/batch_id=$batchId")
+    // crash seam: dying HERE leaves the manifest written but the batch's
+    // digests unregistered — the torn two-store state the redo must heal
+    crashAt.filter(_ == batchId).foreach(b => sys.error(s"injected crash in batch $b"))
     // digest set append: only digests unseen in earlier batches
     elig.select("norm_key").distinct()
       .join(priorKeys, Seq("norm_key"), "left_anti")

@@ -325,16 +325,21 @@ object StreamSketch {
   private[streaming] def runWaveReplay(spark: SparkSession, src: DataFrame, splitKey: String,
       work: String, store: String)(body: (DataFrame, Long) => Unit): Int = {
     val splitDir = s"$work/in"
-    var seen = Set.empty[String]
-    (0 until SplitFiles).foreach { b =>
-      src.filter(pmod(col(splitKey), lit(SplitFiles)) === b)
-        .coalesce(1).write.mode("append").parquet(splitDir)
-      val wave = new java.io.File(splitDir).listFiles()
-        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
-      wave.foreach(f =>
-        require(f.setLastModified(1000000000000L + b * 60000L),
-          s"cannot set mtime on $f; file-replay order would be undefined"))
-      seen ++= wave.map(_.getName)
+    // resume idempotence: a re-run over an existing work dir (the
+    // crash-recovery path — SinkSpec's restart shape) must not re-append
+    // the waves; the checkpoint resumes over the original files
+    if (!new java.io.File(splitDir).exists()) {
+      var seen = Set.empty[String]
+      (0 until SplitFiles).foreach { b =>
+        src.filter(pmod(col(splitKey), lit(SplitFiles)) === b)
+          .coalesce(1).write.mode("append").parquet(splitDir)
+        val wave = new java.io.File(splitDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
+        wave.foreach(f =>
+          require(f.setLastModified(1000000000000L + b * 60000L),
+            s"cannot set mtime on $f; file-replay order would be undefined"))
+        seen ++= wave.map(_.getName)
+      }
     }
     val session = spark.newSession()
     val q = session.readStream

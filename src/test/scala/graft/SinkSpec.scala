@@ -33,8 +33,8 @@ class SinkSpec extends AnyFunSuite {
   }
 
   test("a partials pipeline killed mid-batch resumes from its checkpoint exactly-once") {
-    // The crash shape every foreachBatch store pipeline (d12, x8–x13,
-    // p2/p3, s11) must survive: the job dies DURING a batch — possibly
+    // The crash shape every foreachBatch store pipeline (d12, s11–s16,
+    // s20, p2/p3/p6, x8–x17) must survive: the job dies DURING a batch — possibly
     // after a torn partial write — and the restarted job must (a) not
     // reprocess committed batches, (b) redo the failed batch from the
     // checkpoint, overwriting any torn output, and (c) end with the

@@ -599,6 +599,32 @@ class StreamEquivSpec extends AnyFunSuite {
       s"manifest rows came from ${batches.size} batch(es) — nothing incremental")
   }
 
+  test("p6 crash between the manifest and keys writes: the resumed run heals the torn two-store state") {
+    // SinkSpec proves single-store per-batch-overwrite redo safety; p6
+    // writes TWO dependent stores per batch (manifest, then digest
+    // keys), so a crash between them is a NEW tear shape: the batch's
+    // manifest row exists but its digests are unregistered. The resumed
+    // run redoes the batch from the checkpoint — priorKeys prunes to
+    // batch_id < current, so the torn state is invisible to the redo —
+    // and must end row-identical to the from-scratch derivation.
+    val work = java.nio.file.Files.createTempDirectory("graft_p6crash_").toString
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.IncrementalExport
+        .p6WithBatchCount(spark, sf, crashAt = Some(2L), workDir = Some(work))
+    }
+    // the tear really happened: batch 2's manifest landed, its keys did not
+    assert(new java.io.File(s"$work/manifest/batch_id=2").exists(),
+      "crash fired before the manifest write — the tear under test never formed")
+    assert(!new java.io.File(s"$work/keys/batch_id=2").exists(),
+      "keys for the dying batch exist — the crash seam is after both writes")
+    val (resumed, nBatches) = graft.streaming.IncrementalExport
+      .p6WithBatchCount(spark, sf, workDir = Some(work))
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles)
+    assert(rows(resumed) ==
+      rows(graft.streaming.IncrementalExport.p6BatchTwin(spark, sf)),
+      "resumed export diverged from the from-scratch derivation — the torn state leaked")
+  }
+
   test("x16 streaming top-k: store-served ≡ batch twin, candidates recover the exact top-K, estimates overcount") {
     import org.apache.spark.sql.functions.col
     val (streamDf, nBatches) =
