@@ -97,7 +97,9 @@ object ScaleCheck {
     // vs a key-pruned store + a per-(batch, source) packing exchange
     "p6_incremental_export",
     // the growth read: sketch-store triangle join, corpus-size-free serve
-    "x17_stream_growth")
+    "x17_stream_growth",
+    // the BMP-family audit: header probes only, m11's class
+    "m12_bmp_audit")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

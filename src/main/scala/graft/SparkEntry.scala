@@ -130,6 +130,7 @@ object SparkEntry {
     "m9_video_frame_sample" -> (MultimodalOps.m9VideoFrameSample _),
     "m10_wav_thumbnail" -> (MultimodalOps.m10WavThumbnail _),
     "m11_wav_audit" -> (MultimodalOps.m11WavAudit _),
+    "m12_bmp_audit" -> (MultimodalOps.m12BmpAudit _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -1431,6 +1432,19 @@ object SparkEntry {
          |SELECT outcome, CAST(count(*) AS BIGINT) AS n_docs,
          |CAST(sum(CASE WHEN outcome = 'ok' THEN n ELSE 0 END) AS BIGINT) AS data_bytes
          |FROM c GROUP BY outcome ORDER BY outcome""".stripMargin
+    },
+    // m12: m11's audit prediction for the BMP family — ok pixel mass is
+    // width × height from the build rule's closed form
+    "m12_bmp_audit" -> {
+      val m = MultimodalOps.BmpCorruptMod
+      val bm = MultimodalOps.BmpBadMagicResidue
+      val ov = MultimodalOps.BmpOverrunResidue
+      s"""WITH c AS (SELECT doc_id, 16 + doc_id % 17 AS w, octet_length(encode(text)) AS n,
+         |  CASE WHEN doc_id % $m = $bm THEN 'bad_magic' WHEN doc_id % $m = $ov THEN 'overrun' ELSE 'ok' END AS outcome FROM documents),
+         |d AS (SELECT doc_id, outcome, w * greatest((n + w - 1) // w, 1) AS px FROM c)
+         |SELECT outcome, CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(sum(CASE WHEN outcome = 'ok' THEN px ELSE 0 END) AS BIGINT) AS px_total
+         |FROM d GROUP BY outcome ORDER BY outcome""".stripMargin
     },
     // every parsed BMP field from its closed form; pixel_sum from the raw
     // bytes (hex-nibble recovery — DuckDB substring can't slice BLOBs),

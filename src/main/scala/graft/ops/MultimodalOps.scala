@@ -910,6 +910,80 @@ object MultimodalOps {
       .orderBy("outcome")
   }
 
+  /** m12's corruption modulus and residues — a different modulus from
+    * m11's so the two audits corrupt different doc subsets (the two
+    * codec guards are exercised independently). */
+  val BmpCorruptMod = 19
+  val BmpBadMagicResidue = 3
+  val BmpOverrunResidue = 7
+
+  /** Apply m12's corruption rule to a built BMP: residue
+    * [[BmpBadMagicResidue]] flips the 'B' magic; residue
+    * [[BmpOverrunResidue]] inflates the DIB header's declared image
+    * size (LE u32 at byte 34) so the pixel array overruns the file. */
+  private[graft] def corruptBmp(docId: Long, bmp: Array[Byte]): Array[Byte] = {
+    val out = bmp.clone()
+    if (docId % BmpCorruptMod == BmpBadMagicResidue) {
+      out(0) = 'X'.toByte
+    } else if (docId % BmpCorruptMod == BmpOverrunResidue) {
+      val buf = java.nio.ByteBuffer.wrap(out)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(34, buf.getInt(34) + 1000000)
+    }
+    out
+  }
+
+  /** Classify one BMP through the REAL parser — m11's audit kernel for
+    * the second codec family (fixed strided headers vs RIFF's walked
+    * chunks): 'ok' with the logical pixel count, or the parser's own
+    * stated rejection. */
+  private[graft] def auditBmp(bytes: Array[Byte]): (String, Long) =
+    try { val m = parseBmp(bytes); ("ok", m.width * m.height) }
+    catch {
+      case e: IllegalArgumentException =>
+        val msg = Option(e.getMessage).getOrElse("")
+        val reason =
+          if (msg.contains("not a BMP")) "bad_magic"
+          else if (msg.contains("overruns file")) "overrun"
+          else "other"
+        (reason, 0L)
+    }
+
+  /** m12: m11's malformed-media audit applied to the SECOND codec
+    * family — the guard's classification logic proven against a
+    * structurally different container (fixed LE headers + declared
+    * offsets vs RIFF's chunk walk), with a different corruption subset
+    * (mod [[BmpCorruptMod]]), so the two audits cannot pass by
+    * accident of shared layout. Ledger: per parser outcome, doc count
+    * and total LOGICAL pixel mass of decodable images. Oracle replays
+    * the corruption rule's closed form (pixel mass = width × height
+    * with width from doc_id and height from the byte count per the
+    * stride build rule).
+    *
+    * Scale shape: identical to m11 — one narrow header-probe map per
+    * object, a reject costs only the probe, and the ledger aggregation
+    * is 3 rows. */
+  def m12BmpAudit(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("outcome", StringType),
+      StructField("n_docs", LongType),
+      StructField("px_total", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bmp = corruptBmp(id, buildBmp(id, r.getAs[Array[Byte]](1)))
+          val (outcome, px) = auditBmp(bmp)
+          Row(outcome, 1L, px)
+        }
+      }(enc)
+      .groupBy("outcome")
+      .agg(sum("n_docs").as("n_docs"), sum("px_total").as("px_total"))
+      .orderBy("outcome")
+  }
+
   /** m1: metadata + content-hash projection over the media table —
     * the oracle-checkable slice of the multimodal path. */
   def m1MultimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -676,6 +676,20 @@ class InvariantSpec extends AnyFunSuite {
       s"ok byte mass ${audit("ok")._2} != clean payload total $cleanBytes")
   }
 
+  test("m12 BMP audit outcomes partition the corpus and every reject branch fires") {
+    val audit = MultimodalOps.m12BmpAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit.values.map(_._1).sum == nDocs,
+      s"audit rows sum to ${audit.values.map(_._1).sum}, corpus has $nDocs")
+    // both BMP reject branches genuinely fired — the guard's logic is
+    // proven against the second codec's own failure modes, on a
+    // different corrupted subset than m11's (mod 19 vs mod 17)
+    assert(audit.contains("bad_magic") && audit("bad_magic")._1 > 0)
+    assert(audit.contains("overrun") && audit("overrun")._1 > 0)
+    assert(!audit.contains("other"), "a reject fell through classification")
+    assert(audit("bad_magic")._2 == 0L && audit("overrun")._2 == 0L)
+  }
+
   test("s19 radius search: every match clears τ, and it agrees with s3's ranked view") {
     val radius = SimilarityOps.s19AnnRadius(spark, sf).cache()
     try {
