@@ -1057,23 +1057,26 @@ object SparkEntry {
          |md5(string_agg(s, ' ' ORDER BY u, doc_id)) AS pack_md5
          |FROM kt GROUP BY 1 ORDER BY oshard""".stripMargin,
     // p6's incremental manifest from the membership rule's closed form:
-    // first arrival = smallest (batch, doc_id) per digest among eligible
-    // docs — re-deriving every manifest row from scratch IS the
-    // incremental ≡ from-scratch claim, digests included
+    // first arrival = lexicographically smallest (batch, doc_id) per
+    // digest among eligible docs (ORDER BY bid, doc_id — no packed-key
+    // width assumption), packed per (batch, source, shard) with p4's
+    // ShardDocs bound — re-deriving every manifest row from scratch IS
+    // the incremental ≡ from-scratch claim, digests included
     "p6_incremental_export" -> {
       val m = graft.streaming.StreamSketch.SplitFiles
       s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
          |$funnelHeadCtes,
-         |e6 AS (SELECT fl.*, doc_id % $m AS bid, (doc_id % $m) * 4294967296 + doc_id AS akey FROM fl WHERE NOT is_eval AND q),
-         |k6 AS (SELECT e6.*, min(akey) OVER (PARTITION BY norm_key) AS first_key FROM e6),
-         |kept AS (SELECT doc_id, source, bid FROM k6 WHERE akey = first_key),
-         |kt AS (SELECT kept.bid, kept.source, kept.doc_id, array_to_string(t.ts, ' ') AS s, len(t.ts) AS n_tok
+         |e6 AS (SELECT fl.*, doc_id % $m AS bid FROM fl WHERE NOT is_eval AND q),
+         |k6 AS (SELECT e6.*, row_number() OVER (PARTITION BY norm_key ORDER BY bid, doc_id) AS arn FROM e6),
+         |kept AS (SELECT doc_id, source, bid FROM k6 WHERE arn = 1),
+         |kt AS (SELECT kept.bid, kept.source, kept.doc_id // ${TextOps.ShardDocs} AS shard, kept.doc_id, array_to_string(t.ts, ' ') AS s, len(t.ts) AS n_tok
          |  FROM kept JOIN tok t ON t.doc_id = kept.doc_id WHERE len(t.ts) > 0)
-         |SELECT CAST(bid AS BIGINT) AS batch_id, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |SELECT CAST(bid AS BIGINT) AS batch_id, source, CAST(shard AS BIGINT) AS shard,
+         |CAST(count(*) AS BIGINT) AS n_docs,
          |CAST(sum(n_tok) AS BIGINT) AS n_tok,
          |CAST((sum(n_tok) + ${TextOps.SeqTokens - 1}) // ${TextOps.SeqTokens} AS BIGINT) AS n_seqs,
          |md5(string_agg(s, ' ' ORDER BY doc_id)) AS pack_md5
-         |FROM kt GROUP BY 1, 2 ORDER BY batch_id, source""".stripMargin
+         |FROM kt GROUP BY 1, 2, 3 ORDER BY batch_id, source, shard""".stripMargin
     },
     // the stream ledger must equal the BATCH derivation of its stages —
     // same funnel-head CTEs as p1, minus the near-dup/contam tail

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 import graft.io.Sources
 import graft.ops.{PipelineOps, TextOps}
@@ -27,31 +27,36 @@ import graft.ops.{PipelineOps, TextOps}
   *      near-dup/contam tail stages compose orthogonally via p3's
   *      proven online machinery and are deliberately out of this
   *      gate's scope — p6 adds the EXPORT mechanics);
-  *   3. pack the batch's kept documents into per-(batch, source)
-  *      export shards in doc_id order and append ONE manifest row per
-  *      shard — (source, doc count, token count, t13-geometry sequence
-  *      count, packed-stream digest), the row a training writer ships;
+  *   3. pack the batch's kept documents into per-(batch, source,
+  *      shard) export shards in doc_id order — p4's `shard =
+  *      ⌊doc_id / ShardDocs⌋` bound, so no single pack group ever
+  *      concatenates more than [[TextOps.ShardDocs]] docs even when a
+  *      production batch is one source's whole day — and append ONE
+  *      manifest row per shard: (source, shard, doc count, token
+  *      count, t13-geometry sequence count, packed-stream digest), the
+  *      row a training writer ships;
   *   4. append the batch's new digests (anti-joined — the store stays
   *      a set).
   *
   * Batch membership is the windowed gates' DATA rule (`doc_id mod
   * [[StreamSketch.SplitFiles]]`, waves written mtime-ascending), so
-  * first arrival means smallest (batch, doc_id) — closed-form in
-  * doc_id — and the whole incremental run has an exact from-scratch
-  * replay: the DuckDB oracle re-derives every manifest row from the
-  * membership rule, which IS the incremental ≡ from-scratch claim,
-  * checked row-for-row including digests. StreamEquivSpec additionally
-  * pins the engine-side batch twin, that every batch contributed
-  * manifest rows, and manifest conservation (manifest totals ≡ the
-  * kept set's totals).
+  * first arrival means the lexicographically smallest (batch, doc_id)
+  * — closed-form in doc_id — and the whole incremental run has an
+  * exact from-scratch replay: the DuckDB oracle re-derives every
+  * manifest row from the membership rule, which IS the incremental ≡
+  * from-scratch claim, checked row-for-row including digests.
+  * StreamEquivSpec additionally pins the engine-side batch twin, that
+  * every batch contributed manifest rows, and manifest conservation
+  * (manifest totals ≡ the kept set's totals).
   *
   * Scale design: per-batch cost is batch-sized flagging plus one
   * digest-keyed join against the key-pruned store (32-byte keys, never
-  * text) and a packing exchange bounded per (batch, source) shard;
-  * the manifest grows by shards-per-batch tiny rows. Nothing ever
-  * reprocesses shipped batches — the defining property of the motion —
-  * and a retried batch overwrites its own directory idempotently
-  * (store reads prune to `batch_id < current`).
+  * text) and a packing exchange bounded per (batch, source, shard) —
+  * the [[packShards]] group carries p4's ShardDocs cap, PlanSpec-locked
+  * on the shared pack stage; the manifest grows by shards-per-batch
+  * tiny rows. Nothing ever reprocesses shipped batches — the defining
+  * property of the motion — and a retried batch overwrites its own
+  * directory idempotently (store reads prune to `batch_id < current`).
   */
 object IncrementalExport {
 
@@ -76,9 +81,37 @@ object IncrementalExport {
     }
     val result = spark.read.parquet(manifest)
       .select(col("batch_id").cast("long").as("batch_id"), col("source"),
-        col("n_docs"), col("n_tok"), col("n_seqs"), col("pack_md5"))
-      .orderBy("batch_id", "source")
+        col("shard"), col("n_docs"), col("n_tok"), col("n_seqs"), col("pack_md5"))
+      .orderBy("batch_id", "source", "shard")
     (result, nBatches)
+  }
+
+  /** The shared pack stage — p4's curate-then-pack move scoped to a kept
+    * set: join the kept (doc_id, source[, batch_id]) rows to their token
+    * streams, bound every group with p4's `shard = ⌊doc_id/ShardDocs⌋`
+    * key, and emit one manifest row per (keys..., source, shard) with
+    * the doc/token/sequence counts and the packed-stream digest. ONE
+    * hash exchange on the full group key; per-group concat is ≤
+    * [[TextOps.ShardDocs]] docs by construction. Used verbatim by the
+    * per-batch pack ([[processBatch]]) and the from-scratch twin
+    * ([[p6BatchTwin]]), so PlanSpec's bounded-pack lock on the twin
+    * covers the streaming path too. */
+  private[graft] def packShards(kept: DataFrame, toks: DataFrame,
+                                extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys: Seq[Column] = (extraKeys :+ "source" :+ "shard").map(col)
+    kept.join(toks, Seq("doc_id"))
+      .withColumn("shard", floor(col("doc_id") / lit(TextOps.ShardDocs)).cast("long"))
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tok"),
+        array_sort(collect_list(struct(col("doc_id"), col("s")))).as("a"))
+      .withColumn("n_seqs",
+        floor((col("n_tok") + lit(TextOps.SeqTokens - 1)) / lit(TextOps.SeqTokens)).cast("long"))
+      .withColumn("pack_md5",
+        md5(concat_ws(" ", transform(col("a"), x => x.getField("s")))))
+      .select((extraKeys ++ Seq("source", "shard", "n_docs", "n_tok", "n_seqs", "pack_md5"))
+        .map(col): _*)
   }
 
   private def processBatch(batch: DataFrame, batchId: Long,
@@ -95,30 +128,19 @@ object IncrementalExport {
         spark.createDataFrame(new java.util.ArrayList[Row](), keySchema)
     // first-arrival-wins: a digest seen in ANY earlier batch drops the
     // doc; within the batch the smallest doc_id keeps (together: the
-    // smallest (batch, doc_id) — the closed-form rule the oracle replays)
+    // lexicographically smallest (batch, doc_id) — the closed-form rule
+    // the oracle replays)
     val kept = elig
       .withColumn("min_id", min("doc_id").over(Window.partitionBy("norm_key")))
       .join(priorKeys.select(col("norm_key"), lit(true).as("seen")), Seq("norm_key"), "left")
       .filter(!coalesce(col("seen"), lit(false)) && col("doc_id") === col("min_id"))
       .select("doc_id", "source")
-    // pack the batch's kept docs per source, doc_id order — p4's
-    // digest-the-stream move, scoped to this batch's shard
     val toks = batch
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) > 0)
       .select(col("doc_id"), concat_ws(" ", col("ts")).as("s"),
         size(col("ts")).cast("long").as("n_tok"))
-    kept.join(toks, Seq("doc_id"))
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tok").as("n_tok"),
-        array_sort(collect_list(struct(col("doc_id"), col("s")))).as("a"))
-      .withColumn("n_seqs",
-        floor((col("n_tok") + lit(TextOps.SeqTokens - 1)) / lit(TextOps.SeqTokens)).cast("long"))
-      .withColumn("pack_md5",
-        md5(concat_ws(" ", transform(col("a"), x => x.getField("s")))))
-      .select("source", "n_docs", "n_tok", "n_seqs", "pack_md5")
+    packShards(kept, toks)
       .write.mode("overwrite").parquet(s"$manifest/batch_id=$batchId")
     // crash seam: dying HERE leaves the manifest written but the batch's
     // digests unregistered — the torn two-store state the redo must heal
@@ -130,10 +152,12 @@ object IncrementalExport {
   }
 
   /** The from-scratch twin over the membership rule: kept = the
-    * smallest (batch, doc_id) of each digest among eligible docs,
-    * packed per (batch, source) — equal to the incremental manifest
-    * row-for-row (the append-only claim in engine form; the DuckDB
-    * oracle re-derives the same thing in SQL). */
+    * lexicographically smallest (batch, doc_id) of each digest among
+    * eligible docs — compared as a (bid, doc_id) STRUCT, never a packed
+    * integer, so no doc_id-width assumption sneaks in — packed per
+    * (batch, source, shard) via the shared [[packShards]] stage; equal
+    * to the incremental manifest row-for-row (the append-only claim in
+    * engine form; the DuckDB oracle re-derives the same thing in SQL). */
   private[graft] def p6BatchTwin(spark: SparkSession, dir: String): DataFrame = {
     val m = StreamSketch.SplitFiles
     val docs = Sources.table(spark, dir, "documents")
@@ -141,26 +165,16 @@ object IncrementalExport {
     val flagged = PipelineOps.headFlags(docs)
       .withColumn("bid", pmod(col("doc_id"), lit(m)).cast("long"))
     val elig = flagged.filter(!col("is_eval") && col("q"))
-      .withColumn("akey", col("bid") * lit(4294967296L) + col("doc_id"))
+      .withColumn("akey", struct(col("bid"), col("doc_id")))
       .withColumn("first_key", min("akey").over(Window.partitionBy("norm_key")))
     val kept = elig.filter(col("akey") === col("first_key"))
-      .select("doc_id", "source", "bid")
+      .select(col("doc_id"), col("source"), col("bid").as("batch_id"))
     val toks = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) > 0)
       .select(col("doc_id"), concat_ws(" ", col("ts")).as("s"),
         size(col("ts")).cast("long").as("n_tok"))
-    kept.join(toks, Seq("doc_id"))
-      .groupBy(col("bid").as("batch_id"), col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tok").as("n_tok"),
-        array_sort(collect_list(struct(col("doc_id"), col("s")))).as("a"))
-      .withColumn("n_seqs",
-        floor((col("n_tok") + lit(TextOps.SeqTokens - 1)) / lit(TextOps.SeqTokens)).cast("long"))
-      .withColumn("pack_md5",
-        md5(concat_ws(" ", transform(col("a"), x => x.getField("s")))))
-      .select("batch_id", "source", "n_docs", "n_tok", "n_seqs", "pack_md5")
-      .orderBy("batch_id", "source")
+    packShards(kept, toks, extraKeys = Seq("batch_id"))
+      .orderBy("batch_id", "source", "shard")
   }
 }

@@ -384,6 +384,18 @@ class PlanSpec extends AnyFunSuite {
       "packing lost its (source, shard) exchange — per-shard concat would be global")
   }
 
+  test("p6 pack carries p4's shard bound: one exchange keyed on (batch, source, shard)") {
+    // the per-batch pack and the from-scratch twin share the SAME
+    // packShards stage (IncrementalExport.packShards), so locking the
+    // twin's plan locks the streaming path's pack too: the group key
+    // must include the ShardDocs shard — without it, one source's whole
+    // batch concatenates in a single task (the r10 scale-killer)
+    val plan = finalPlan(graft.streaming.IncrementalExport.p6BatchTwin(spark, sf))
+    assertNoBlowupJoin(plan, "p6")
+    assert("hashpartitioning\\(batch_id[^)]*shard".r.findFirstIn(plan).isDefined,
+      "p6 pack exchange lost its shard key — a (batch, source) group is unbounded")
+  }
+
   test("s18 filtered probe keeps s3's equi-join shape — the tenant key adds no blowup") {
     // filtered vector search must stay candidate generation by equi-join:
     // the metadata predicate rides the (cell, tenant) join key, it never

@@ -597,6 +597,16 @@ class StreamEquivSpec extends AnyFunSuite {
     val batches = streamDf.select("batch_id").collect().map(_.getLong(0)).toSet
     assert(batches.size >= 2,
       s"manifest rows came from ${batches.size} batch(es) — nothing incremental")
+    // the shard bound is observable, not just planned: no manifest row
+    // packs more than ShardDocs docs (p4's cap, now shared by p6), and
+    // the shard key genuinely splits at least one (batch, source) group
+    val perRow = streamDf.select("n_docs").collect().map(_.getLong(0))
+    assert(perRow.forall(_ <= graft.ops.TextOps.ShardDocs),
+      s"a manifest row packs ${perRow.max} docs — beyond the ShardDocs bound")
+    val groups = streamDf.select("batch_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(groups.length > groups.distinct.length,
+      "no (batch, source) group spans multiple shards — the bound is untested here")
   }
 
   test("p6 crash between the manifest and keys writes: the resumed run heals the torn two-store state") {
