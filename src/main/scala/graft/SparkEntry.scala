@@ -1407,7 +1407,7 @@ object SparkEntry {
       val t = MultimodalOps.AudioThumb
       s"""WITH g AS (SELECT doc_id, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h, (1 + doc_id % 2) AS ch FROM documents),
          |d AS (SELECT doc_id, n, h, ch, 2 * ch AS ba, n // (2 * ch) AS nf FROM g),
-         |s AS (SELECT doc_id, h, ba, nf, unnest(range($t)) AS k FROM d),
+         |s AS (SELECT doc_id, h, ba, nf, unnest(range($t)) AS k FROM d WHERE nf >= 1),
          |v AS (SELECT doc_id, nf, k,
          |  (strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba)+1 AS INT), 1)) - 1) * 16
          |  + strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba)+2 AS INT), 1)) - 1 AS lo,
@@ -1415,12 +1415,15 @@ object SparkEntry {
          |  + strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba+1)+2 AS INT), 1)) - 1 AS hi,
          |  substring(h, CAST(2*(k*nf//$t*ba)+1 AS INT), 4) AS bh
          |  FROM s),
-         |a AS (SELECT doc_id, nf,
+         |a AS (SELECT doc_id,
          |  sum(CASE WHEN lo + 256*hi >= 32768 THEN lo + 256*hi - 65536 ELSE lo + 256*hi END) AS ssum,
          |  md5(string_agg(bh, '' ORDER BY k)) AS tmd5
-         |  FROM v GROUP BY doc_id, nf)
-         |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames, CAST($t AS BIGINT) AS thumb_n,
-         |CAST(ssum AS BIGINT) AS sample_sum, tmd5 AS thumb_md5 FROM a ORDER BY media_id""".stripMargin
+         |  FROM v GROUP BY doc_id)
+         |SELECT d.doc_id AS media_id, CAST(d.nf AS BIGINT) AS n_frames,
+         |CAST(CASE WHEN d.nf >= 1 THEN $t ELSE 0 END AS BIGINT) AS thumb_n,
+         |CAST(coalesce(a.ssum, 0) AS BIGINT) AS sample_sum,
+         |coalesce(a.tmd5, md5('')) AS thumb_md5
+         |FROM d LEFT JOIN a ON a.doc_id = d.doc_id ORDER BY media_id""".stripMargin
     },
     // m11's audit ledger from the corruption rule's closed form — the
     // gate's claim is precisely that the real parser's classification

@@ -762,7 +762,11 @@ object MultimodalOps {
     val (meta, dataOff) = walkWav(bytes)
     val ba = (meta.nChannels * (meta.bitDepth / 8)).toInt
     val nf = meta.dataBytes / ba
-    require(nf >= 1, s"no complete frame in ${meta.dataBytes}-byte data chunk")
+    // a payload shorter than one block-align has no complete frame: the
+    // defined result is an EMPTY thumbnail (nf = 0, zero slots), the
+    // m11 philosophy — classify the degenerate container, never abort
+    // the whole gate over one object
+    if (nf < 1) return (0L, Array.emptyIntArray)
     val out = new Array[Int](AudioThumb)
     var k = 0
     while (k < AudioThumb) {
@@ -811,15 +815,17 @@ object MultimodalOps {
           val (nf, samples) = decodeWavThumb(wav)
           var sum = 0L
           samples.foreach(sum += _)
-          // digest over the decoded byte pairs exactly as read (LE order)
-          val raw = new Array[Byte](2 * AudioThumb)
+          // digest over the decoded byte pairs exactly as read (LE
+          // order); a sub-frame payload yields the empty thumbnail —
+          // zero slots, md5 of zero bytes — never an aborted gate
+          val raw = new Array[Byte](2 * samples.length)
           var k = 0
-          while (k < AudioThumb) {
+          while (k < samples.length) {
             raw(2 * k) = (samples(k) & 0xff).toByte
             raw(2 * k + 1) = ((samples(k) >> 8) & 0xff).toByte
             k += 1
           }
-          Row(id, nf, AudioThumb.toLong, sum, hexDigest(md, raw))
+          Row(id, nf, samples.length.toLong, sum, hexDigest(md, raw))
         }
       }(enc)
       .orderBy("media_id")

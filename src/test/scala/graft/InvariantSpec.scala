@@ -668,12 +668,32 @@ class InvariantSpec extends AnyFunSuite {
     // rejects carry zero decodable bytes; ok mass equals the clean docs'
     // total payload
     assert(audit("bad_magic")._2 == 0L && audit("overrun")._2 == 0L)
+    // BYTE length (octet_length of the UTF-8 payload), not character
+    // length — the audit reports the data chunk's byte mass, and the
+    // two only coincide on ASCII-only fixtures
     val cleanBytes = Sources.table(spark, sf, "documents")
       .filter(!(col("doc_id") % MultimodalOps.CorruptMod)
         .isin(MultimodalOps.BadMagicResidue, MultimodalOps.OverrunResidue))
-      .agg(sum(length(col("text")))).collect()(0).getLong(0)
+      .agg(sum(octet_length(col("text")))).collect()(0).getLong(0)
     assert(audit("ok")._2 == cleanBytes,
       s"ok byte mass ${audit("ok")._2} != clean payload total $cleanBytes")
+  }
+
+  test("m10 sub-frame payload decodes to the defined empty thumbnail, not an abort") {
+    // a payload shorter than one block-align (here 1 byte against a
+    // 2-channel/16-bit block align of 4) has no complete frame; the
+    // decoder must classify it — nf = 0, zero slots — the way m11
+    // classifies malformed containers, never throw and kill the gate
+    val wav = MultimodalOps.buildWav(1L, "xx", Array[Byte](7)) // doc_id 1 → 2 channels, ba = 4
+    val (nf, samples) = MultimodalOps.decodeWavThumb(wav)
+    assert(nf == 0L, s"sub-frame payload reported $nf frames")
+    assert(samples.isEmpty, s"sub-frame payload produced ${samples.length} slots")
+    // and a one-complete-frame payload still thumbnails normally (every
+    // slot maps to frame 0) — the boundary just above the guard
+    val (nf1, s1) = MultimodalOps.decodeWavThumb(
+      MultimodalOps.buildWav(2L, "xx", Array[Byte](1, 2))) // doc_id 2 → 1 channel, ba = 2
+    assert(nf1 == 1L && s1.length == MultimodalOps.AudioThumb)
+    assert(s1.distinct.length == 1, "all slots of a 1-frame payload must read frame 0")
   }
 
   test("m12 BMP audit outcomes partition the corpus and every reject branch fires") {

@@ -562,9 +562,15 @@ class StreamEquivSpec extends AnyFunSuite {
       val sorted = rs.sortBy(_.getLong(0))
       assert(sorted.map(_.getLong(2)).sum == sorted.last.getLong(3),
         s"$t: approx_new does not telescope to the final cumulative estimate")
-      // monotone: a union can never shrink
-      assert(sorted.map(_.getLong(3)).sliding(2).forall(p => p(0) <= p(1)),
-        s"$t: cumulative estimate shrank")
+      // near-monotone: the underlying union SET only grows, but the HLL
+      // ESTIMATOR is not guaranteed monotone across its mode/register
+      // transitions — a strictly-monotone pin would be flaky on other
+      // fixtures. Allow the estimator a small dip (1% of the running
+      // estimate, min 2): a real regression (a dropped partial shrinks
+      // the union) moves far more than estimator jitter.
+      assert(sorted.map(_.getLong(3)).sliding(2).forall(p =>
+        p(1) >= p(0) - math.max(2L, math.round(0.01 * p(0)))),
+        s"$t: cumulative estimate shrank beyond estimator jitter")
     }
     // accuracy: each batch's sketch-differenced new-user count within
     // the honest inclusion–exclusion bound of the exact first-appearance
