@@ -93,6 +93,7 @@ object SparkEntry {
     "s17_ivf_retrain" -> (SimilarityOps.s17IvfRetrain _),
     "s18_ann_filtered" -> (SimilarityOps.s18AnnFiltered _),
     "s19_ann_radius" -> (SimilarityOps.s19AnnRadius _),
+    "s21_ann_bulk_probe" -> (SimilarityOps.s21AnnBulkProbe _),
     "s20_stream_radius_alert" ->
       (graft.streaming.StreamAnnIngest.s20StreamRadiusAlert _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
@@ -1194,6 +1195,20 @@ object SparkEntry {
     // s19 shares s3's candidate chain; only the final read differs
     // (radius predicate instead of the rank window)
     "s19_ann_radius" -> radiusIvfSql,
+    // s21: s3's assignment chain with EVERY vector as a query — the
+    // within-cell pair join is two-sided (no broadcast side exists),
+    // top-1 read as rank 1 under (c DESC, n_id ASC), matching the
+    // engine's (cosine, -n_id) struct max tie-break
+    "s21_ann_bulk_probe" ->
+      s"""WITH $embCte,
+         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+         |ac AS (SELECT n.vec_id, n.v, n.nrm, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+         |ar AS (SELECT vec_id, v, nrm, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+         |asn AS (SELECT vec_id, v, nrm, cell FROM ar WHERE arn = 1),
+         |p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS c
+         |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, n_id, round(c, 4) AS cos_sim FROM r WHERE rnk = 1 ORDER BY q_id""".stripMargin,
     // s20 is s19 raised incrementally at arrival time — the union of the
     // per-batch alert ledgers must BE the batch radius answer, so the
     // oracle is s19's shared string (the s11 ≡ s3 move for the radius)

@@ -1204,4 +1204,49 @@ object SimilarityOps {
         (col("proto_rank") > floor(col("n") / ProtoPruneDen)).as("kept"))
       .orderBy("vec_id")
   }
+
+  /** s21 bulk ANN probe: every corpus vector's nearest corpus neighbour
+    * — the OTHER production retrieval motion. s3 through s20 serve the
+    * ONLINE shape (a handful of queries broadcast against the inverted
+    * lists); batch inference inverts the cardinalities: the query set
+    * IS the corpus ("nearest neighbour for every document" — the read
+    * behind corpus-wide mining, link-prediction features, or d5-style
+    * similarity joins), so broadcasting the query side is impossible at
+    * 100 TB. Both sides take the same narrow quantizer assignment, then
+    * meet on a SHUFFLE-HASH cell equi-join — d5/d15's two-sided shape
+    * lifted to the probe family: no broadcast of either vector side
+    * (the only broadcast in the plan is the kilobyte centroid-array
+    * literal), one data exchange keyed on cell.
+    *
+    * The top-1 read is a map-side-combinable MAX of a (cosine, -n_id)
+    * struct — deliberately NOT the rank window the online probes use: a
+    * per-query row_number would re-exchange and sort the full candidate
+    * pair set by q_id, while the struct max folds each query's
+    * candidates down to one row inside the cell partition before any
+    * second exchange (partial_max; the q_id exchange then moves one row
+    * per query, not one per pair). Ties break to the smaller n_id,
+    * matching the oracle's (c DESC, n_id ASC) rank.
+    *
+    * Scale shape: pair work is Σ cell² — bounded by the same
+    * k-scales-with-corpus quantizer rule d15 runs under (cells stay
+    * ~constant-sized, so the join is linear in corpus size); in
+    * production the corpus side reads its STORED cell assignment
+    * (s11's index store) and only the query-role scan pays the narrow
+    * assignment map. PlanSpec locks: ShuffledHashJoin on cell, no
+    * BroadcastHashJoin, no Window, partial_max present. */
+  def s21AnnBulkProbe(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = assignCells(normed(spark, dir), ivfSeedCentroids(normed(spark, dir)))
+    val corpus = assigned
+      .select(col("cell"), col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val queries = assigned
+      .select(col("cell"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = queries.hint("shuffle_hash").join(corpus, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("c", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+    pairs
+      .groupBy("q_id")
+      .agg(max(struct(col("c"), (-col("n_id")).as("ni"), col("n_id"))).as("b"))
+      .select(col("q_id"), col("b.n_id").as("n_id"), r4(col("b.c")).as("cos_sim"))
+      .orderBy("q_id")
+  }
 }

@@ -710,6 +710,27 @@ class InvariantSpec extends AnyFunSuite {
     assert(audit("bad_magic")._2 == 0L && audit("overrun")._2 == 0L)
   }
 
+  test("s21 bulk probe generalizes the online probe: s3's rank-1 rows are a restriction of s21") {
+    // the bulk read answers every vector; restricted to s3's query set
+    // (label = 1) it must reproduce the online probe's nearest
+    // neighbour exactly — same quantizer, same cells, same tie-break
+    val bulk = SimilarityOps.s21AnnBulkProbe(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val online = SimilarityOps.s3AnnIvf(spark, sf)
+      .filter(col("rnk") === 1).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+    assert(online.nonEmpty)
+    online.foreach { case (q, (n, c)) =>
+      assert(bulk.get(q).contains((n, c)),
+        s"query $q: online probe found ($n, $c), bulk probe found ${bulk.get(q)}")
+    }
+    // and the bulk answer is genuinely corpus-wide, not the query subset
+    val nVecs = Sources.table(spark, sf, "embeddings").count()
+    assert(bulk.size > online.length,
+      "bulk probe answered only the online query set")
+    assert(bulk.size <= nVecs)
+  }
+
   test("s19 radius search: every match clears τ, and it agrees with s3's ranked view") {
     val radius = SimilarityOps.s19AnnRadius(spark, sf).cache()
     try {

@@ -424,6 +424,28 @@ class PlanSpec extends AnyFunSuite {
       "s19 plan contains a Window — the radius read must not pay the top-k rank machinery")
   }
 
+  test("s21 bulk probe: two-sided shuffle-hash cell join, no query broadcast, no rank window") {
+    // batch retrieval's defining constraint: NEITHER vector side may
+    // broadcast (the query set is the corpus). The candidate join must
+    // be a ShuffledHashJoin keyed on cell; the only broadcast machinery
+    // allowed is the single-row centroid-array attach (a constant-size
+    // BNLJ, same as s3). The top-1 read must be the partial-aggregated
+    // struct max — a per-query rank Window would re-exchange and sort
+    // the full pair set by q_id.
+    val plan = finalPlan(SimilarityOps.s21AnnBulkProbe(spark, sf))
+    assert(plan.contains("ShuffledHashJoin"),
+      "s21 cell join is not a ShuffledHashJoin — the hint was lost")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "s21 broadcasts a vector side — impossible at corpus-scale query sets")
+    assert(!plan.contains("CartesianProduct"), "s21 plan contains CartesianProduct")
+    assert(!plan.contains("Window"),
+      "s21 plans a Window — top-1 must fold map-side, not rank the pair set")
+    assert(plan.contains("partial_max"),
+      "s21 top-1 lost its map-side partial aggregation")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      "s21 assignment shuffles the corpus by vec_id — argmax left the narrow form")
+  }
+
   test("p5 reshuffle is one oshard exchange — no global sort, no rank window") {
     // the training-order shuffle must hash-partition (shard = hash mod
     // OutShards), never rank round-robin: a global rank would need a
