@@ -157,7 +157,9 @@ object SparkEntry {
     "x14_sketch_overlap" -> (TextOps.x14SketchOverlap _),
     "x15_stream_drift" -> (graft.streaming.StreamSketch.x15StreamDrift _),
     "x16_stream_topk" -> (graft.streaming.StreamSketch.x16StreamTopk _),
-    "x17_stream_growth" -> (graft.streaming.StreamSketch.x17StreamGrowth _)
+    "x17_stream_growth" -> (graft.streaming.StreamSketch.x17StreamGrowth _),
+    "x18_retention_vacuum" ->
+      (graft.streaming.StreamSketch.x18RetentionVacuum _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -463,6 +465,30 @@ object SparkEntry {
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
        |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id)
        |SELECT q_id, n_id, round(c, 4) AS cos_sim FROM p WHERE c >= ${SimilarityOps.RadiusTau} ORDER BY q_id, n_id""".stripMargin
+
+  /** x11's windowed-histogram oracle: x9's deterministic histogram SQL
+    * over the window slice the mod-SplitFiles membership rule names.
+    * Shared verbatim by x18 (the retention vacuum serves the identical
+    * answer from the shrunken store). */
+  private def x11WindowQuantileSql: String = {
+    val m = graft.streaming.StreamSketch.SplitFiles
+    val lo = m - graft.streaming.StreamSketch.WindowBatches
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |         least(greatest(CAST(floor(value * 256.0 / 1000.0) AS BIGINT) + 1, 1), 256) AS b,
+       |         count(*) AS cnt
+       |  FROM events WHERE event_id % $m >= $lo GROUP BY 1, 2),
+       |c AS (
+       |  SELECT event_type, b, cnt,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+       |         sum(cnt) OVER (PARTITION BY event_type) AS total
+       |  FROM h)
+       |SELECT event_type,
+       |       CAST(max(total) AS BIGINT) AS n_events,
+       |       round((CAST(min(CASE WHEN cum * 2 >= total THEN b END) AS DOUBLE) - 0.5) * 3.90625, 4) AS p50_est,
+       |       round((CAST(min(CASE WHEN cum * 10 >= total * 9 THEN b END) AS DOUBLE) - 0.5) * 3.90625, 4) AS p90_est
+       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
 
   /** s12/s13's shared oracle: s3 over the surviving corpus (the delete
     * rule mirrors StreamAnnIngest.deleteRequests) with the ORIGINAL
@@ -1575,25 +1601,12 @@ object SparkEntry {
     // batch membership is a data rule (event_id mod SplitFiles, waves
     // mtime-ordered), so the window is a plain predicate over events and
     // the oracle is x9's histogram SQL over exactly that slice
-    "x11_stream_window_quantile" -> {
-      val m = graft.streaming.StreamSketch.SplitFiles
-      val lo = m - graft.streaming.StreamSketch.WindowBatches
-      s"""WITH h AS (
-        |  SELECT event_type,
-        |         least(greatest(CAST(floor(value * 256.0 / 1000.0) AS BIGINT) + 1, 1), 256) AS b,
-        |         count(*) AS cnt
-        |  FROM events WHERE event_id % $m >= $lo GROUP BY 1, 2),
-        |c AS (
-        |  SELECT event_type, b, cnt,
-        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
-        |         sum(cnt) OVER (PARTITION BY event_type) AS total
-        |  FROM h)
-        |SELECT event_type,
-        |       CAST(max(total) AS BIGINT) AS n_events,
-        |       round((CAST(min(CASE WHEN cum * 2 >= total THEN b END) AS DOUBLE) - 0.5) * 3.90625, 4) AS p50_est,
-        |       round((CAST(min(CASE WHEN cum * 10 >= total * 9 THEN b END) AS DOUBLE) - 0.5) * 3.90625, 4) AS p90_est
-        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
-    },
+    "x11_stream_window_quantile" -> x11WindowQuantileSql,
+    // x18 is x11's serve run AFTER vacuuming everything outside the
+    // window — retention is correct precisely when the serve can't see
+    // it, so the oracle is x11's SQL verbatim (the shrink itself is
+    // spec-pinned: StreamEquivSpec asserts partitions were deleted)
+    "x18_retention_vacuum" -> x11WindowQuantileSql,
     // x15's drift read from the moments store: decimal sums replay
     // exactly (the q04/q12 DECIMAL-addend precedent), batch membership
     // is x11's data rule, and mean/std/z are identical IEEE expressions

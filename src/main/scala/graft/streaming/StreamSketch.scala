@@ -384,8 +384,9 @@ object StreamSketch {
     * size AND of total stream length (older partials are partition-pruned
     * by `batch_id`, never deserialized) — where the exact twin re-sorts
     * the window's raw values per question asked. */
-  private[graft] def x11WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
-    val work = Files.createTempDirectory("graft_winquant_").toString
+  private[graft] def x11WithBatchCount(spark: SparkSession, dir: String,
+      workDir: Option[String] = None): (DataFrame, Int) = {
+    val work = workDir.getOrElse(Files.createTempDirectory("graft_winquant_").toString)
     val store = s"$work/hist"
     val events = Sources.table(spark, dir, "events")
       .select("event_id", "event_type", "value")
@@ -395,11 +396,18 @@ object StreamSketch {
           .agg(count(lit(1)).as("cnt"))
           .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
     }
-    val windowed = spark.read.parquet(store)
-      .filter(col("batch_id") >= nBatches - WindowBatches)
-      .drop("batch_id")
-    (quantilesFromHistogram(windowed), nBatches)
+    (x11Serve(spark, store, nBatches), nBatches)
   }
+
+  /** The windowed quantile serve as a standalone read over the histogram
+    * store — partition-prune to the window's batch_ids, merge, read
+    * quantiles. Extracted so the retention gate (x18) can prove the
+    * serve is unchanged by vacuuming everything OUTSIDE the window. */
+  private[graft] def x11Serve(spark: SparkSession, store: String, nBatches: Int): DataFrame =
+    quantilesFromHistogram(
+      spark.read.parquet(store)
+        .filter(col("batch_id") >= nBatches - WindowBatches)
+        .drop("batch_id"))
 
   /** The batch twin: the window's rows (named by the membership rule)
     * pushed through one histogram — equal to the pruned-store serve
@@ -454,15 +462,22 @@ object StreamSketch {
   def x12StreamWindowDistinct(spark: SparkSession, dir: String): DataFrame =
     x12WithBatchCount(spark, dir)._1
 
-  private[graft] def x12WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
-    val work = Files.createTempDirectory("graft_windist_").toString
+  private[graft] def x12WithBatchCount(spark: SparkSession, dir: String,
+      workDir: Option[String] = None): (DataFrame, Int) = {
+    val work = workDir.getOrElse(Files.createTempDirectory("graft_windist_").toString)
     val store = s"$work/sketches"
     val events = Sources.table(spark, dir, "events")
       .select("event_id", "event_type", "user_id")
     val nBatches = runWaveReplay(spark, events, "event_id", work, store) {
       (batch, batchId) => processBatch(batch, batchId, store)
     }
-    val result = spark.read.parquet(store)
+    (x12Serve(spark, store, nBatches), nBatches)
+  }
+
+  /** The windowed distinct serve as a standalone read over the HLL
+    * sketch store (x18's vacuum-invariance seam, like [[x11Serve]]). */
+  private[graft] def x12Serve(spark: SparkSession, store: String, nBatches: Int): DataFrame =
+    spark.read.parquet(store)
       .filter(col("batch_id") >= nBatches - WindowBatches)
       .drop("batch_id")
       .groupBy("event_type")
@@ -470,8 +485,6 @@ object StreamSketch {
         expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"),
         sum("n_events").as("n_events"))
       .orderBy("event_type")
-    (result, nBatches)
-  }
 
   /** The batch twin: one sketch built directly over the window's rows
     * (named by the membership rule) — equal to the pruned-store merge
@@ -507,9 +520,10 @@ object StreamSketch {
   def x13StreamWindowCms(spark: SparkSession, dir: String): DataFrame =
     x13WithBatchCount(spark, dir)._1
 
-  private[graft] def x13WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+  private[graft] def x13WithBatchCount(spark: SparkSession, dir: String,
+      workDir: Option[String] = None): (DataFrame, Int) = {
     import graft.ops.TextOps
-    val work = Files.createTempDirectory("graft_wincms_").toString
+    val work = workDir.getOrElse(Files.createTempDirectory("graft_wincms_").toString)
     val store = s"$work/counters"
     val docs = Sources.table(spark, dir, "documents").select("doc_id", "text")
     // the offline watchlist artifact: whole-corpus heavy hitters
@@ -523,11 +537,17 @@ object StreamSketch {
         cmsPartial(batch)
           .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
     }
-    val merged = spark.read.parquet(store)
+    (x13Serve(spark, work, nBatches), nBatches)
+  }
+
+  /** The windowed CMS serve as a standalone read over a built x13 work
+    * dir — watchlist + pruned counter merge (x18's vacuum seam). */
+  private[graft] def x13Serve(spark: SparkSession, work: String, nBatches: Int): DataFrame = {
+    val merged = spark.read.parquet(s"$work/counters")
       .filter(col("batch_id") >= nBatches - WindowBatches)
       .drop("batch_id")
       .groupBy("r", "bucket").agg(sum("c").as("c"))
-    (watchEstimates(spark.read.parquet(watchPath), merged), nBatches)
+    watchEstimates(spark.read.parquet(s"$work/watchlist"), merged)
   }
 
   /** The batch twin: the window's rows (named by the membership rule)
@@ -543,6 +563,72 @@ object StreamSketch {
       pmod(col("doc_id"), lit(SplitFiles)) >= SplitFiles - WindowBatches)
     watchEstimates(watch, cmsPartial(win))
   }
+
+  // ---- x18: windowed retention for the batch-partitioned stores ------
+
+  /** Retire every `batch_id=N` partition below `keepFrom` from a
+    * batch-partitioned partials store. The s17-vacuum rule applied to
+    * the STREAM stores: without retention, every per-batch append
+    * (x8–x17's sketches, p2/p3/p6's digests) grows the store for the
+    * stream's whole lifetime, even though a windowed serve
+    * (x11/x12/x13) only ever prunes to the last [[WindowBatches]]
+    * partitions — at 100 TB the store becomes an unbounded directory
+    * listing the serve pays for and never reads. Deletion is per whole
+    * partition directory (the unit the serve prunes by), so a vacuum
+    * can never split a batch: a serve sees each batch's partial either
+    * complete or not at all, and anything ≥ `keepFrom` is untouched —
+    * which is exactly why the windowed serve is byte-identical before
+    * and after (StreamEquivSpec proves it on all three store kinds).
+    * Returns the retired batch ids. */
+  private[graft] def vacuumBatches(spark: SparkSession, store: String,
+                                   keepFrom: Long): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val re = "batch_id=(\\d+)".r
+    val old = fs.listStatus(p).map(_.getPath.getName)
+      .collect { case re(b) if b.toLong < keepFrom => b.toLong }.sorted.toSeq
+    old.foreach(b =>
+      fs.delete(new org.apache.hadoop.fs.Path(store, s"batch_id=$b"), true))
+    old
+  }
+
+  def x18RetentionVacuum(spark: SparkSession, dir: String): DataFrame =
+    x18Detail(spark, dir)._1
+
+  /** x18: the retention motion as a gate — build x11's histogram store
+    * through the wave replay, VACUUM every partial older than the serve
+    * window, and answer the windowed quantile question from what
+    * remains. The result must equal x11's (the vacuum only removed
+    * partitions the serve already pruned), so the gate shares x11's
+    * oracle SQL verbatim — retention is correct precisely when it is
+    * invisible to the serve. The seam returns both serves plus the
+    * store's partition counts so the spec can assert the store
+    * genuinely shrank (a no-op "vacuum" would pass the equality alone).
+    *
+    * Scale design: this completes the store lifecycle the way s13/s17
+    * did for the ANN index — ingest (per-batch append) → windowed serve
+    * (partition-pruned read) → RETENTION (drop what the window can
+    * never read). Vacuum cost is a directory listing plus one delete
+    * per retired batch — no data is read or rewritten — and storage is
+    * thereby bounded at [[WindowBatches]] partials plus the batch in
+    * flight, instead of growing with stream lifetime. */
+  private[graft] def x18Detail(spark: SparkSession, dir: String)
+      : (DataFrame, Array[org.apache.spark.sql.Row], Seq[Long], Int, Int) = {
+    val work = Files.createTempDirectory("graft_retention_").toString
+    val store = s"$work/hist"
+    val (before, nBatches) = x11WithBatchCount(spark, dir, Some(work))
+    // materialize the pre-vacuum serve NOW — a lazy frame would re-read
+    // the store after the vacuum and make the invariance check vacuous
+    val beforeRows = before.collect()
+    val partsBefore = countBatchDirs(store)
+    val retired = vacuumBatches(spark, store, nBatches - WindowBatches)
+    val after = x11Serve(spark, store, nBatches)
+    (after, beforeRows, retired, partsBefore, countBatchDirs(store))
+  }
+
+  private def countBatchDirs(store: String): Int =
+    Option(new java.io.File(store).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
 
   // ---- x17: the growth curve from cumulative sketch unions -----------
 

@@ -641,6 +641,39 @@ class StreamEquivSpec extends AnyFunSuite {
       "resumed export diverged from the from-scratch derivation — the torn state leaked")
   }
 
+  test("x18 retention: vacuum shrinks the store and every windowed serve is byte-identical") {
+    import graft.streaming.StreamSketch
+    // the gate's own seam: histogram store — serve before ≡ serve
+    // after, partitions genuinely deleted, retired ids = the pre-window
+    // prefix
+    val (after, beforeRows, retired, nBefore, nAfter) = StreamSketch.x18Detail(spark, sf)
+    assert(rows(after) == beforeRows.map(_.toSeq.toVector).toVector,
+      "histogram serve changed across the vacuum — retention touched the window")
+    assert(retired.nonEmpty && nAfter == nBefore - retired.size,
+      s"store kept $nAfter of $nBefore partitions but retired ${retired.size}")
+    assert(retired == (0L until (StreamSketch.SplitFiles - StreamSketch.WindowBatches)),
+      s"retired $retired — not the pre-window prefix")
+    // the same invariance on the OTHER two store kinds (HLL registers,
+    // CMS counters): build, serve (materialized BEFORE the vacuum),
+    // vacuum, re-serve — byte-identical
+    val w12 = java.nio.file.Files.createTempDirectory("graft_ret12_").toString
+    val (served12, n12) = StreamSketch.x12WithBatchCount(spark, sf, Some(w12))
+    val pre12 = rows(served12)
+    val r12 = StreamSketch.vacuumBatches(spark, s"$w12/sketches",
+      n12 - StreamSketch.WindowBatches)
+    assert(r12.nonEmpty)
+    assert(rows(StreamSketch.x12Serve(spark, s"$w12/sketches", n12)) == pre12,
+      "HLL windowed serve changed across the vacuum")
+    val w13 = java.nio.file.Files.createTempDirectory("graft_ret13_").toString
+    val (served13, n13) = StreamSketch.x13WithBatchCount(spark, sf, Some(w13))
+    val pre13 = rows(served13)
+    val r13 = StreamSketch.vacuumBatches(spark, s"$w13/counters",
+      n13 - StreamSketch.WindowBatches)
+    assert(r13.nonEmpty)
+    assert(rows(StreamSketch.x13Serve(spark, w13, n13)) == pre13,
+      "CMS windowed serve changed across the vacuum")
+  }
+
   test("x16 streaming top-k: store-served ≡ batch twin, candidates recover the exact top-K, estimates overcount") {
     import org.apache.spark.sql.functions.col
     val (streamDf, nBatches) =
