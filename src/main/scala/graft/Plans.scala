@@ -33,7 +33,7 @@ object Plans {
     "x8_stream_sketch", "x9_stream_quantile", "x10_stream_cms",
     "x11_stream_window_quantile", "x12_stream_window_distinct",
     "x13_stream_window_cms", "x15_stream_drift", "x16_stream_topk",
-    "x17_stream_growth", "x18_retention_vacuum")
+    "x17_stream_growth", "x18_retention_vacuum", "x19_late_ledger")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

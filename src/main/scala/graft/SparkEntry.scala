@@ -159,7 +159,8 @@ object SparkEntry {
     "x16_stream_topk" -> (graft.streaming.StreamSketch.x16StreamTopk _),
     "x17_stream_growth" -> (graft.streaming.StreamSketch.x17StreamGrowth _),
     "x18_retention_vacuum" ->
-      (graft.streaming.StreamSketch.x18RetentionVacuum _)
+      (graft.streaming.StreamSketch.x18RetentionVacuum _),
+    "x19_late_ledger" -> (graft.streaming.LateLedger.x19LateLedger _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -1607,6 +1608,26 @@ object SparkEntry {
     // it, so the oracle is x11's SQL verbatim (the shrink itself is
     // spec-pinned: StreamEquivSpec asserts partitions were deleted)
     "x18_retention_vacuum" -> x11WindowQuantileSql,
+    // x19's lateness ledger from the watermark rule's closed form:
+    // batch b's watermark = max event time over earlier waves − delay
+    // (Spark's update rule under the mod-m membership rule — batch 0
+    // has none), every (late, on-time) verdict replayed per row, the
+    // on-time value sum decimal-exact (the q04 addend precedent)
+    "x19_late_ledger" -> {
+      val m = graft.streaming.StreamSketch.SplitFiles
+      val d = graft.streaming.LateLedger.LateDelayMicros
+      s"""WITH e AS (SELECT event_id % $m AS bid, event_type, value, epoch_us(ts) AS tsu FROM events),
+         |bm AS (SELECT bid, max(tsu) AS mt FROM e GROUP BY bid),
+         |wm AS (SELECT b.bid, max(p.mt) - $d AS wmv FROM bm b JOIN bm p ON p.bid < b.bid GROUP BY b.bid),
+         |c AS (SELECT e.bid, e.event_type, e.value,
+         |  CASE WHEN w.wmv IS NOT NULL AND e.tsu < w.wmv THEN 1 ELSE 0 END AS late
+         |  FROM e LEFT JOIN wm w ON w.bid = e.bid)
+         |SELECT CAST(bid AS BIGINT) AS batch_id, event_type,
+         |CAST(sum(late) AS BIGINT) AS n_late,
+         |CAST(sum(1 - late) AS BIGINT) AS n_ontime,
+         |CAST(sum(CASE WHEN late = 0 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS ontime_value
+         |FROM c GROUP BY 1, 2 ORDER BY batch_id, event_type""".stripMargin
+    },
     // x15's drift read from the moments store: decimal sums replay
     // exactly (the q04/q12 DECIMAL-addend precedent), batch membership
     // is x11's data rule, and mean/std/z are identical IEEE expressions

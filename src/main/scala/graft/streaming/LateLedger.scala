@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.io.Sources
+
+/** x19: event-time lateness accounting for the wave-replay family.
+  *
+  * q7–q10/q37 use real Structured Streaming watermarks, where Spark
+  * DROPS late rows silently (observable only through streaming-query
+  * metrics); the wave-replay gates (x8–x18, p2/p3/p6, d12, s11–s16)
+  * sidestep event time entirely via the mod-[[StreamSketch.SplitFiles]]
+  * DATA rule. x19 closes the gap between the two: the replay carries an
+  * explicit WATERMARK GUARD, and rows it rejects are not dropped — they
+  * are COUNTED into a per-(batch, event_type) dropped-late ledger, the
+  * auditable artifact a production ingest owes its consumers ("how much
+  * arrived too late to aggregate, when, and of what kind").
+  *
+  * Watermark semantics are Spark's own, made closed-form: the watermark
+  * for batch b is the maximum event time observed through the END of
+  * batch b−1, minus [[LateDelayMicros]] — the engine reads it from a
+  * per-batch stats store (batch_id, max event-time), never from raw
+  * history, and batch 0 has no watermark (nothing yet observed, nothing
+  * late: the Spark rule). A row is late iff its event time is below the
+  * batch's watermark; on-time rows feed the batch's aggregate (here the
+  * decimal-exact value sum — proof the guard actually FENCES the
+  * aggregation, not just counts), late rows feed only the ledger.
+  *
+  * Because batch membership is the DATA rule and the stats store makes
+  * the watermark a pure function of it, the WHOLE ledger is
+  * closed-form: batch b's watermark is max(event ts over event_id mod m
+  * < b... i.e. earlier waves) − delay, so the DuckDB oracle re-derives
+  * every (late, on-time) verdict and the gate is ORACLE-CHECKED end to
+  * end — the lateness accounting q24's malformed-record guard gave the
+  * value axis (DecisionTreeTest.scala:48-53's countable-reject
+  * philosophy), applied to the time axis.
+  *
+  * Scale design: per-batch cost is one narrow classification map (the
+  * watermark is a scalar read from a batches-sized stats store, never a
+  * scan of history) plus the batch's fixed-width ledger aggregate; the
+  * stats store grows by ONE tiny row per batch ([[StreamSketch.vacuumBatches]]
+  * applies to both stores); nothing ever re-reads shipped batches. This
+  * is how a 1000-executor ingest accounts for stragglers over 100 TB:
+  * the guard is a filter fused into the batch scan, and the ledger is
+  * types × batches rows.
+  */
+object LateLedger {
+
+  /** Allowed lateness: 7 days in event-time microseconds (the fixture
+    * spans ~30 days, so each post-first wave genuinely splits into a
+    * late majority and an on-time tail — both guard branches fire). */
+  val LateDelayMicros: Long = 7L * 24 * 3600 * 1000000L
+
+  def x19LateLedger(spark: SparkSession, dir: String): DataFrame =
+    x19WithBatchCount(spark, dir)._1
+
+  private[graft] def x19WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val work = Files.createTempDirectory("graft_lateledger_").toString
+    val ledger = s"$work/ledger"
+    val stats = s"$work/stats"
+    val events = Sources.table(spark, dir, "events")
+      .select("event_id", "event_type", "value", "ts")
+    val nBatches = StreamSketch.runWaveReplay(spark, events, "event_id", work, ledger) {
+      (batch, batchId) =>
+        val session = batch.sparkSession
+        // the watermark at batch START: max event time of PRIOR batches
+        // minus the allowed lateness (Spark's update rule — data seen
+        // through batch b-1 gates batch b); batch 0 has none
+        val wm: Option[Long] =
+          if (!new java.io.File(stats).exists()) None
+          else {
+            val prior = session.read.parquet(stats)
+              .filter(col("batch_id") < batchId)
+              .agg(max("max_tsu")).collect()(0)
+            if (prior.isNullAt(0)) None
+            else Some(prior.getLong(0) - LateDelayMicros)
+          }
+        val classified = batch
+          .withColumn("tsu", unix_micros(col("ts")))
+          .withColumn("late",
+            wm.map(w => col("tsu") < lit(w)).getOrElse(lit(false)))
+        classified.groupBy("event_type")
+          .agg(
+            sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+            sum(when(!col("late"), 1L).otherwise(0L)).as("n_ontime"),
+            // the guard fences the aggregate: only on-time value enters
+            sum(when(!col("late"), col("value").cast("decimal(18,4)"))
+              .otherwise(lit(0).cast("decimal(18,4)"))).as("ontime_value_d"))
+          .write.mode("overwrite").parquet(s"$ledger/batch_id=$batchId")
+        // register the batch's max event time for the NEXT watermark
+        // (idempotent per-batch overwrite — a redone batch rewrites the
+        // same scalar)
+        classified.agg(max("tsu").as("max_tsu"))
+          .write.mode("overwrite").parquet(s"$stats/batch_id=$batchId")
+    }
+    val result = spark.read.parquet(ledger)
+      .select(col("batch_id").cast("long").as("batch_id"), col("event_type"),
+        col("n_late"), col("n_ontime"),
+        col("ontime_value_d").cast("double").as("ontime_value"))
+      .orderBy("batch_id", "event_type")
+    (result, nBatches)
+  }
+
+  /** The closed-form batch twin: watermark_b = max event time over
+    * earlier waves − delay, derived entirely from the membership rule —
+    * what the DuckDB oracle replays in SQL, in engine form for the
+    * spec's equivalence pin. */
+  private[graft] def x19Batch(spark: SparkSession, dir: String): DataFrame = {
+    val m = StreamSketch.SplitFiles
+    val e = Sources.table(spark, dir, "events")
+      .select(pmod(col("event_id"), lit(m)).cast("long").as("bid"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("tsu"))
+    val bm = e.groupBy("bid").agg(max("tsu").as("mt"))
+    val wm = bm.as("b").join(bm.as("p"), col("p.bid") < col("b.bid"))
+      .groupBy(col("b.bid").as("bid"))
+      .agg((max(col("p.mt")) - LateDelayMicros).as("wmv"))
+    e.join(wm, Seq("bid"), "left")
+      .withColumn("late", col("wmv").isNotNull && col("tsu") < col("wmv"))
+      .groupBy(col("bid").as("batch_id"), col("event_type"))
+      .agg(
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(!col("late"), 1L).otherwise(0L)).as("n_ontime"),
+        sum(when(!col("late"), col("value").cast("decimal(18,4)"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("ontime_value"))
+      .orderBy("batch_id", "event_type")
+  }
+}

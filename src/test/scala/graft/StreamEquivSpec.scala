@@ -674,6 +674,35 @@ class StreamEquivSpec extends AnyFunSuite {
       "CMS windowed serve changed across the vacuum")
   }
 
+  test("x19 late ledger: stream ≡ closed-form twin, batch 0 all on-time, both guard branches fire, nothing lost") {
+    import org.apache.spark.sql.functions.col
+    val (streamDf, nBatches) =
+      graft.streaming.LateLedger.x19WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val stream = rows(streamDf)
+    assert(stream.nonEmpty)
+    // the stats-store watermark reproduces the closed-form expectation
+    assert(stream == rows(graft.streaming.LateLedger.x19Batch(spark, sf)),
+      "stream ledger diverged from the closed-form watermark derivation")
+    val g = streamDf.collect()
+    // batch 0 precedes any watermark: nothing can be late (Spark's rule)
+    assert(g.filter(_.getLong(0) == 0L).forall(_.getLong(2) == 0L),
+      "batch 0 dropped rows as late before any watermark existed")
+    // the guard is non-trivial on the fixture: late AND on-time rows
+    // both occur in every post-first batch
+    (1L until nBatches).foreach { b =>
+      val rs = g.filter(_.getLong(0) == b)
+      assert(rs.map(_.getLong(2)).sum > 0, s"batch $b dropped nothing as late")
+      assert(rs.map(_.getLong(3)).sum > 0, s"batch $b passed nothing as on-time")
+    }
+    // conservation: the ledger accounts for every event — late rows are
+    // counted, never silently dropped
+    val total = Sources.table(spark, sf, "events").count()
+    assert(g.map(r => r.getLong(2) + r.getLong(3)).sum == total,
+      "ledger totals do not partition the event table")
+  }
+
   test("x16 streaming top-k: store-served ≡ batch twin, candidates recover the exact top-K, estimates overcount") {
     import org.apache.spark.sql.functions.col
     val (streamDf, nBatches) =
