@@ -488,6 +488,18 @@ object StreamAnnIngest {
     * same as before it — the whole point of compacting incrementally. */
   private[graft] def s14WithBranches(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, Long, Long) = {
+    val (_, comp, uncomp, nRetired, nPending) = partialCompactState(spark, dir)
+    val compProbe = SimilarityOps.probeAssigned(comp)
+    val uncompProbe = SimilarityOps.probeAssigned(uncomp)
+    val served = compProbe.unionByName(uncompProbe).orderBy("q_id", "rnk")
+    (served, compProbe, uncompProbe, nRetired, nPending)
+  }
+
+  /** The mixed store s14 serves from, built once and shared with the
+    * multiprobe composition seam: (work root, compacted branch,
+    * uncompacted-merged branch, tombstones retired, tombstones pending). */
+  private def partialCompactState(spark: SparkSession, dir: String)
+      : (String, DataFrame, DataFrame, Long, Long) = {
     val (work, store, tombs, _) = runDeleteStream(spark, dir)
     val compacted = s"$work/compacted_subset"
     // the partial rewrite: ONLY the subset's cells, survivors only —
@@ -503,16 +515,37 @@ object StreamAnnIngest {
     val uncompTombs = spark.read.parquet(tombs).drop("batch_id")
       .filter(!inCompactedSubset(col("cell"))).select("cell", "vec_id")
     val uncomp = uncompRows.join(uncompTombs, Seq("cell", "vec_id"), "left_anti")
-    val compProbe = SimilarityOps.probeAssigned(comp)
-    val uncompProbe = SimilarityOps.probeAssigned(uncomp)
-    val served = compProbe.unionByName(uncompProbe).orderBy("q_id", "rnk")
     // test seams: tombstones retired by the partial rewrite vs still
     // merged at query time — both must be nonzero for a genuinely
     // mixed-state run
     val tombsByCell = spark.read.parquet(tombs)
     val nRetired = tombsByCell.filter(inCompactedSubset(col("cell"))).count()
     val nPending = tombsByCell.filter(!inCompactedSubset(col("cell"))).count()
-    (served, compProbe, uncompProbe, nRetired, nPending)
+    (work, comp, uncomp, nRetired, nPending)
+  }
+
+  /** s15 × s14: MULTIPROBE over the MIXED store — the composition of
+    * the two serving levers. At nprobe > 1 a query's top-k spans BOTH
+    * branches (its second cell may sit on the other side of the
+    * compaction frontier), so the per-branch probe-then-union
+    * decomposition s14 uses at nprobe=1 no longer applies; instead the
+    * branch STORES union — compacted rows plus tombstone-merged
+    * uncompacted rows, a partition concatenation with no exchange — and
+    * the standard store-served multiprobe ([[SimilarityOps.probeAssignedMulti]])
+    * runs over the union: corpus side untouched, query rows fan out
+    * against the same quantizer artifact the ingest wrote.
+    * StreamEquivSpec pins this against the batch multiprobe twin
+    * (survivors, original quantizer, nprobe=[[MultiNprobe]]):
+    * compaction progress must be invisible to the multiprobe read
+    * exactly as it is to the nprobe=1 read. */
+  private[graft] def s14MultiprobeMixed(spark: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = {
+    val (work, comp, uncomp, nRetired, nPending) = partialCompactState(spark, dir)
+    val cols = Seq("vec_id", "v", "nrm", "label", "cell").map(col)
+    val mixed = comp.select(cols: _*).unionByName(uncomp.select(cols: _*))
+    val served = SimilarityOps.probeAssignedMulti(
+      mixed, spark.read.parquet(s"$work/quantizer"), MultiNprobe)
+    (served, nRetired, nPending)
   }
 
   private def processDeleteBatch(batch: DataFrame, batchId: Long,

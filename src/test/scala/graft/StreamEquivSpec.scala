@@ -324,6 +324,35 @@ class StreamEquivSpec extends AnyFunSuite {
       "uncompacted branch lost its tombstone merge — deleted rows would serve")
   }
 
+  test("s15 × s14: multiprobe over the mixed compacted/uncompacted store ≡ batch multiprobe over survivors") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.ops.SimilarityOps
+    // the batch twin: s12's survivor twin widened to nprobe=MultiNprobe
+    // (original quantizer — compaction never retrains)
+    val all = ops.normed(spark, sf)
+    val seeds = ops.ivfSeedCentroids(all)
+    val survivors = graft.streaming.StreamAnnIngest.survivorFilter(
+      all.select("vec_id", "v", "nrm", "label"))
+    val np = graft.streaming.StreamAnnIngest.MultiNprobe
+    val batch = rows(ops.probeAssignedMulti(
+      ops.assignCells(survivors, seeds), seeds, np))
+    assert(batch.nonEmpty)
+    val (served, nRetired, nPending) =
+      graft.streaming.StreamAnnIngest.s14MultiprobeMixed(spark, sf)
+    // genuinely mixed state, as in the s14 case
+    assert(nRetired > 0 && nPending > 0,
+      s"not a mixed state (retired=$nRetired, pending=$nPending)")
+    // the composition claim: compaction progress is invisible to the
+    // MULTIPROBE read too — at nprobe>1 a query's top-k can span the
+    // compaction frontier, so this is not implied by the s14 case
+    assert(rows(served) == batch,
+      "mixed-store multiprobe diverged from the batch multiprobe twin")
+    // and multiprobe genuinely widened vs the nprobe=1 mixed serve
+    val (np1, _, _, _, _) = graft.streaming.StreamAnnIngest.s14WithBranches(spark, sf)
+    assert(rows(np1) != batch,
+      "nprobe=2 mixed serve equals nprobe=1 — composition exercises nothing")
+  }
+
   test("p2 streaming funnel head: multi-batch replay ≡ batch p1 stages") {
     import org.apache.spark.sql.functions._
     // the streamed ledger's head stages must equal batch p1's exactly:
