@@ -1234,8 +1234,18 @@ object SimilarityOps {
     * (s11's index store) and only the query-role scan pays the narrow
     * assignment map. PlanSpec locks: ShuffledHashJoin on cell, no
     * BroadcastHashJoin, no Window, partial_max present. */
-  def s21AnnBulkProbe(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = assignCells(normed(spark, dir), ivfSeedCentroids(normed(spark, dir)))
+  def s21AnnBulkProbe(spark: SparkSession, dir: String): DataFrame =
+    s21AnnBulkProbeK(spark, dir, IvfCells)
+
+  /** s21 at an explicit cell count — the deployment rule scales k with
+    * the corpus (exactly d15's SemDeDup rule: cell SIZE stays bounded,
+    * so the Σ cell² pair work stays linear); ScaleCheck measures the
+    * decade at k=16 → 160, the honest configuration, not the fixed-k
+    * degenerate one. */
+  private[graft] def s21AnnBulkProbeK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val seeds = normed(spark, dir).filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = assignCells(normed(spark, dir), seeds)
     val corpus = assigned
       .select(col("cell"), col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
     val queries = assigned

@@ -57,8 +57,17 @@ object LateLedger {
   def x19LateLedger(spark: SparkSession, dir: String): DataFrame =
     x19WithBatchCount(spark, dir)._1
 
-  private[graft] def x19WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
-    val work = Files.createTempDirectory("graft_lateledger_").toString
+  /** `crashAt`/`workDir`: the p6 crash seam applied to x19's TWO-store
+    * batch — dying between the ledger write and the stats write leaves
+    * the batch's ledger row visible but its max-event-time unregistered
+    * (a torn watermark source); the resumed run redoes the batch (both
+    * writes are idempotent per-batch overwrites, and the watermark read
+    * prunes to batch_id < current, so the torn row is invisible to the
+    * redo) and must converge to the closed-form answer. */
+  private[graft] def x19WithBatchCount(spark: SparkSession, dir: String,
+      crashAt: Option[Long] = None,
+      workDir: Option[String] = None): (DataFrame, Int) = {
+    val work = workDir.getOrElse(Files.createTempDirectory("graft_lateledger_").toString)
     val ledger = s"$work/ledger"
     val stats = s"$work/stats"
     val events = Sources.table(spark, dir, "events")
@@ -90,6 +99,11 @@ object LateLedger {
             sum(when(!col("late"), col("value").cast("decimal(18,4)"))
               .otherwise(lit(0).cast("decimal(18,4)"))).as("ontime_value_d"))
           .write.mode("overwrite").parquet(s"$ledger/batch_id=$batchId")
+        // crash seam: dying HERE leaves the ledger written but the
+        // batch's event-time maximum unregistered — the torn two-store
+        // state the redo must heal
+        crashAt.filter(_ == batchId).foreach(b =>
+          sys.error(s"injected crash in batch $b"))
         // register the batch's max event time for the NEXT watermark
         // (idempotent per-batch overwrite — a redone batch rewrites the
         // same scalar)

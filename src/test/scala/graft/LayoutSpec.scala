@@ -169,6 +169,53 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("s21's bulk probe on the bucketed store: two-sided corpus join with zero cell exchanges") {
+    // s21's production plan: the corpus side reads its STORED cell
+    // assignment, and at batch-inference cardinalities the QUERY side is
+    // the same store — so when the store is cell-bucketed, the two-sided
+    // join (the gate's one data exchange) disappears entirely: both
+    // sides read bucket-co-located, pair generation moves nothing, and
+    // the only exchange left in the whole plan is the one-row-per-query
+    // q_id aggregation the struct max reduces to.
+    import graft.ops.SimilarityOps
+    val all = SimilarityOps.normed(spark, sf)
+    val assigned = SimilarityOps
+      .assignCells(all, SimilarityOps.ivfSeedCentroids(all))
+    assigned.write.mode("overwrite")
+      .bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("ann_bulk_b")
+    try {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      val store = child.table("ann_bulk_b")
+      val corpus = store
+        .select(col("cell"), col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+      val queries = store
+        .select(col("cell"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val best = queries.join(corpus, Seq("cell"))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("c",
+          SimilarityOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+        .groupBy("q_id")
+        .agg(max(struct(col("c"), (-col("n_id")).as("ni"), col("n_id"))).as("b"))
+        .select(col("q_id"), col("b.n_id").as("n_id"))
+      best.collect()
+      val plan = best.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "store scan does not report a bucketed read")
+      val nCellExchanges = "hashpartitioning\\(cell".r.findAllMatchIn(plan).length
+      assert(nCellExchanges == 0,
+        s"expected a fully bucket-local two-sided join, got $nCellExchanges cell exchanges")
+      assert(plan.contains("partial_max"),
+        "bulk top-1 lost its map-side partial aggregation on the bucketed plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_bulk_b")
+      ()
+    }
+  }
+
   test("s15's multi-probe on the bucketed store: query fan-out rides a broadcast, store never shuffles") {
     // The scaladoc claim behind s15's 100 TB story, on the real written
     // layout: widening the store-served probe to nprobe=2 adds work on

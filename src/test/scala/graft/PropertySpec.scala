@@ -106,9 +106,12 @@ object WavCodecProps extends Properties("wavCodec") {
       val full = MultimodalOps.decodeWav(wav)
       val ba = MultimodalOps.wavChannels(id) * 2
       val nf = full.length / ba
-      if (nf < 1)
-        scala.util.Try(MultimodalOps.decodeWavThumb(wav)).isFailure
-      else {
+      if (nf < 1) {
+        // sub-frame payloads decode to the DEFINED empty thumbnail
+        // (nf = 0, zero slots) — classified, never an abort
+        val (gotNf, got) = MultimodalOps.decodeWavThumb(wav)
+        gotNf == 0L && got.isEmpty
+      } else {
         val (gotNf, got) = MultimodalOps.decodeWavThumb(wav)
         gotNf == nf.toLong && got.length == MultimodalOps.AudioThumb &&
           (0 until MultimodalOps.AudioThumb).forall { k =>

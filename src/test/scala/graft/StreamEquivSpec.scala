@@ -732,6 +732,29 @@ class StreamEquivSpec extends AnyFunSuite {
       "ledger totals do not partition the event table")
   }
 
+  test("x19 crash between the ledger and stats writes: the resumed run heals the torn watermark source") {
+    // p6's two-store tear shape on x19's pair: the dying batch's ledger
+    // row lands but its max-event-time never registers — a later batch
+    // reading the torn stats would compute a stale watermark. The redo
+    // recomputes from batch_id < current (torn state invisible) and
+    // must end row-identical to the closed-form derivation.
+    val work = java.nio.file.Files.createTempDirectory("graft_x19crash_").toString
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.LateLedger
+        .x19WithBatchCount(spark, sf, crashAt = Some(2L), workDir = Some(work))
+    }
+    // the tear really happened: batch 2's ledger landed, its stats did not
+    assert(new java.io.File(s"$work/ledger/batch_id=2").exists(),
+      "crash fired before the ledger write — the tear under test never formed")
+    assert(!new java.io.File(s"$work/stats/batch_id=2").exists(),
+      "stats for the dying batch exist — the crash seam is after both writes")
+    val (resumed, nBatches) = graft.streaming.LateLedger
+      .x19WithBatchCount(spark, sf, workDir = Some(work))
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles)
+    assert(rows(resumed) == rows(graft.streaming.LateLedger.x19Batch(spark, sf)),
+      "resumed ledger diverged from the closed-form derivation — the torn state leaked")
+  }
+
   test("x16 streaming top-k: store-served ≡ batch twin, candidates recover the exact top-K, estimates overcount") {
     import org.apache.spark.sql.functions.col
     val (streamDf, nBatches) =
