@@ -150,12 +150,41 @@ object ScaleCheck {
         ((dir, k) => SimilarityOps.d15SemDedupK(spark, dir, k)),
       "s21_bulk_probe_scaled_k" ->
         ((dir, k) => SimilarityOps.s21AnnBulkProbeK(spark, dir, k)))
-    entries.filter { case (name, _) => only.forall(_.contains(name)) }
+    val full = entries.filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>
         val b = medianOf5(() => mk(base, SimilarityOps.IvfCells))
         val s = medianOf5(() => mk(scaled, SimilarityOps.IvfCells * Replicas))
         (name, b, s)
       }
+    full ++ s21ServeScaledK(spark, base, scaled, only)
+  }
+
+  /** The serve-only decomposition of s21's scaled-k decade: the full
+    * gate re-runs the flat quantizer assignment on BOTH sides, and that
+    * sweep is N·k — quadratic under the k ∝ corpus rule (16 centroids ×
+    * 1× vectors at base vs 160 × 10× at scale = 100× dot products), the
+    * term a production deployment pays ONCE at ingest (s11's stored
+    * assignment) or replaces with a hierarchical coarse quantizer. This
+    * entry pre-writes the assigned store untimed — exactly the
+    * production state — and times ONLY the two-sided join + struct-max
+    * read, the term that is genuinely linear under the deployment rule. */
+  private def s21ServeScaledK(spark: SparkSession, base: String, scaled: String,
+                              only: Option[Set[String]]): Seq[(String, Double, Double)] = {
+    val name = "s21_bulk_serve_scaled_k"
+    if (!only.forall(_.contains(name))) return Seq.empty
+    import graft.ops.SimilarityOps
+    val root = java.nio.file.Files.createTempDirectory("graft_s21store_").toString
+    def prep(tag: String, dir: String, k: Int): String = {
+      val path = s"$root/$tag"
+      SimilarityOps.s21AssignedK(spark, dir, k)
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+    val bPath = prep("base", base, SimilarityOps.IvfCells)
+    val sPath = prep("scaled", scaled, SimilarityOps.IvfCells * Replicas)
+    val b = medianOf5(() => SimilarityOps.s21ServeAssigned(spark.read.parquet(bPath)))
+    val s = medianOf5(() => SimilarityOps.s21ServeAssigned(spark.read.parquet(sPath)))
+    Seq((name, b, s))
   }
 
   /** Min-of-2 noop-write wall seconds (Bench's statistic). */
@@ -165,8 +194,13 @@ object ScaleCheck {
   private def timeOf(mk: () => DataFrame): Double =
     (1 to 2).map(_ => oneRun(mk)).min
 
+  /** Median of 5 samples where each SAMPLE is a 3-execution block (wall
+    * / 3): the scaled-k queries run ~0.5–4 s, where single-execution
+    * samples breathe 1.2–5× with this host's contention/JIT state (the
+    * r10 finding); a ~3× longer timed unit amortizes the noise floor
+    * without needing a bigger fixture. */
   private def medianOf5(mk: () => DataFrame): Double =
-    (1 to 5).map(_ => oneRun(mk)).sorted.apply(2)
+    (1 to 5).map(_ => (1 to 3).map(_ => oneRun(mk)).sum / 3).sorted.apply(2)
 
   private def oneRun(mk: () => DataFrame): Double = {
     val t0 = System.nanoTime()
