@@ -145,11 +145,19 @@ object ScaleCheck {
   private def scaledKEntries(spark: SparkSession, base: String, scaled: String,
                              only: Option[Set[String]]): Seq[(String, Double, Double)] = {
     import graft.ops.SimilarityOps
+    // s22's sub ≈ √k per side: k=16 → 4×4, k=160 → 16×10 — the
+    // hierarchical assignment pays G + sub dot products per vector
+    // (8 at base, 26 at 10×) where the flat argmax pays k (16 / 160):
+    // the decade contrast with s21_bulk_probe quantifies the fix
     val entries: Seq[(String, (String, Int) => DataFrame)] = Seq(
       "d15_semdedup_scaled_k" ->
         ((dir, k) => SimilarityOps.d15SemDedupK(spark, dir, k)),
       "s21_bulk_probe_scaled_k" ->
-        ((dir, k) => SimilarityOps.s21AnnBulkProbeK(spark, dir, k)))
+        ((dir, k) => SimilarityOps.s21AnnBulkProbeK(spark, dir, k)),
+      "s22_hier_bulk_scaled_k" ->
+        ((dir, k) => SimilarityOps.s21ServeAssigned(
+          SimilarityOps.s22HierAssignedK(spark, dir, k,
+            if (k == SimilarityOps.IvfCells) SimilarityOps.HierSub else 10))))
     val full = entries.filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>
         val b = medianOf5(() => mk(base, SimilarityOps.IvfCells))

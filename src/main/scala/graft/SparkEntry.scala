@@ -94,6 +94,7 @@ object SparkEntry {
     "s18_ann_filtered" -> (SimilarityOps.s18AnnFiltered _),
     "s19_ann_radius" -> (SimilarityOps.s19AnnRadius _),
     "s21_ann_bulk_probe" -> (SimilarityOps.s21AnnBulkProbe _),
+    "s22_ann_hier" -> (SimilarityOps.s22AnnHier _),
     "s20_stream_radius_alert" ->
       (graft.streaming.StreamAnnIngest.s20StreamRadiusAlert _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
@@ -1236,6 +1237,31 @@ object SparkEntry {
          |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
          |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
          |SELECT q_id, n_id, round(c, 4) AS cos_sim FROM r WHERE rnk = 1 ORDER BY q_id""".stripMargin,
+    // s22: the two-level quantizer replayed in closed form — group
+    // means at CentroidScale decimals (s17's fixed-precision parity),
+    // level-1 argmax over the G super-centroids, level-2 argmax within
+    // the chosen group, then s3's probe chain verbatim
+    "s22_ann_hier" -> {
+      val dim = SimilarityOps.SignBands * SimilarityOps.BandBits
+      val sub = SimilarityOps.HierSub
+      s"""WITH $embCte,
+         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+         |gseed AS (SELECT c_id, cv, cn, c_id // $sub AS g FROM seeds),
+         |sm AS (SELECT g, i, round(avg(cv[i]), ${SimilarityOps.CentroidScale}) AS sval
+         |  FROM gseed CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY g, i),
+         |sup AS (SELECT g, sv, sqrt(list_inner_product(sv, sv)) AS sn
+         |  FROM (SELECT g, list(sval ORDER BY i) AS sv FROM sm GROUP BY g)),
+         |a1 AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.g, list_inner_product(n.v, s.sv) / (n.nrm * s.sn) AS gcos FROM n CROSS JOIN sup s),
+         |r1 AS (SELECT vec_id, v, nrm, label, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, g) AS grn FROM a1),
+         |g1 AS (SELECT vec_id, v, nrm, label, g FROM r1 WHERE grn = 1),
+         |a2 AS (SELECT g1.vec_id, g1.v, g1.nrm, g1.label, s.c_id, list_inner_product(g1.v, s.cv) / (g1.nrm * s.cn) AS ccos FROM g1 JOIN gseed s ON s.g = g1.g),
+         |r2 AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM a2),
+         |asn AS (SELECT vec_id, v, nrm, label, cell FROM r2 WHERE arn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
+         |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
+         |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    },
     // s20 is s19 raised incrementally at arrival time — the union of the
     // per-batch alert ledgers must BE the batch radius answer, so the
     // oracle is s19's shared string (the s11 ≡ s3 move for the radius)

@@ -1253,6 +1253,91 @@ object SimilarityOps {
     assignCells(normed(spark, dir), seeds)
   }
 
+  // ---- s22: hierarchical coarse quantizer (two-level assignment) -----
+
+  /** Centroids per group at the gate configuration: [[IvfCells]] cells
+    * fold into IvfCells/[[HierSub]] groups of HierSub — group of cell c
+    * is ⌊c / HierSub⌋, the deterministic rule both engines replay. */
+  val HierSub = 4
+
+  /** The two-level codebook as one broadcastable nested array literal:
+    * per group, the SUPER-centroid (dimension-wise mean of the group's
+    * centroids, published at [[CentroidScale]] decimals with its norm
+    * recomputed — s17's fixed-precision parity rule, so the oracle's
+    * means round to the identical codebook) plus the group's own
+    * centroid structs. Total payload is the same k centroid vectors
+    * plus G means — kilobytes, exactly like the flat array. */
+  private def hierCentArr(seeds: DataFrame, sub: Int): DataFrame = {
+    val grouped = seeds.withColumn("g", floor(col("c_id") / sub).cast("long"))
+    val supers = grouped
+      .select(col("g"), posexplode(col("cv")).as(Seq("i", "val")))
+      .groupBy("g", "i").agg(round(avg(col("val")), CentroidScale).as("sval"))
+      .groupBy("g")
+      .agg(array_sort(collect_list(struct(col("i"), col("sval")))).as("a"))
+      .select(col("g"), transform(col("a"), s => s.getField("sval")).as("sv"))
+      .withColumn("sn", sqrt(dot(col("sv"), col("sv"))))
+    val subs = grouped.groupBy("g")
+      .agg(array_sort(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("subs"))
+    supers.join(subs, Seq("g"))
+      .select(struct(
+        col("g").as("c_id"), col("sv").as("cv"), col("sn").as("cn"),
+        col("subs")).as("grp"))
+      .agg(array_sort(collect_list(col("grp"))).as("groups"))
+  }
+
+  /** Two-level nearest-cell assignment: argmax cosine over the G super-
+    * centroids picks a group, argmax over that group's [[HierSub]]
+    * centroids picks the cell — 2 expression-side folds, G + sub dot
+    * products per vector instead of the flat sweep's k. Both folds are
+    * [[bestCellStruct]]'s strict-improvement rule (ties to the lowest
+    * id), and the whole assignment stays a narrow map over one
+    * broadcast nested literal. Note this is a DIFFERENT quantizer from
+    * the flat argmax (a vector near a group boundary can land in a
+    * different cell) — the gate's oracle replays the two-level rule
+    * itself, never approximates the flat one. */
+  private[graft] def hierAssignCells(frame: DataFrame, seeds: DataFrame,
+                                     sub: Int): DataFrame = {
+    val arr = hierCentArr(seeds, sub)
+    frame.crossJoin(broadcast(arr))
+      .withColumn("grp", bestCellStruct(
+        transform(col("groups"), grp => struct(
+          grp.getField("c_id").as("c_id"), grp.getField("cv").as("cv"),
+          grp.getField("cn").as("cn"))),
+        col("v"), col("nrm")))
+      .withColumn("subs",
+        element_at(col("groups"), col("grp.c_id").cast("int") + 1).getField("subs"))
+      .withColumn("cell",
+        bestCellStruct(col("subs"), col("v"), col("nrm")).getField("c_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"), col("cell"))
+  }
+
+  /** s22: the IVF probe under a HIERARCHICAL coarse quantizer — the
+    * production answer to the flat sweep's N·k assignment cost that
+    * §4.2b's scaled-k entries measure (at k ∝ corpus the flat argmax is
+    * N·k dot products — quadratic; two levels make it N·(G + sub),
+    * ~N·2√k). The codebook is derived from s3's seed centroids in
+    * closed form (group means at fixed precision), assignment is two
+    * narrow expression-side folds, and the probe is byte-identical in
+    * shape to s3's cell equi-join. The oracle replays the full
+    * two-level chain — group means, level-1 argmax, level-2 argmax,
+    * probe — so the gate is oracle-checked end to end even though the
+    * hierarchical quantizer assigns some vectors to different cells
+    * than the flat one (it is its own quantizer, not an approximation
+    * being graded against the flat answer). */
+  def s22AnnHier(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    probeAssigned(hierAssignCells(all, ivfSeedCentroids(all), HierSub))
+  }
+
+  /** The k-cell hierarchical assignment at an explicit (k, sub) — the
+    * scaled-k decade seam (ScaleCheck passes sub ≈ √k on each side). */
+  private[graft] def s22HierAssignedK(spark: SparkSession, dir: String,
+                                      k: Int, sub: Int): DataFrame = {
+    val seeds = normed(spark, dir).filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    hierAssignCells(normed(spark, dir), seeds, sub)
+  }
+
   /** s21's serve over an ALREADY-ASSIGNED frame (vec_id, v, nrm, cell) —
     * the production read: the corpus side's cell is a stored column
     * (s11's index store), so the serve pays ONLY the two-sided join and

@@ -731,6 +731,20 @@ class InvariantSpec extends AnyFunSuite {
     assert(bulk.size <= nVecs)
   }
 
+  test("s22 hierarchical quantizer: same query set as s3, genuinely different assignment") {
+    // the two-level quantizer is its OWN quantizer, not the flat argmax
+    // renamed: on the fixture at least one vector lands in a different
+    // cell, so the probe answers differ — while the query set (label=1)
+    // is identical, proving the probe chain downstream is s3's
+    val hier = SimilarityOps.s22AnnHier(spark, sf).collect()
+    val flat = SimilarityOps.s3AnnIvf(spark, sf).collect()
+    assert(hier.nonEmpty && flat.nonEmpty)
+    assert(hier.map(_.getLong(0)).toSet == flat.map(_.getLong(0)).toSet,
+      "hier probe answers a different query set than s3")
+    assert(hier.map(_.toSeq).toSeq != flat.map(_.toSeq).toSeq,
+      "hierarchical assignment equals the flat argmax everywhere — s22 is s3 renamed here")
+  }
+
   test("s19 radius search: every match clears τ, and it agrees with s3's ranked view") {
     val radius = SimilarityOps.s19AnnRadius(spark, sf).cache()
     try {

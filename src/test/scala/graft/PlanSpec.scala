@@ -446,6 +446,21 @@ class PlanSpec extends AnyFunSuite {
       "s21 assignment shuffles the corpus by vec_id — argmax left the narrow form")
   }
 
+  test("s22 hierarchical assignment stays narrow: two folds, no corpus exchange, s3's probe join") {
+    // the whole point of the two-level quantizer is CHEAPER assignment
+    // with the same plan class: both argmax levels must fold
+    // expression-side over the one broadcast nested literal (no vec_id
+    // exchange — the s3 regression detector applies), and the probe
+    // must remain the broadcast hash join on cell (the tiny group-mean
+    // codebook build may shuffle its 16 seed rows; the corpus may not)
+    val plan = finalPlan(SimilarityOps.s22AnnHier(spark, sf))
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      "s22 assignment shuffles the corpus by vec_id — a fold regressed to a window/agg")
+    assert(plan.contains("BroadcastHashJoin"),
+      "s22 cell probe is not a broadcast hash join")
+    assert(!plan.contains("CartesianProduct"), "s22 plan contains CartesianProduct")
+  }
+
   test("p5 reshuffle is one oshard exchange — no global sort, no rank window") {
     // the training-order shuffle must hash-partition (shard = hash mod
     // OutShards), never rank round-robin: a global rank would need a
