@@ -157,7 +157,10 @@ object ScaleCheck {
       "s22_hier_bulk_scaled_k" ->
         ((dir, k) => SimilarityOps.s21ServeAssigned(
           SimilarityOps.s22HierAssignedK(spark, dir, k,
-            if (k == SimilarityOps.IvfCells) SimilarityOps.HierSub else 10))))
+            if (k == SimilarityOps.IvfCells) SimilarityOps.HierSub else 10))),
+      "d18_semdedup_hier_scaled_k" ->
+        ((dir, k) => SimilarityOps.d18SemDedupHierK(spark, dir, k,
+          if (k == SimilarityOps.IvfCells) SimilarityOps.HierSub else 10)))
     val full = entries.filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>
         val b = medianOf5(() => mk(base, SimilarityOps.IvfCells))

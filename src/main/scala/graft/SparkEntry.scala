@@ -79,6 +79,7 @@ object SparkEntry {
     "d14_bloom_decontam" -> (DedupOps.d14BloomDecontamination _),
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
     "d15_semdedup" -> (SimilarityOps.d15SemDedup _),
+    "d18_semdedup_hier" -> (SimilarityOps.d18SemDedupHier _),
     "d16_sem_clusters" -> (SimilarityOps.d16SemClusters _),
     "d17_proto_prune" -> (SimilarityOps.d17ProtoPrune _),
     "d6_quantize" -> (SimilarityOps.d6Quantize _),
@@ -1170,6 +1171,43 @@ object SparkEntry {
          |CAST(nv.n_vecs - coalesce(nd.n_dropped, 0) AS BIGINT) AS n_kept
          |FROM nv LEFT JOIN np ON np.cell = nv.cell LEFT JOIN nd ON nd.cell = nv.cell
          |ORDER BY cell""".stripMargin,
+    // d18 = d15's pair + ledger tail over s22's two-level assignment:
+    // the hierarchical codebook (group means at fixed precision), both
+    // argmax levels, then the identical SemDeDup accounting — the cells
+    // are the two-level quantizer's own, replayed exactly
+    "d18_semdedup_hier" -> {
+      val dim = SimilarityOps.SignBands * SimilarityOps.BandBits
+      val sub = SimilarityOps.HierSub
+      s"""WITH $embCte,
+         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+         |gseed AS (SELECT c_id, cv, cn, c_id // $sub AS g FROM seeds),
+         |sm AS (SELECT g, i, round(avg(cv[i]), ${SimilarityOps.CentroidScale}) AS sval
+         |  FROM gseed CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY g, i),
+         |sup AS (SELECT g, sv, sqrt(list_inner_product(sv, sv)) AS sn
+         |  FROM (SELECT g, list(sval ORDER BY i) AS sv FROM sm GROUP BY g)),
+         |a1 AS (SELECT n.vec_id, n.v, n.nrm, s.g, list_inner_product(n.v, s.sv) / (n.nrm * s.sn) AS gcos FROM n CROSS JOIN sup s),
+         |r1 AS (SELECT vec_id, v, nrm, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, g) AS grn FROM a1),
+         |g1 AS (SELECT vec_id, v, nrm, g FROM r1 WHERE grn = 1),
+         |a2 AS (SELECT g1.vec_id, g1.v, g1.nrm, s.c_id, list_inner_product(g1.v, s.cv) / (g1.nrm * s.cn) AS ccos FROM g1 JOIN gseed s ON s.g = g1.g),
+         |r2 AS (SELECT vec_id, v, nrm, c_id AS cell, ccos, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM a2),
+         |asn AS (SELECT vec_id, v, nrm, cell, ccos FROM r2 WHERE arn = 1),
+         |p AS (SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id, a.ccos AS acc, b.ccos AS bcc,
+         |  list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
+         |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |pp AS (SELECT cell, a_id, b_id,
+         |  CASE WHEN acc > bcc THEN a_id WHEN acc < bcc THEN b_id ELSE greatest(a_id, b_id) END AS victim
+         |  FROM p WHERE cs >= ${SimilarityOps.SemThreshold}),
+         |vict AS (SELECT cell, victim FROM pp GROUP BY cell, victim),
+         |nd AS (SELECT cell, count(*) AS n_dropped FROM vict GROUP BY cell),
+         |np AS (SELECT cell, count(*) AS n_pairs FROM pp GROUP BY cell),
+         |nv AS (SELECT cell, count(*) AS n_vecs FROM asn GROUP BY cell)
+         |SELECT nv.cell AS cell, CAST(nv.n_vecs AS BIGINT) AS n_vecs,
+         |CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |CAST(coalesce(nd.n_dropped, 0) AS BIGINT) AS n_dropped,
+         |CAST(nv.n_vecs - coalesce(nd.n_dropped, 0) AS BIGINT) AS n_kept
+         |FROM nv LEFT JOIN np ON np.cell = nv.cell LEFT JOIN nd ON nd.cell = nv.cell
+         |ORDER BY cell""".stripMargin
+    },
     // d16 = d10's transitive-closure recursion over d15's pair CTEs; the
     // component keeps its min-(ccos, vec_id) member — SemDeDup's rule at
     // group granularity

@@ -1306,9 +1306,9 @@ object SimilarityOps {
         col("v"), col("nrm")))
       .withColumn("subs",
         element_at(col("groups"), col("grp.c_id").cast("int") + 1).getField("subs"))
-      .withColumn("cell",
-        bestCellStruct(col("subs"), col("v"), col("nrm")).getField("c_id"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("label"), col("cell"))
+      .withColumn("best", bestCellStruct(col("subs"), col("v"), col("nrm")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"),
+        col("best.c_id").as("cell"), col("best.ccos").as("ccos"))
   }
 
   /** s22: the IVF probe under a HIERARCHICAL coarse quantizer — the
@@ -1337,6 +1337,29 @@ object SimilarityOps {
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     hierAssignCells(normed(spark, dir), seeds, sub)
   }
+
+  /** d18: SemDeDup under the HIERARCHICAL quantizer — s22's assignment
+    * composed into the d-family, which is where the k ∝ corpus rule
+    * (and therefore the flat sweep's N·k cost) actually lives in
+    * production: d15's own scaled-k decade entry is dominated by the
+    * flat argmax, and d18 is the same ledger — within-cell exact-cosine
+    * pairs at [[SemThreshold]], nearer-its-centroid member drops, the
+    * per-cell n_vecs/n_pairs/n_dropped/n_kept accounting — over s22's
+    * two-level cells. The centroid-cosine pruning signal is the cosine
+    * to the CHOSEN cell's centroid, exactly as in d15 (the victim rule
+    * is unchanged; only the quantizer is). Oracle-checked end to end:
+    * DuckDB rebuilds the two-level codebook and replays assignment,
+    * pairs, and ledger. The cells differ from d15's (its own quantizer
+    * — the s22 precedent), which is semantically fine for SemDeDup: the
+    * paper's guarantee is within-cell exactness under WHATEVER coarse
+    * clustering is used, and the hierarchy is a standard k-means-of-
+    * k-means coarse stage. */
+  def d18SemDedupHier(spark: SparkSession, dir: String): DataFrame =
+    d18SemDedupHierK(spark, dir, IvfCells, HierSub)
+
+  private[graft] def d18SemDedupHierK(spark: SparkSession, dir: String,
+                                      k: Int, sub: Int): DataFrame =
+    d15Ledger(s22HierAssignedK(spark, dir, k, sub))
 
   /** s21's serve over an ALREADY-ASSIGNED frame (vec_id, v, nrm, cell) —
     * the production read: the corpus side's cell is a stored column

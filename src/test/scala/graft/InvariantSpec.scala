@@ -745,6 +745,24 @@ class InvariantSpec extends AnyFunSuite {
       "hierarchical assignment equals the flat argmax everywhere — s22 is s3 renamed here")
   }
 
+  test("d18 hier semdedup: partition law holds and the hierarchy changed at least one cell") {
+    // same laws d15 pins, under the two-level quantizer: every vector
+    // appears in exactly one cell (Σ n_vecs = corpus), kept + dropped
+    // partition each cell, ≥1 survivor per cell
+    val led = SimilarityOps.d18SemDedupHier(spark, sf).collect()
+    val nVecs = Sources.table(spark, sf, "embeddings").count()
+    assert(led.map(_.getLong(1)).sum == nVecs, "cells do not partition the corpus")
+    led.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) - r.getLong(3), "kept + dropped != n_vecs")
+      assert(r.getLong(4) >= 1, s"cell ${r.getLong(0)} kept no survivor")
+    }
+    // and the two-level cells genuinely differ from d15's flat ones
+    val flat = SimilarityOps.d15SemDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hier = led.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hier != flat, "hier cell populations equal flat everywhere — d18 is d15 renamed here")
+  }
+
   test("s19 radius search: every match clears τ, and it agrees with s3's ranked view") {
     val radius = SimilarityOps.s19AnnRadius(spark, sf).cache()
     try {

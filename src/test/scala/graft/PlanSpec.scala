@@ -461,6 +461,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "s22 plan contains CartesianProduct")
   }
 
+  test("d18 hier semdedup keeps d15's shape: narrow two-fold assignment, pair join on cell") {
+    val plan = finalPlan(SimilarityOps.d18SemDedupHier(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "d18 pair generation degraded to an all-pairs product")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      "d18 assignment shuffles the corpus by vec_id — a fold regressed")
+    assert(plan.contains("hashpartitioning(cell") || plan.contains("BroadcastHashJoin"),
+      "d18 within-cell pair join lost its cell equi-key")
+  }
+
   test("p5 reshuffle is one oshard exchange — no global sort, no rank window") {
     // the training-order shuffle must hash-partition (shard = hash mod
     // OutShards), never rank round-robin: a global rank would need a
