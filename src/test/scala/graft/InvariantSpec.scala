@@ -763,6 +763,30 @@ class InvariantSpec extends AnyFunSuite {
     assert(hier != flat, "hier cell populations equal flat everywhere — d18 is d15 renamed here")
   }
 
+  test("s22's recall cost is bounded: hier recall@3 within 0.1 of flat on the fixture") {
+    // the hierarchical quantizer buys its 2√k assignment with a recall
+    // trade (a vector near a group boundary can land in the wrong
+    // group's cells) — the standard IVF trade, recovered in practice by
+    // multiprobe. Pin the cost so a regression (a broken level-1 fold
+    // collapsing recall) is caught: on the fixture hier loses ≤ 0.1
+    // absolute recall@3 vs the flat argmax (measured 0.177 vs 0.206).
+    def recall3(probe: Array[org.apache.spark.sql.Row],
+                exact: Map[Long, Set[Long]]): Double = {
+      val hits = probe.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      exact.map { case (q, e) => (e & hits.getOrElse(q, Set.empty)).size / 3.0 }
+        .sum / exact.size
+    }
+    val exact3 = SimilarityOps.q22KnnCosine(spark, sf).collect()
+      .filter(_.getLong(3) <= 3).groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val flat = recall3(SimilarityOps.s3AnnIvf(spark, sf).collect(), exact3)
+    val hier = recall3(SimilarityOps.s22AnnHier(spark, sf).collect(), exact3)
+    assert(flat > 0.1, s"flat recall $flat collapsed — fixture changed under the pin")
+    assert(hier >= flat - 0.1,
+      f"hier recall@3 $hier%.3f fell more than 0.1 below flat $flat%.3f")
+  }
+
   test("s19 radius search: every match clears τ, and it agrees with s3's ranked view") {
     val radius = SimilarityOps.s19AnnRadius(spark, sf).cache()
     try {
