@@ -33,6 +33,19 @@ import org.apache.spark.sql.functions._
 object ScaleCheck {
 
   val Replicas = 10
+
+  /** Group width for the hierarchical quantizer at a scaled cell count:
+    * sub ≈ √k, snapped to the nearest DIVISOR of k so every group is
+    * full (ragged last groups would make the measured G + sub work per
+    * vector drift from the documented 2√k rule). k=16 → 4 (=√16),
+    * k=160 → 10 (divisors of 160 near √160≈12.6 are 10 and 16; 10 keeps
+    * G+sub = 16+10 = 26 minimal). Derived, not hardcoded, so a change
+    * to [[Replicas]] or IvfCells can't silently diverge from the rule. */
+  def hierSubFor(k: Int): Int = {
+    val s = math.sqrt(k)
+    (1 to k).filter(k % _ == 0)
+      .minBy(d => (math.abs(d - s), d + k / d))
+  }
   /** The expensive-gate list measured for §4.2b (every gate > ~1.9 s
     * min at sf0.1, plus the new round-7 composites p3/s10, the
     * incremental/trained additions s11/t16, and — since r9 — the index
@@ -145,10 +158,11 @@ object ScaleCheck {
   private def scaledKEntries(spark: SparkSession, base: String, scaled: String,
                              only: Option[Set[String]]): Seq[(String, Double, Double)] = {
     import graft.ops.SimilarityOps
-    // s22's sub ≈ √k per side: k=16 → 4×4, k=160 → 16×10 — the
-    // hierarchical assignment pays G + sub dot products per vector
-    // (8 at base, 26 at 10×) where the flat argmax pays k (16 / 160):
-    // the decade contrast with s21_bulk_probe quantifies the fix
+    // s22's sub from [[hierSubFor]] per side: k=16 → 4×4, k=160 → 16×10
+    // — the hierarchical assignment pays G + sub dot products per
+    // vector (8 at base, 26 at 10×) where the flat argmax pays k
+    // (16 / 160): the decade contrast with s21_bulk_probe quantifies
+    // the fix
     val entries: Seq[(String, (String, Int) => DataFrame)] = Seq(
       "d15_semdedup_scaled_k" ->
         ((dir, k) => SimilarityOps.d15SemDedupK(spark, dir, k)),
@@ -156,11 +170,10 @@ object ScaleCheck {
         ((dir, k) => SimilarityOps.s21AnnBulkProbeK(spark, dir, k)),
       "s22_hier_bulk_scaled_k" ->
         ((dir, k) => SimilarityOps.s21ServeAssigned(
-          SimilarityOps.s22HierAssignedK(spark, dir, k,
-            if (k == SimilarityOps.IvfCells) SimilarityOps.HierSub else 10))),
+          SimilarityOps.s22HierAssignedK(spark, dir, k, hierSubFor(k)))),
       "d18_semdedup_hier_scaled_k" ->
         ((dir, k) => SimilarityOps.d18SemDedupHierK(spark, dir, k,
-          if (k == SimilarityOps.IvfCells) SimilarityOps.HierSub else 10)))
+          hierSubFor(k))))
     val full = entries.filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>
         val b = medianOf5(() => mk(base, SimilarityOps.IvfCells))

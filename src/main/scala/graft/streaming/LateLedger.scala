@@ -41,8 +41,13 @@ import graft.io.Sources
   * Scale design: per-batch cost is one narrow classification map (the
   * watermark is a scalar read from a batches-sized stats store, never a
   * scan of history) plus the batch's fixed-width ledger aggregate; the
-  * stats store grows by ONE tiny row per batch ([[StreamSketch.vacuumBatches]]
-  * applies to both stores); nothing ever re-reads shipped batches. This
+  * stats store grows by ONE tiny row per batch. Neither store is
+  * window-vacuumable here — the ledger is the full-history audit
+  * artifact itself, and the watermark is a max over ALL prior batches'
+  * stats rows — but the max is monotone, so a long-lived deployment
+  * bounds the stats listing by COMPACTING shipped rows into one
+  * running-max partition (s13/d19's consolidation move), not by
+  * deleting them; nothing ever re-reads shipped batches. This
   * is how a 1000-executor ingest accounts for stragglers over 100 TB:
   * the guard is a filter fused into the batch scan, and the ledger is
   * types × batches rows.

@@ -537,17 +537,21 @@ object StreamSketch {
         cmsPartial(batch)
           .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
     }
-    (x13Serve(spark, work, nBatches), nBatches)
+    (x13Serve(spark, store, watchPath, nBatches), nBatches)
   }
 
-  /** The windowed CMS serve as a standalone read over a built x13 work
-    * dir — watchlist + pruned counter merge (x18's vacuum seam). */
-  private[graft] def x13Serve(spark: SparkSession, work: String, nBatches: Int): DataFrame = {
-    val merged = spark.read.parquet(s"$work/counters")
+  /** The windowed CMS serve as a standalone read (x18's vacuum seam).
+    * Takes the two store paths EXPLICITLY — the same seam signature as
+    * [[x11Serve]]/[[x12Serve]] (store path in, serve out), so a
+    * vacuum-invariance caller can never silently re-derive a path the
+    * vacuum didn't touch. */
+  private[graft] def x13Serve(spark: SparkSession, countersStore: String,
+                              watchStore: String, nBatches: Int): DataFrame = {
+    val merged = spark.read.parquet(countersStore)
       .filter(col("batch_id") >= nBatches - WindowBatches)
       .drop("batch_id")
       .groupBy("r", "bucket").agg(sum("c").as("c"))
-    watchEstimates(spark.read.parquet(s"$work/watchlist"), merged)
+    watchEstimates(spark.read.parquet(watchStore), merged)
   }
 
   /** The batch twin: the window's rows (named by the membership rule)
@@ -568,8 +572,8 @@ object StreamSketch {
 
   /** Retire every `batch_id=N` partition below `keepFrom` from a
     * batch-partitioned partials store. The s17-vacuum rule applied to
-    * the STREAM stores: without retention, every per-batch append
-    * (x8–x17's sketches, p2/p3/p6's digests) grows the store for the
+    * the WINDOWED-SERVE stream stores (x8–x17's sketch partials):
+    * without retention, every per-batch append grows the store for the
     * stream's whole lifetime, even though a windowed serve
     * (x11/x12/x13) only ever prunes to the last [[WindowBatches]]
     * partitions — at 100 TB the store becomes an unbounded directory
@@ -579,6 +583,12 @@ object StreamSketch {
     * complete or not at all, and anything ≥ `keepFrom` is untouched —
     * which is exactly why the windowed serve is byte-identical before
     * and after (StreamEquivSpec proves it on all three store kinds).
+    * NOT applicable to the full-history digest/band stores (p2/p3/p6's
+    * digests, d12's bands): first-arrival dedup reads ALL prior
+    * batches, so window-vacuuming them would re-admit revived
+    * duplicates — their lifecycle motion is partition COMPACTION
+    * (many `batch_id=N` dirs rewritten into one consolidated
+    * partition, s13's move; d19 implements and proves it).
     * Returns the retired batch ids. */
   private[graft] def vacuumBatches(spark: SparkSession, store: String,
                                    keepFrom: Long): Seq[Long] = {
@@ -658,9 +668,11 @@ object StreamSketch {
   def x17StreamGrowth(spark: SparkSession, dir: String): DataFrame =
     x17WithBatchCount(spark, dir)._1
 
-  private[graft] def x17WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+  private[graft] def x17WithBatchCount(spark: SparkSession, dir: String,
+      workDir: Option[String] = None): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
-    val work = Files.createTempDirectory("graft_growthstream_").toString
+    val work = workDir.getOrElse(
+      Files.createTempDirectory("graft_growthstream_").toString)
     val store = s"$work/sketches"
     val events = Sources.table(spark, dir, "events")
       .select("event_id", "event_type", "user_id")

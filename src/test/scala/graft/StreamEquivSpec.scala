@@ -578,12 +578,31 @@ class StreamEquivSpec extends AnyFunSuite {
 
   test("x17 growth curve: telescoping exactness, monotone unions, differences track exact first appearances") {
     import org.apache.spark.sql.functions._
+    val w17 = java.nio.file.Files.createTempDirectory("graft_growth17_").toString
     val (growth, nBatches) =
-      graft.streaming.StreamSketch.x17WithBatchCount(spark, sf)
+      graft.streaming.StreamSketch.x17WithBatchCount(spark, sf, Some(w17))
     assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
       s"replay ran $nBatches micro-batches — not incremental")
     val g = growth.collect()
     assert(g.nonEmpty)
+    // structural completeness of the union input: one partial per
+    // (batch, type) actually present in the store — the relaxed
+    // near-monotone pin below tolerates estimator jitter, so a DROPPED
+    // tiny partial whose contribution hides under that allowance must
+    // be caught here, by the store's shape, not statistically
+    val partials = spark.read.parquet(s"$w17/sketches")
+      .select(col("batch_id").cast("long"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(partials.length == partials.distinct.length,
+      "duplicate sketch partials in the store")
+    val want = graft.io.Sources.table(spark, sf, "events")
+      .select(pmod(col("event_id"),
+        lit(graft.streaming.StreamSketch.SplitFiles)).cast("long").as("b"),
+        col("event_type"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(partials.toSet == want.toSet,
+      s"store holds ${partials.length} partials, expected one per populated " +
+        s"(batch, type): missing ${(want.toSet -- partials.toSet).take(5)}")
     // telescoping: Σ approx_new per type ≡ the final cumulative
     // estimate EXACTLY — differences of a telescoping series
     val byType = g.groupBy(_.getString(1))
@@ -699,7 +718,8 @@ class StreamEquivSpec extends AnyFunSuite {
     val r13 = StreamSketch.vacuumBatches(spark, s"$w13/counters",
       n13 - StreamSketch.WindowBatches)
     assert(r13.nonEmpty)
-    assert(rows(StreamSketch.x13Serve(spark, w13, n13)) == pre13,
+    assert(rows(StreamSketch.x13Serve(spark, s"$w13/counters",
+      s"$w13/watchlist", n13)) == pre13,
       "CMS windowed serve changed across the vacuum")
   }
 
