@@ -194,9 +194,16 @@ object ScaleCheck {
     * read, the term that is genuinely linear under the deployment rule. */
   private def s21ServeScaledK(spark: SparkSession, base: String, scaled: String,
                               only: Option[Set[String]]): Seq[(String, Double, Double)] = {
-    val name = "s21_bulk_serve_scaled_k"
-    if (!only.forall(_.contains(name))) return Seq.empty
     import graft.ops.SimilarityOps
+    val serves: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "s21_bulk_serve_scaled_k" -> (SimilarityOps.s21ServeAssigned(_)),
+      // top-k over the same stored assignment: the bounded k-slot fold
+      // must hold the top-1 serve's linear band — its exchange moves k
+      // rows per query instead of 1, a constant factor, never a new
+      // scale term
+      "s21_topk_serve_scaled_k" -> (SimilarityOps.s21TopKAssigned(_)))
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    if (serves.isEmpty) return Seq.empty
     val root = java.nio.file.Files.createTempDirectory("graft_s21store_").toString
     def prep(tag: String, dir: String, k: Int): String = {
       val path = s"$root/$tag"
@@ -206,9 +213,11 @@ object ScaleCheck {
     }
     val bPath = prep("base", base, SimilarityOps.IvfCells)
     val sPath = prep("scaled", scaled, SimilarityOps.IvfCells * Replicas)
-    val b = medianOf5(() => SimilarityOps.s21ServeAssigned(spark.read.parquet(bPath)))
-    val s = medianOf5(() => SimilarityOps.s21ServeAssigned(spark.read.parquet(sPath)))
-    Seq((name, b, s))
+    serves.map { case (name, serve) =>
+      val b = medianOf5(() => serve(spark.read.parquet(bPath)))
+      val s = medianOf5(() => serve(spark.read.parquet(sPath)))
+      (name, b, s)
+    }
   }
 
   /** Min-of-2 noop-write wall seconds (Bench's statistic). */

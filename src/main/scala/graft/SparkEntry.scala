@@ -95,6 +95,7 @@ object SparkEntry {
     "s18_ann_filtered" -> (SimilarityOps.s18AnnFiltered _),
     "s19_ann_radius" -> (SimilarityOps.s19AnnRadius _),
     "s21_ann_bulk_probe" -> (SimilarityOps.s21AnnBulkProbe _),
+    "s21_bulk_topk" -> (SimilarityOps.s21AnnBulkTopK _),
     "s22_ann_hier" -> (SimilarityOps.s22AnnHier _),
     "s20_stream_radius_alert" ->
       (graft.streaming.StreamAnnIngest.s20StreamRadiusAlert _),
@@ -1275,6 +1276,21 @@ object SparkEntry {
          |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
          |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
          |SELECT q_id, n_id, round(c, 4) AS cos_sim FROM r WHERE rnk = 1 ORDER BY q_id""".stripMargin,
+    // s21-topk: the same bulk chain read at depth BulkK — the oracle is
+    // s21's SQL with the rank bound widened from 1 to 3 and the rank
+    // emitted, the s3 probe family's exact read shape (rnk <= 3 under
+    // (c DESC, n_id ASC)); the engine's k-slot fold must reproduce the
+    // rank window's answer row for row
+    "s21_bulk_topk" ->
+      s"""WITH $embCte,
+         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+         |ac AS (SELECT n.vec_id, n.v, n.nrm, s.c_id, list_inner_product(n.v, s.cv) / (n.nrm * s.cn) AS ccos FROM n CROSS JOIN seeds s),
+         |ar AS (SELECT vec_id, v, nrm, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ac),
+         |asn AS (SELECT vec_id, v, nrm, cell FROM ar WHERE arn = 1),
+         |p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS c
+         |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= ${SimilarityOps.BulkK} ORDER BY q_id, rnk""".stripMargin,
     // s22: the two-level quantizer replayed in closed form — group
     // means at CentroidScale decimals (s17's fixed-precision parity),
     // level-1 argmax over the G super-centroids, level-2 argmax within

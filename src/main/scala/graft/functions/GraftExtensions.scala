@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopK].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_topk takes exactly 2 arguments")
+        TopK(children.head, children(1))
+      }))
     // Spark ships BloomFilterAggregate/BloomFilterMightContain as INTERNAL
     // expressions (the machinery behind AQE's runtime bloom-join
     // injection) without registering them as callable functions. Surface

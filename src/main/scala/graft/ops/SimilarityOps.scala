@@ -1370,18 +1370,59 @@ object SimilarityOps {
     * deliberately includes the flat-assignment sweep, whose N·k cost is
     * the term a production deployment amortizes at ingest (the stored
     * assignment) or replaces with a hierarchical coarse quantizer. */
-  private[graft] def s21ServeAssigned(assigned: DataFrame): DataFrame = {
-    val corpus = assigned
-      .select(col("cell"), col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
-    val queries = assigned
-      .select(col("cell"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val pairs = queries.hint("shuffle_hash").join(corpus, Seq("cell"))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("c", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-    pairs
+  private[graft] def s21ServeAssigned(assigned: DataFrame): DataFrame =
+    s21Pairs(assigned)
       .groupBy("q_id")
       .agg(max(struct(col("c"), (-col("n_id")).as("ni"), col("n_id"))).as("b"))
       .select(col("q_id"), col("b.n_id").as("n_id"), r4(col("b.c")).as("cos_sim"))
       .orderBy("q_id")
+
+  /** s21's two-sided candidate chain: every (query, in-cell neighbour)
+    * pair with its exact cosine, met on the shuffle-hash cell equi-join
+    * (no broadcast of either vector side). Shared by the top-1 and
+    * top-k serves — the reads differ, the join does not. */
+  private def s21Pairs(assigned: DataFrame): DataFrame = {
+    val corpus = assigned
+      .select(col("cell"), col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val queries = assigned
+      .select(col("cell"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    queries.hint("shuffle_hash").join(corpus, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("c", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
   }
+
+  /** Neighbours per query for the bulk top-k read — 3 matches the rank
+    * bound the whole online probe family serves (rnk <= 3), so the gate
+    * is oracle-checked against s3's chain at the same depth. */
+  val BulkK = 3
+
+  /** s21-topk: the bulk probe widened from top-1 to top-[[BulkK]] — the
+    * read the batch-inference motions actually issue (kNN-graph
+    * construction, link-prediction features, RAG candidate mining all
+    * want k neighbours per document, not one). The candidate chain is
+    * [[s21Pairs]] verbatim; the read is `graft_topk`
+    * ([[graft.functions.TopK]]), a BOUNDED map-side-combinable k-slot
+    * fold: each cell partition folds its candidates down to ≤ k rows
+    * per query before the q_id exchange, so the exchange moves k rows
+    * per query — never one per candidate pair, which is what the rank
+    * window the online probes use would shuffle here (every corpus
+    * vector is a query, so "per-query window" means exchanging and
+    * sorting the full Σ cell² pair set). collect_list-then-slice is
+    * banned for the same reason at the other end: its buffer holds a
+    * dense cell's whole candidate list. Ties break to the smaller n_id
+    * via the (c, -n_id) struct order, matching the oracle's
+    * (c DESC, n_id ASC) rank; PlanSpec locks no Window, no broadcast on
+    * a vector side, and partial_graft_topk present. */
+  def s21AnnBulkTopK(spark: SparkSession, dir: String): DataFrame =
+    s21TopKAssigned(s21AssignedK(spark, dir, IvfCells))
+
+  private[graft] def s21TopKAssigned(assigned: DataFrame): DataFrame =
+    s21Pairs(assigned)
+      .groupBy("q_id")
+      .agg(call_function("graft_topk",
+        struct(col("c"), (-col("n_id")).as("ni"), col("n_id")), lit(BulkK)).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.n_id").as("n_id"),
+        r4(col("col.c")).as("cos_sim"), (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("q_id", "rnk")
 }

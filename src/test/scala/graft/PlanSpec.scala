@@ -446,6 +446,34 @@ class PlanSpec extends AnyFunSuite {
       "s21 assignment shuffles the corpus by vec_id — argmax left the narrow form")
   }
 
+  test("s21 bulk top-k: same two-sided join discipline, bounded k-slot fold instead of max") {
+    // widening top-1 to top-k must not re-admit the machinery the top-1
+    // read banned: still a ShuffledHashJoin on cell, still no broadcast
+    // of a vector side, still NO Window — and the read must be the
+    // bounded graft_topk fold with its map-side partial present (the
+    // k-per-query exchange), never collect_list (unbounded buffer) or a
+    // rank window (full pair-set exchange + sort)
+    val plan = finalPlan(SimilarityOps.s21AnnBulkTopK(spark, sf))
+    assert(plan.contains("ShuffledHashJoin"),
+      "s21-topk cell join is not a ShuffledHashJoin — the hint was lost")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "s21-topk broadcasts a vector side — impossible at corpus-scale query sets")
+    assert(!plan.contains("CartesianProduct"), "s21-topk plan contains CartesianProduct")
+    assert(!plan.contains("Window"),
+      "s21-topk plans a Window — top-k must fold map-side, not rank the pair set")
+    assert(plan.contains("partial_graft_topk"),
+      "s21-topk lost its map-side partial aggregation — the q_id exchange " +
+        "would move one row per candidate pair instead of k per query")
+    // collect_list is allowed ONLY in the 16-row centroid-array build
+    // (the kilobyte broadcast literal); the per-query read must never
+    // use it — its buffer would hold a dense cell's whole candidate
+    // list. The q_id grouping is the one keyed on q_id.
+    assert(!plan.contains("collect_list(struct(c"),
+      "s21-topk's per-query read uses collect_list — unbounded aggregation state")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      "s21-topk assignment shuffles the corpus by vec_id — argmax left the narrow form")
+  }
+
   test("s22 hierarchical assignment stays narrow: two folds, no corpus exchange, s3's probe join") {
     // the whole point of the two-level quantizer is CHEAPER assignment
     // with the same plan class: both argmax levels must fold
