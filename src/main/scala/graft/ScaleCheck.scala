@@ -119,7 +119,12 @@ object ScaleCheck {
     // quadratic configuration and is deliberately absent here — it is
     // measured at the k ∝ corpus deployment rule in [[scaledKEntries]]
     // alongside d15.
-    "x18_retention_vacuum", "x19_late_ledger")
+    "x18_retention_vacuum", "x19_late_ledger",
+    // r12 additions: the hier-quantizer ingest (s11's class — per-batch
+    // narrow assignment + append; the scaled-k form has its own entry)
+    // and the bulk top-k (s21's serve band at fixed k; the honest
+    // k ∝ corpus form is s21_topk_serve_scaled_k)
+    "s23_stream_hier_ingest", "s21_bulk_topk")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -174,13 +179,28 @@ object ScaleCheck {
       "d18_semdedup_hier_scaled_k" ->
         ((dir, k) => SimilarityOps.d18SemDedupHierK(spark, dir, k,
           hierSubFor(k))))
+    // the hier INGEST at the deployment rule: per-batch assignment is
+    // G + sub ≈ 2√k dots per vector, so the full stream gate (split +
+    // codebook + 4-batch replay + store probe) must land linear where
+    // s11's flat ingest would inherit the N·k sweep at scaled k. Timed
+    // min-of-2 (the Gates statistic): a full stream run is a long
+    // timed unit, not a 0.5 s noise-floor query.
+    val ingest: Seq[(String, Double, Double)] =
+      if (!only.forall(_.contains("s23_hier_ingest_scaled_k"))) Seq.empty
+      else Seq(("s23_hier_ingest_scaled_k",
+        timeOf(() => graft.streaming.StreamAnnIngest.s23IngestK(
+          spark, base, SimilarityOps.IvfCells,
+          hierSubFor(SimilarityOps.IvfCells))),
+        timeOf(() => graft.streaming.StreamAnnIngest.s23IngestK(
+          spark, scaled, SimilarityOps.IvfCells * Replicas,
+          hierSubFor(SimilarityOps.IvfCells * Replicas)))))
     val full = entries.filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>
         val b = medianOf5(() => mk(base, SimilarityOps.IvfCells))
         val s = medianOf5(() => mk(scaled, SimilarityOps.IvfCells * Replicas))
         (name, b, s)
       }
-    full ++ s21ServeScaledK(spark, base, scaled, only)
+    full ++ ingest ++ s21ServeScaledK(spark, base, scaled, only)
   }
 
   /** The serve-only decomposition of s21's scaled-k decade: the full

@@ -86,6 +86,7 @@ object SparkEntry {
     "s2_ann_bucket" -> (SimilarityOps.s2AnnBucket _),
     "s3_ann_ivf" -> (SimilarityOps.s3AnnIvf _),
     "s11_stream_ann_ingest" -> (graft.streaming.StreamAnnIngest.s11StreamAnnIngest _),
+    "s23_stream_hier_ingest" -> (graft.streaming.StreamAnnIngest.s23StreamHierIngest _),
     "s12_stream_ann_delete" -> (graft.streaming.StreamAnnIngest.s12StreamAnnDelete _),
     "s13_ann_compact" -> (graft.streaming.StreamAnnIngest.s13AnnCompact _),
     "s14_ann_partial_compact" -> (graft.streaming.StreamAnnIngest.s14AnnPartialCompact _),
@@ -543,6 +544,34 @@ object SparkEntry {
        |asn1 AS (SELECT vec_id, v, nrm, label, cell FROM ar1 WHERE arn = 1),
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn1 WHERE label = 1),
        |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn1 a USING (cell) WHERE a.vec_id <> q.q_id),
+       |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+       |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** s22/s23's shared oracle: the two-level quantizer replayed in
+    * closed form — group means at CentroidScale decimals (s17's
+    * fixed-precision parity), level-1 argmax over the G super-
+    * centroids, level-2 argmax within the chosen group, then s3's
+    * probe chain verbatim. s23 serves the SAME answer from a
+    * stream-built store, so the string is shared (the s11 ≡ s3 move). */
+  private val s22HierSql: String = {
+    val dim = SimilarityOps.SignBands * SimilarityOps.BandBits
+    val sub = SimilarityOps.HierSub
+    s"""WITH $embCte,
+       |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+       |gseed AS (SELECT c_id, cv, cn, c_id // $sub AS g FROM seeds),
+       |sm AS (SELECT g, i, round(avg(cv[i]), ${SimilarityOps.CentroidScale}) AS sval
+       |  FROM gseed CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY g, i),
+       |sup AS (SELECT g, sv, sqrt(list_inner_product(sv, sv)) AS sn
+       |  FROM (SELECT g, list(sval ORDER BY i) AS sv FROM sm GROUP BY g)),
+       |a1 AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.g, list_inner_product(n.v, s.sv) / (n.nrm * s.sn) AS gcos FROM n CROSS JOIN sup s),
+       |r1 AS (SELECT vec_id, v, nrm, label, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, g) AS grn FROM a1),
+       |g1 AS (SELECT vec_id, v, nrm, label, g FROM r1 WHERE grn = 1),
+       |a2 AS (SELECT g1.vec_id, g1.v, g1.nrm, g1.label, s.c_id, list_inner_product(g1.v, s.cv) / (g1.nrm * s.cn) AS ccos FROM g1 JOIN gseed s ON s.g = g1.g),
+       |r2 AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM a2),
+       |asn AS (SELECT vec_id, v, nrm, label, cell FROM r2 WHERE arn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
+       |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
        |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
        |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   }
@@ -1295,27 +1324,12 @@ object SparkEntry {
     // means at CentroidScale decimals (s17's fixed-precision parity),
     // level-1 argmax over the G super-centroids, level-2 argmax within
     // the chosen group, then s3's probe chain verbatim
-    "s22_ann_hier" -> {
-      val dim = SimilarityOps.SignBands * SimilarityOps.BandBits
-      val sub = SimilarityOps.HierSub
-      s"""WITH $embCte,
-         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
-         |gseed AS (SELECT c_id, cv, cn, c_id // $sub AS g FROM seeds),
-         |sm AS (SELECT g, i, round(avg(cv[i]), ${SimilarityOps.CentroidScale}) AS sval
-         |  FROM gseed CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY g, i),
-         |sup AS (SELECT g, sv, sqrt(list_inner_product(sv, sv)) AS sn
-         |  FROM (SELECT g, list(sval ORDER BY i) AS sv FROM sm GROUP BY g)),
-         |a1 AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.g, list_inner_product(n.v, s.sv) / (n.nrm * s.sn) AS gcos FROM n CROSS JOIN sup s),
-         |r1 AS (SELECT vec_id, v, nrm, label, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, g) AS grn FROM a1),
-         |g1 AS (SELECT vec_id, v, nrm, label, g FROM r1 WHERE grn = 1),
-         |a2 AS (SELECT g1.vec_id, g1.v, g1.nrm, g1.label, s.c_id, list_inner_product(g1.v, s.cv) / (g1.nrm * s.cn) AS ccos FROM g1 JOIN gseed s ON s.g = g1.g),
-         |r2 AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM a2),
-         |asn AS (SELECT vec_id, v, nrm, label, cell FROM r2 WHERE arn = 1),
-         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
-         |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
-         |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
-         |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
-    },
+    "s22_ann_hier" -> s22HierSql,
+    // s23 serves batch s22's answer from a STREAM-BUILT hier index
+    // store, so the oracle is s22's SQL verbatim (shared string):
+    // stream-built ≡ batch-built under the two-level quantizer, the
+    // s11 ≡ s3 move
+    "s23_stream_hier_ingest" -> s22HierSql,
     // s20 is s19 raised incrementally at arrival time — the union of the
     // per-batch alert ledgers must BE the batch radius answer, so the
     // oracle is s19's shared string (the s11 ≡ s3 move for the radius)

@@ -1267,7 +1267,7 @@ object SimilarityOps {
     * means round to the identical codebook) plus the group's own
     * centroid structs. Total payload is the same k centroid vectors
     * plus G means — kilobytes, exactly like the flat array. */
-  private def hierCentArr(seeds: DataFrame, sub: Int): DataFrame = {
+  private[graft] def hierCentArr(seeds: DataFrame, sub: Int): DataFrame = {
     val grouped = seeds.withColumn("g", floor(col("c_id") / sub).cast("long"))
     val supers = grouped
       .select(col("g"), posexplode(col("cv")).as(Seq("i", "val")))
@@ -1296,8 +1296,15 @@ object SimilarityOps {
     * different cell) — the gate's oracle replays the two-level rule
     * itself, never approximates the flat one. */
   private[graft] def hierAssignCells(frame: DataFrame, seeds: DataFrame,
-                                     sub: Int): DataFrame = {
-    val arr = hierCentArr(seeds, sub)
+                                     sub: Int): DataFrame =
+    hierAssignWithCodebook(frame, hierCentArr(seeds, sub))
+
+  /** The two-level assignment against an ALREADY-BUILT codebook frame
+    * (one row, the [[hierCentArr]] nested literal) — the seam the
+    * streaming ingest (s23) reads: the codebook is an offline artifact
+    * written once before the stream starts, exactly like s11's flat
+    * quantizer file, so each micro-batch pays only the G + sub fold. */
+  private[graft] def hierAssignWithCodebook(frame: DataFrame, arr: DataFrame): DataFrame = {
     frame.crossJoin(broadcast(arr))
       .withColumn("grp", bestCellStruct(
         transform(col("groups"), grp => struct(

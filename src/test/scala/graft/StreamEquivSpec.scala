@@ -131,6 +131,34 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("s23 hier streaming ingest: stream-built two-level index serves batch s22's answer, order-free") {
+    import org.apache.spark.sql.functions._
+    val batch = rows(graft.ops.SimilarityOps.s22AnnHier(spark, sf))
+    val (streamDf, nBatches) =
+      graft.streaming.StreamAnnIngest.s23WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    assert(batch.nonEmpty)
+    assert(rows(streamDf) == batch)
+    // the quantizer swap must be invisible downstream of the cell
+    // column: the store probe still pays zero assignment work over the
+    // corpus (no codebook attach = no BNLJ in the serve plan)
+    streamDf.collect()
+    val plan = streamDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "hier store probe re-ran quantizer assignment — query time must pay " +
+        "zero assignment work over the corpus")
+    assert(!plan.contains("CartesianProduct"))
+    // order-free (the s11 move): each row assigns independently against
+    // the static two-level codebook, so reversed arrival is the same set
+    val (rev, nr) = graft.streaming.StreamAnnIngest
+      .s23WithBatchCount(spark, sf, negate(col("vec_id")))
+    assert(nr == graft.streaming.StreamAnnIngest.SplitFiles)
+    assert(rows(rev) == batch,
+      "reversed-arrival s23 diverged from batch s22 — hier index union is order-dependent")
+  }
+
   test("s20 streaming radius alerts: per-arrival alert union ≡ batch s19, raised incrementally") {
     val batch = rows(graft.ops.SimilarityOps.s19AnnRadius(spark, sf))
     val (streamDf, nBatches, perBatch) =
