@@ -700,6 +700,38 @@ object SparkEntry {
        |n AS (SELECT vec_id, v, label, sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
   }
 
+  /** The hierarchical-quantizer rows of the recall battery: corpus
+    * assignment replays s22's two-level chain (group means at
+    * CentroidScale decimals off the battery's shared `seeds` CTE,
+    * level-1 then level-2 argmax); queries fan out to their top-np
+    * GROUPS (np = 1 is s22's probe, np = 2 the recovery lever) and take
+    * the level-2 argmax cell within each probed group — mirror of
+    * SimilarityOps.hierQueryCells, ties to the lower id at both levels. */
+  private def hierRecallCtes: String = {
+    val dim = SimilarityOps.SignBands * SimilarityOps.BandBits
+    val sub = SimilarityOps.HierSub
+    val perNp = Seq(1, 2).map(np =>
+      s"""hqa$np AS (SELECT r.vec_id, r.v, r.nrm, s.c_id, r.g, list_inner_product(r.v, s.cv) / (r.nrm * s.cn) AS ccos FROM hr1 r JOIN hgseed s ON s.g = r.g WHERE r.label = 1 AND r.grn <= $np),
+         |hqr$np AS (SELECT vec_id, g, c_id AS cell, row_number() OVER (PARTITION BY vec_id, g ORDER BY ccos DESC, c_id) AS arn FROM hqa$np),
+         |hq$np AS (SELECT r.vec_id AS q_id, n.v AS qv, n.nrm AS qn, r.cell FROM hqr$np r JOIN n ON n.vec_id = r.vec_id WHERE r.arn = 1),
+         |hp$np AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM hq$np q JOIN hasn a USING (cell) WHERE a.vec_id <> q.q_id),
+         |hrr$np AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM hp$np),
+         |htop$np AS (SELECT q_id, n_id FROM hrr$np WHERE rnk <= 3)""".stripMargin)
+      .mkString(",\n")
+    s"""hgseed AS (SELECT c_id, cv, cn, c_id // $sub AS g FROM seeds),
+       |hsm AS (SELECT g, i, round(avg(cv[i]), ${SimilarityOps.CentroidScale}) AS sval
+       |  FROM hgseed CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY g, i),
+       |hsup AS (SELECT g, sv, sqrt(list_inner_product(sv, sv)) AS sn
+       |  FROM (SELECT g, list(sval ORDER BY i) AS sv FROM hsm GROUP BY g)),
+       |ha1 AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.g, list_inner_product(n.v, s.sv) / (n.nrm * s.sn) AS gcos FROM n CROSS JOIN hsup s),
+       |hr1 AS (SELECT vec_id, v, nrm, label, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, g) AS grn FROM ha1),
+       |hg1 AS (SELECT vec_id, v, nrm, label, g FROM hr1 WHERE grn = 1),
+       |ha2 AS (SELECT hg1.vec_id, hg1.v, hg1.nrm, hg1.label, s.c_id, list_inner_product(hg1.v, s.cv) / (hg1.nrm * s.cn) AS ccos FROM hg1 JOIN hgseed s ON s.g = hg1.g),
+       |hr2 AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM ha2),
+       |hasn AS (SELECT vec_id, v, nrm, label, cell FROM hr2 WHERE arn = 1),
+       |$perNp""".stripMargin
+  }
+
   /** The full ANN-recall CTE chain (exact top-3 + all six approximate
     * paths + per-(query, method) hit counts), parameterized on the
     * embedding CTE so s4 (raw vectors) and s7 (planted clusters) share
@@ -743,9 +775,10 @@ object SparkEntry {
        |rrtop AS (SELECT q_id, n_id FROM rrr WHERE rnk <= 3),
        |$residualPqCtes,
        |rtop AS (SELECT q_id, n_id FROM rr2 WHERE rnk <= 3),
-       |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop UNION ALL SELECT q_id, n_id, 'ivf_np2' AS method FROM itop2 UNION ALL SELECT q_id, n_id, 'ivf_np4' AS method FROM itop4 UNION ALL SELECT q_id, n_id, 'pq' AS method FROM pqtop UNION ALL SELECT q_id, n_id, 'ivfpq' AS method FROM ftop UNION ALL SELECT q_id, n_id, 'ivfpq_res' AS method FROM rtop UNION ALL SELECT q_id, n_id, 'ivfpq_rr' AS method FROM rrtop),
+       |$hierRecallCtes,
+       |appr AS (SELECT q_id, n_id, 'bucket' AS method FROM btop UNION ALL SELECT q_id, n_id, 'ivf' AS method FROM itop UNION ALL SELECT q_id, n_id, 'ivf_np2' AS method FROM itop2 UNION ALL SELECT q_id, n_id, 'ivf_np4' AS method FROM itop4 UNION ALL SELECT q_id, n_id, 'pq' AS method FROM pqtop UNION ALL SELECT q_id, n_id, 'ivfpq' AS method FROM ftop UNION ALL SELECT q_id, n_id, 'ivfpq_res' AS method FROM rtop UNION ALL SELECT q_id, n_id, 'ivfpq_rr' AS method FROM rrtop UNION ALL SELECT q_id, n_id, 'hier' AS method FROM htop1 UNION ALL SELECT q_id, n_id, 'hier_np2' AS method FROM htop2),
        |qs AS (SELECT DISTINCT q_id FROM exact),
-       |mth AS (SELECT unnest(['bucket', 'ivf', 'ivf_np2', 'ivf_np4', 'pq', 'ivfpq', 'ivfpq_res', 'ivfpq_rr']) AS method),
+       |mth AS (SELECT unnest(['bucket', 'hier', 'hier_np2', 'ivf', 'ivf_np2', 'ivf_np4', 'pq', 'ivfpq', 'ivfpq_res', 'ivfpq_rr']) AS method),
        |h AS (SELECT a.q_id, a.method, count(*) AS hits FROM appr a JOIN exact x ON x.q_id = a.q_id AND x.n_id = a.n_id GROUP BY 1, 2)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

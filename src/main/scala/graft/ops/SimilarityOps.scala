@@ -596,6 +596,12 @@ object SimilarityOps {
       .unionByName(recallOf(s6From(all), "ivfpq"))
       .unionByName(recallOf(s8From(all), "ivfpq_res"))
       .unionByName(recallOf(s9From(all), "ivfpq_rr"))
+      // the hierarchical quantizer's recall trade, measured in the same
+      // battery that prices every other path: hier (gprobe=1, s22's
+      // probe) shows the 2√k assignment's cost; hier_np2 (top-2 GROUPS)
+      // measures the documented recovery lever against flat ivf/ivf_np2
+      .unionByName(recallOf(hierProbeFrom(all, 1), "hier"))
+      .unionByName(recallOf(hierProbeFrom(all, 2), "hier_np2"))
       .orderBy("q_id", "method")
   }
 
@@ -1316,6 +1322,50 @@ object SimilarityOps {
       .withColumn("best", bestCellStruct(col("subs"), col("v"), col("nrm")))
       .select(col("vec_id"), col("v"), col("nrm"), col("label"),
         col("best.c_id").as("cell"), col("best.ccos").as("ccos"))
+  }
+
+  /** Probed cell ids for one QUERY under the hierarchical quantizer at
+    * a level-1 fan-out of `gprobe`: rank the G super-centroids, keep
+    * the top `gprobe` GROUPS, and within each probed group take the
+    * level-2 argmax cell. Fan-out is at the GROUP level by design: the
+    * hier quantizer's recall loss comes from level-1 argmax errors (a
+    * query near a group boundary picks the wrong group; within the
+    * right group, level-2 is exact over its [[HierSub]] cells), so the
+    * recovery lever must probe the runner-up GROUP — fanning out cells
+    * inside the already-chosen group would re-probe the same
+    * neighbourhood the level-1 error just left. Distinct groups yield
+    * distinct cells, so probed pairs stay unique by construction. */
+  private def hierQueryCells(groups: Column, v: Column, nrm: Column,
+                             gprobe: Int): Column = {
+    val gcents = transform(groups, g => struct(
+      g.getField("c_id").as("c_id"), g.getField("cv").as("cv"),
+      g.getField("cn").as("cn")))
+    transform(slice(rankedCellStructs(gcents, v, nrm), 1, gprobe), t =>
+      bestCellStruct(
+        element_at(groups, t.getField("c_id").cast("int") + 1).getField("subs"),
+        v, nrm).getField("c_id"))
+  }
+
+  /** The hier probe at a level-1 fan-out of `gprobe` — s22's probe with
+    * the query side widened to its top-`gprobe` groups ([[hierQueryCells]]),
+    * the s4 battery's np2 move lifted to the two-level quantizer. The
+    * corpus side is the unchanged single-cell assignment; only the tiny
+    * query set fans out, so plan shape and cost class match s3's
+    * multiprobe exactly. At gprobe=1 this IS s22's probe. */
+  private def hierProbeFrom(all: DataFrame, gprobe: Int): DataFrame = {
+    val arr = hierCentArr(ivfSeedCentroids(all), HierSub)
+    val assigned = hierAssignWithCodebook(all, arr)
+    val q = all.filter(col("label") === 1)
+      .crossJoin(broadcast(arr))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(hierQueryCells(col("groups"), col("v"), col("nrm"), gprobe)).as("cell"))
+    val pairs = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("cos_sim"), col("rnk"))
   }
 
   /** s22: the IVF probe under a HIERARCHICAL coarse quantizer — the

@@ -787,6 +787,27 @@ class InvariantSpec extends AnyFunSuite {
       f"hier recall@3 $hier%.3f fell more than 0.1 below flat $flat%.3f")
   }
 
+  test("hier multiprobe recovers the quantizer's recall loss past flat nprobe=1") {
+    // the documented recovery lever, now a measured battery row: the
+    // group-level fan-out (hier_np2 probes the runner-up GROUP — where
+    // the level-1 argmax errors that cost hier its recall live) must
+    // (a) never lose recall vs hier np1 on any query, and (b) lift mean
+    // recall AT LEAST back past the flat quantizer's nprobe=1 row
+    // (measured 0.305 vs hier 0.177 / flat ivf 0.206 at sf0.001,
+    // 0.275 vs 0.152 / 0.232 at sf0.01).
+    val rows = SimilarityOps.s4AnnRecall(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> r.getDouble(3)).toMap
+    val qs = rows.keys.map(_._2).toSeq.distinct
+    qs.foreach { q =>
+      assert(rows(("hier_np2", q)) >= rows(("hier", q)),
+        s"query $q: hier_np2 recall fell below hier — fan-out lost a probed cell")
+    }
+    def mean(m: String): Double = qs.map(q => rows((m, q))).sum / qs.size
+    assert(mean("hier_np2") >= mean("ivf"),
+      f"hier_np2 mean recall ${mean("hier_np2")}%.3f did not recover past " +
+        f"flat nprobe=1 ${mean("ivf")}%.3f")
+  }
+
   test("s19 radius search: every match clears τ, and it agrees with s3's ranked view") {
     val radius = SimilarityOps.s19AnnRadius(spark, sf).cache()
     try {
