@@ -121,10 +121,12 @@ object ScaleCheck {
     // alongside d15.
     "x18_retention_vacuum", "x19_late_ledger",
     // r12 additions: the hier-quantizer ingest (s11's class — per-batch
-    // narrow assignment + append; the scaled-k form has its own entry)
-    // and the bulk top-k (s21's serve band at fixed k; the honest
-    // k ∝ corpus form is s21_topk_serve_scaled_k)
-    "s23_stream_hier_ingest", "s21_bulk_topk")
+    // narrow assignment + append; the scaled-k form has its own entry),
+    // the bulk top-k (s21's serve band at fixed k; the honest
+    // k ∝ corpus form is s21_topk_serve_scaled_k), and the mid-stream
+    // band-store compaction (d12's band + one consolidation rewrite —
+    // expected d12's band plus the store's own I/O once)
+    "s23_stream_hier_ingest", "s21_bulk_topk", "d19_band_compact")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -75,6 +75,7 @@ object SparkEntry {
     "d10_dup_clusters" -> (DedupOps.d10DupClusters _),
     "d11_dedup_impact" -> (DedupOps.d11DedupImpact _),
     "d12_stream_minhash" -> (graft.streaming.IncrementalDedup.d12StreamMinhash _),
+    "d19_band_compact" -> (graft.streaming.IncrementalDedup.d19BandCompact _),
     "d13_consensus_near_dup" -> (DedupOps.d13ConsensusNearDup _),
     "d14_bloom_decontam" -> (DedupOps.d14BloomDecontamination _),
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
@@ -1035,6 +1036,10 @@ object SparkEntry {
     // means the SAME oracle must match, and checking it against d3's SQL
     // is exactly the equivalence claim.
     "d12_stream_minhash" -> minhashSql,
+    // d19 compacts d12's band/shingle stores MID-STREAM and keeps
+    // emitting — compaction must be invisible to the first-arrival
+    // joins, so the oracle is d3/d12's SQL verbatim (shared string)
+    "d19_band_compact" -> minhashSql,
     "d10_dup_clusters" -> dupClustersSql,
     "d11_dedup_impact" -> dedupImpactSql,
     "t12_chunking" -> {

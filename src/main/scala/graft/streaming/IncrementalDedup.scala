@@ -139,4 +139,116 @@ object IncrementalDedup {
       spark.read.parquet(path).filter(col("batch_id") < batchId).drop("batch_id")
     else
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+
+  // ---- d19: compaction for the full-history band/shingle stores ------
+
+  def d19BandCompact(spark: SparkSession, dir: String): DataFrame =
+    d19WithStoreInfo(spark, dir)._1
+
+  /** d19: partition COMPACTION for d12's band and shingle stores — the
+    * lifecycle motion the FULL-HISTORY stores actually need. x18's
+    * window vacuum must never touch these (first-arrival dedup reads
+    * ALL prior batches; deleting old partitions would re-admit revived
+    * duplicates), but without any maintenance they accumulate one
+    * `batch_id=N` directory per micro-batch FOREVER: the key-pruned
+    * joins stay small, yet the directory listing — what every batch's
+    * store read must enumerate — grows with stream lifetime. s13's
+    * consolidation move applies verbatim: rewrite the shipped batch
+    * partitions into ONE consolidated partition (`batch_id=-1`,
+    * repartitioned on the store's join key so the candidate join's
+    * scan stays key-clustered), swap it in, and the per-batch
+    * first-arrival reads see the identical row set — `-1 < b` keeps
+    * the consolidated rows inside every later batch's
+    * `batch_id < current` prune, and a replayed batch still excludes
+    * its own partial write.
+    *
+    * The gate proves compaction mid-stream, the adversarial moment:
+    * replay the first half of the arrivals, compact BOTH stores down
+    * to one partition each, then replay the second half against the
+    * compacted state. The emitted pair union must be byte-identical to
+    * batch d3 — so the oracle is d12's SQL VERBATIM (shared string),
+    * and StreamEquivSpec additionally pins the store row-set across
+    * the swap plus the partition-count bound (2 → 1 → 1 + later
+    * batches). The pair store is NOT compacted here: it is the output
+    * ledger, never re-read by the join.
+    *
+    * Scale: compaction reads each shipped partition once and writes it
+    * back key-clustered — the same I/O class as s13's cell rewrite,
+    * schedulable per key range at 100 TB; between compactions the
+    * listing is bounded by (1 + batches since last compaction). */
+  private[graft] def d19WithStoreInfo(spark: SparkSession, dir: String)
+      : (DataFrame, Int, Int, Int, Long) = {
+    val work = Files.createTempDirectory("graft_bandcompact_").toString
+    val splitAll = s"$work/in_all"
+    Sources.table(spark, dir, "documents")
+      .select("doc_id", "text")
+      .repartitionByRange(SplitFiles, col("doc_id"))
+      .write.parquet(splitAll)
+    // deal the replay files into two arrival phases (half each): the
+    // stream must CONTINUE over a compacted store, not restart
+    val files = new java.io.File(splitAll).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val (aDir, bDir) = (s"$work/inA", s"$work/inB")
+    new java.io.File(aDir).mkdirs(); new java.io.File(bDir).mkdirs()
+    files.zipWithIndex.foreach { case (f, i) =>
+      val tgt = if (i < SplitFiles / 2) aDir else bDir
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(tgt, f.getName)): Unit
+    }
+    val bandStore = s"$work/bands"
+    val shingleStore = s"$work/shingles"
+    val pairStore = s"$work/pairs"
+    def run(inDir: String, ckpt: String, offset: Long): Unit = {
+      val session = spark.newSession()
+      val q = session.readStream
+        .schema(session.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch((batch: DataFrame, batchId: Long) =>
+          processBatch(batch, offset + batchId, bandStore, shingleStore, pairStore))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run(aDir, s"$work/ckptA", 0L)
+    val partsBefore = countBatchDirs(bandStore)
+    compactStore(spark, bandStore, "bv")
+    compactStore(spark, shingleStore, "doc_id")
+    val partsAfter = countBatchDirs(bandStore)
+    run(bDir, s"$work/ckptB", (SplitFiles / 2).toLong)
+    val partsEnd = countBatchDirs(bandStore)
+    val emitted = Option(new java.io.File(pairStore).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0).toLong
+    val result = spark.read.parquet(pairStore)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy("a_id", "b_id")
+    (result, partsBefore, partsAfter, partsEnd, emitted)
+  }
+
+  /** Rewrite a batch-partitioned store's shipped partitions into ONE
+    * consolidated `batch_id=-1` partition, repartitioned on `key` (the
+    * store's join key, so the candidate join's scan stays
+    * key-clustered), then swap it in atomically-enough for the
+    * single-writer stream (the stream is quiesced between triggers —
+    * exactly when a production table service would take the store
+    * lock). -1 sorts below every real batch id, so the consolidated
+    * rows remain inside every later `batch_id < current` prune. */
+  private[graft] def compactStore(spark: SparkSession, store: String,
+                                  key: String): Unit = {
+    val tmp = store + "_compacting"
+    spark.read.parquet(store).drop("batch_id")
+      .repartition(col(key))
+      .write.parquet(s"$tmp/batch_id=-1")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(store)): Unit
+  }
+
+  private def countBatchDirs(store: String): Int =
+    Option(new java.io.File(store).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
 }

@@ -131,6 +131,53 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("d19 band-store compaction: mid-stream swap invisible to first-arrival joins, partitions bounded") {
+    val half = graft.streaming.IncrementalDedup.SplitFiles / 2
+    val (result, before, after, end, emitted) =
+      graft.streaming.IncrementalDedup.d19WithStoreInfo(spark, sf)
+    // the compaction genuinely consolidated: half the replay's batch
+    // dirs collapse to ONE partition, and the listing stays bounded at
+    // 1 + batches-since-compaction afterwards
+    assert(before == half, s"pre-compaction store has $before partitions, expected $half")
+    assert(after == 1, s"compacted store has $after partitions, expected 1")
+    assert(end == 1 + half, s"post-stream store has $end partitions, expected ${1 + half}")
+    // the pair OUTPUT ledger is untouched by compaction: one dir per batch
+    assert(emitted == graft.streaming.IncrementalDedup.SplitFiles,
+      s"pair ledger has $emitted batch dirs — compaction touched the output store")
+    // the first-arrival claim end to end: the second half's batches read
+    // the COMPACTED prior state, and the union still equals batch d3
+    assert(rows(result) == rows(graft.ops.DedupOps.d3MinhashLsh(spark, sf)),
+      "pair union diverged from batch d3 — the compacted store fed the join a different set")
+  }
+
+  test("compactStore preserves the row set exactly and stays inside the batch prune") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val store = s"$work/bands"
+    // three batch partitions with overlapping keys (compaction must
+    // keep duplicates across batches — these are SETS per batch, and
+    // the first-arrival join counts on every prior row surviving)
+    (0 until 3).foreach { b =>
+      (0 until 20).map(i => (i.toLong + b, i % 4, s"v${i % 5}"))
+        .toDF("doc_id", "bi", "bv")
+        .write.parquet(s"$store/batch_id=$b")
+    }
+    def snapshot() = rows(spark.read.parquet(store).drop("batch_id")
+      .orderBy("doc_id", "bi", "bv"))
+    val pre = snapshot()
+    graft.streaming.IncrementalDedup.compactStore(spark, store, "bv")
+    val dirs = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName)
+    assert(dirs.toSeq == Seq("batch_id=-1"), s"store dirs after compaction: ${dirs.toSeq}")
+    assert(snapshot() == pre, "compaction changed the store's row multiset")
+    // the prune rule every later batch applies still admits everything:
+    // -1 sorts below any real batch id
+    assert(spark.read.parquet(store).filter(col("batch_id") < 3).count() == pre.size)
+    // every row lives in the consolidated partition — nothing strayed
+    assert(spark.read.parquet(store).filter(col("batch_id") === -1).count() == pre.size)
+  }
+
   test("s23 hier streaming ingest: stream-built two-level index serves batch s22's answer, order-free") {
     import org.apache.spark.sql.functions._
     val batch = rows(graft.ops.SimilarityOps.s22AnnHier(spark, sf))
