@@ -126,7 +126,13 @@ object ScaleCheck {
     // k ∝ corpus form is s21_topk_serve_scaled_k), and the mid-stream
     // band-store compaction (d12's band + one consolidation rewrite —
     // expected d12's band plus the store's own I/O once)
-    "s23_stream_hier_ingest", "s21_bulk_topk", "d19_band_compact")
+    "s23_stream_hier_ingest", "s21_bulk_topk", "d19_band_compact",
+    // r12 round-2 additions: the stream-store hier multiprobe (s15's
+    // class — query-side group fan-out is constant in corpus size),
+    // the stats-store running-max fold (x19's class + one
+    // batches-row fold), and the digest-store compaction (p6's class
+    // + one key-clustered rewrite of 32-byte keys)
+    "s24_stream_hier_multiprobe", "x20_stats_compact", "p7_export_compact")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

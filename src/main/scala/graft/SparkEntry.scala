@@ -88,6 +88,7 @@ object SparkEntry {
     "s3_ann_ivf" -> (SimilarityOps.s3AnnIvf _),
     "s11_stream_ann_ingest" -> (graft.streaming.StreamAnnIngest.s11StreamAnnIngest _),
     "s23_stream_hier_ingest" -> (graft.streaming.StreamAnnIngest.s23StreamHierIngest _),
+    "s24_stream_hier_multiprobe" -> (graft.streaming.StreamAnnIngest.s24StreamHierMultiprobe _),
     "s12_stream_ann_delete" -> (graft.streaming.StreamAnnIngest.s12StreamAnnDelete _),
     "s13_ann_compact" -> (graft.streaming.StreamAnnIngest.s13AnnCompact _),
     "s14_ann_partial_compact" -> (graft.streaming.StreamAnnIngest.s14AnnPartialCompact _),
@@ -144,6 +145,8 @@ object SparkEntry {
     "p5_shuffle_shard" -> (PipelineOps.p5ShuffleShard _),
     "p6_incremental_export" ->
       (graft.streaming.IncrementalExport.p6IncrementalExport _),
+    "p7_export_compact" ->
+      (graft.streaming.IncrementalExport.p7ExportCompact _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
     "x3_ml_eval" -> (ScoringPipeline.x3MlEval _),
     "x4_ivf_kmeans" -> (SimilarityOps.x4IvfKmeans _),
@@ -165,7 +168,8 @@ object SparkEntry {
     "x17_stream_growth" -> (graft.streaming.StreamSketch.x17StreamGrowth _),
     "x18_retention_vacuum" ->
       (graft.streaming.StreamSketch.x18RetentionVacuum _),
-    "x19_late_ledger" -> (graft.streaming.LateLedger.x19LateLedger _)
+    "x19_late_ledger" -> (graft.streaming.LateLedger.x19LateLedger _),
+    "x20_stats_compact" -> (graft.streaming.LateLedger.x20StatsCompact _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -572,6 +576,74 @@ object SparkEntry {
        |r2 AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM a2),
        |asn AS (SELECT vec_id, v, nrm, label, cell FROM r2 WHERE arn = 1),
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
+       |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
+       |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+       |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** p6's oracle — also p7's verbatim (the compaction gate's whole
+    * claim is that the manifest is unchanged by the mid-stream swap). */
+  private lazy val p6ExportSql: String = {
+    val m = graft.streaming.StreamSketch.SplitFiles
+    s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
+       |$funnelHeadCtes,
+       |e6 AS (SELECT fl.*, doc_id % $m AS bid FROM fl WHERE NOT is_eval AND q),
+       |k6 AS (SELECT e6.*, row_number() OVER (PARTITION BY norm_key ORDER BY bid, doc_id) AS arn FROM e6),
+       |kept AS (SELECT doc_id, source, bid FROM k6 WHERE arn = 1),
+       |kt AS (SELECT kept.bid, kept.source, kept.doc_id // ${TextOps.ShardDocs} AS shard, kept.doc_id, array_to_string(t.ts, ' ') AS s, len(t.ts) AS n_tok
+       |  FROM kept JOIN tok t ON t.doc_id = kept.doc_id WHERE len(t.ts) > 0)
+       |SELECT CAST(bid AS BIGINT) AS batch_id, source, CAST(shard AS BIGINT) AS shard,
+       |CAST(count(*) AS BIGINT) AS n_docs,
+       |CAST(sum(n_tok) AS BIGINT) AS n_tok,
+       |CAST((sum(n_tok) + ${TextOps.SeqTokens - 1}) // ${TextOps.SeqTokens} AS BIGINT) AS n_seqs,
+       |md5(string_agg(s, ' ' ORDER BY doc_id)) AS pack_md5
+       |FROM kt GROUP BY 1, 2, 3 ORDER BY batch_id, source, shard""".stripMargin
+  }
+
+  /** x19's oracle — also x20's verbatim (the running-max fold must be
+    * invisible to every watermark the ledger derives). */
+  private lazy val x19LedgerSql: String = {
+    val m = graft.streaming.StreamSketch.SplitFiles
+    val d = graft.streaming.LateLedger.LateDelayMicros
+    s"""WITH e AS (SELECT event_id % $m AS bid, event_type, value, epoch_us(ts) AS tsu FROM events),
+       |bm AS (SELECT bid, max(tsu) AS mt FROM e GROUP BY bid),
+       |wm AS (SELECT b.bid, max(p.mt) - $d AS wmv FROM bm b JOIN bm p ON p.bid < b.bid GROUP BY b.bid),
+       |c AS (SELECT e.bid, e.event_type, e.value,
+       |  CASE WHEN w.wmv IS NOT NULL AND e.tsu < w.wmv THEN 1 ELSE 0 END AS late
+       |  FROM e LEFT JOIN wm w ON w.bid = e.bid)
+       |SELECT CAST(bid AS BIGINT) AS batch_id, event_type,
+       |CAST(sum(late) AS BIGINT) AS n_late,
+       |CAST(sum(1 - late) AS BIGINT) AS n_ontime,
+       |CAST(sum(CASE WHEN late = 0 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS ontime_value
+       |FROM c GROUP BY 1, 2 ORDER BY batch_id, event_type""".stripMargin
+  }
+
+  /** s24's oracle: the hier chain ([[s22HierSql]]'s CTEs) with the QUERY
+    * side widened to its top-gprobe GROUPS — `gq` keeps grn ≤ gprobe
+    * for label=1 rows, each probed group contributes its level-2 argmax
+    * cell (rank within (vec_id, g)), and the corpus assignment is the
+    * unchanged grn=1 chain. Distinct groups yield distinct cells, so
+    * probed pairs stay unique — mirrors hierQueryCells exactly. */
+  private def s24HierMultiprobeSql(gprobe: Int): String = {
+    val dim = SimilarityOps.SignBands * SimilarityOps.BandBits
+    val sub = SimilarityOps.HierSub
+    s"""WITH $embCte,
+       |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+       |gseed AS (SELECT c_id, cv, cn, c_id // $sub AS g FROM seeds),
+       |sm AS (SELECT g, i, round(avg(cv[i]), ${SimilarityOps.CentroidScale}) AS sval
+       |  FROM gseed CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY g, i),
+       |sup AS (SELECT g, sv, sqrt(list_inner_product(sv, sv)) AS sn
+       |  FROM (SELECT g, list(sval ORDER BY i) AS sv FROM sm GROUP BY g)),
+       |a1 AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.g, list_inner_product(n.v, s.sv) / (n.nrm * s.sn) AS gcos FROM n CROSS JOIN sup s),
+       |r1 AS (SELECT vec_id, v, nrm, label, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, g) AS grn FROM a1),
+       |g1 AS (SELECT vec_id, v, nrm, label, g FROM r1 WHERE grn = 1),
+       |a2 AS (SELECT g1.vec_id, g1.v, g1.nrm, g1.label, s.c_id, list_inner_product(g1.v, s.cv) / (g1.nrm * s.cn) AS ccos FROM g1 JOIN gseed s ON s.g = g1.g),
+       |r2 AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM a2),
+       |asn AS (SELECT vec_id, v, nrm, label, cell FROM r2 WHERE arn = 1),
+       |gq AS (SELECT vec_id, v, nrm, g FROM r1 WHERE label = 1 AND grn <= $gprobe),
+       |aq AS (SELECT gq.vec_id, gq.v, gq.nrm, gq.g, s.c_id, list_inner_product(gq.v, s.cv) / (gq.nrm * s.cn) AS ccos FROM gq JOIN gseed s ON s.g = gq.g),
+       |rq AS (SELECT vec_id, v, nrm, c_id AS cell, row_number() OVER (PARTITION BY vec_id, g ORDER BY ccos DESC, c_id) AS arn FROM aq),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM rq WHERE arn = 1),
        |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
        |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
        |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
@@ -1160,22 +1232,14 @@ object SparkEntry {
     // width assumption), packed per (batch, source, shard) with p4's
     // ShardDocs bound — re-deriving every manifest row from scratch IS
     // the incremental ≡ from-scratch claim, digests included
-    "p6_incremental_export" -> {
-      val m = graft.streaming.StreamSketch.SplitFiles
-      s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
-         |$funnelHeadCtes,
-         |e6 AS (SELECT fl.*, doc_id % $m AS bid FROM fl WHERE NOT is_eval AND q),
-         |k6 AS (SELECT e6.*, row_number() OVER (PARTITION BY norm_key ORDER BY bid, doc_id) AS arn FROM e6),
-         |kept AS (SELECT doc_id, source, bid FROM k6 WHERE arn = 1),
-         |kt AS (SELECT kept.bid, kept.source, kept.doc_id // ${TextOps.ShardDocs} AS shard, kept.doc_id, array_to_string(t.ts, ' ') AS s, len(t.ts) AS n_tok
-         |  FROM kept JOIN tok t ON t.doc_id = kept.doc_id WHERE len(t.ts) > 0)
-         |SELECT CAST(bid AS BIGINT) AS batch_id, source, CAST(shard AS BIGINT) AS shard,
-         |CAST(count(*) AS BIGINT) AS n_docs,
-         |CAST(sum(n_tok) AS BIGINT) AS n_tok,
-         |CAST((sum(n_tok) + ${TextOps.SeqTokens - 1}) // ${TextOps.SeqTokens} AS BIGINT) AS n_seqs,
-         |md5(string_agg(s, ' ' ORDER BY doc_id)) AS pack_md5
-         |FROM kt GROUP BY 1, 2, 3 ORDER BY batch_id, source, shard""".stripMargin
-    },
+    "p6_incremental_export" -> p6ExportSql,
+    // p7 is p6 with the digest store compacted MID-STREAM (d19's move
+    // on the export family): the manifest must be byte-identical, so
+    // the oracle is p6's SQL verbatim (the swap itself is spec-pinned:
+    // StreamEquivSpec asserts the partition-count bound and that
+    // cross-phase duplicates were really adjudicated from the
+    // consolidated partition)
+    "p7_export_compact" -> p6ExportSql,
     // the stream ledger must equal the BATCH derivation of its stages —
     // same funnel-head CTEs as p1, minus the near-dup/contam tail
     "p2_stream_funnel" ->
@@ -1368,6 +1432,8 @@ object SparkEntry {
     // stream-built ≡ batch-built under the two-level quantizer, the
     // s11 ≡ s3 move
     "s23_stream_hier_ingest" -> s22HierSql,
+    "s24_stream_hier_multiprobe" ->
+      s24HierMultiprobeSql(graft.streaming.StreamAnnIngest.HierGprobe),
     // s20 is s19 raised incrementally at arrival time — the union of the
     // per-batch alert ledgers must BE the batch radius answer, so the
     // oracle is s19's shared string (the s11 ≡ s3 move for the radius)
@@ -1745,21 +1811,14 @@ object SparkEntry {
     // (Spark's update rule under the mod-m membership rule — batch 0
     // has none), every (late, on-time) verdict replayed per row, the
     // on-time value sum decimal-exact (the q04 addend precedent)
-    "x19_late_ledger" -> {
-      val m = graft.streaming.StreamSketch.SplitFiles
-      val d = graft.streaming.LateLedger.LateDelayMicros
-      s"""WITH e AS (SELECT event_id % $m AS bid, event_type, value, epoch_us(ts) AS tsu FROM events),
-         |bm AS (SELECT bid, max(tsu) AS mt FROM e GROUP BY bid),
-         |wm AS (SELECT b.bid, max(p.mt) - $d AS wmv FROM bm b JOIN bm p ON p.bid < b.bid GROUP BY b.bid),
-         |c AS (SELECT e.bid, e.event_type, e.value,
-         |  CASE WHEN w.wmv IS NOT NULL AND e.tsu < w.wmv THEN 1 ELSE 0 END AS late
-         |  FROM e LEFT JOIN wm w ON w.bid = e.bid)
-         |SELECT CAST(bid AS BIGINT) AS batch_id, event_type,
-         |CAST(sum(late) AS BIGINT) AS n_late,
-         |CAST(sum(1 - late) AS BIGINT) AS n_ontime,
-         |CAST(sum(CASE WHEN late = 0 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS ontime_value
-         |FROM c GROUP BY 1, 2 ORDER BY batch_id, event_type""".stripMargin
-    },
+    "x19_late_ledger" -> x19LedgerSql,
+    // x20 is x19 with the stats store FOLDED to its running max
+    // mid-stream: the ledger must be byte-identical — every phase-B
+    // watermark derives from the consolidated row, so a broken fold
+    // flips lateness verdicts — making the oracle x19's SQL verbatim
+    // (the fold itself is spec-pinned: partition counts and a phase-B
+    // n_late > 0 non-vacuity check)
+    "x20_stats_compact" -> x19LedgerSql,
     // x15's drift read from the moments store: decimal sums replay
     // exactly (the q04/q12 DECIMAL-addend precedent), batch membership
     // is x11's data rule, and mean/std/z are identical IEEE expressions

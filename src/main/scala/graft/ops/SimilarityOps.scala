@@ -223,6 +223,16 @@ object SimilarityOps {
     val q = assigned.filter(col("label") === 1)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell"))
+    probeTail(assigned, q)
+  }
+
+  /** The shared tail of every store-served probe: queries — already
+    * carrying their probed `cell` keys — ride a broadcast into the cell
+    * equi-join against the assigned corpus, exact cosine per candidate,
+    * rank ≤ 3 per query, s3's exact output shape. The query frames
+    * differ per probe (single stored cell, flat top-nprobe fan-out,
+    * hierarchical top-gprobe group fan-out); the join does not. */
+  private def probeTail(assigned: DataFrame, q: DataFrame): DataFrame = {
     val pairs = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
@@ -256,14 +266,30 @@ object SimilarityOps {
       .crossJoin(broadcast(centArr))
       .select(col("q_id"), col("qv"), col("qn"),
         explode(rankedCells(col("cents"), col("qv"), col("qn"), nprobe)).as("cell"))
-    val pairs = assigned.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
-    pairs.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("cos_sim"), col("rnk"))
-      .orderBy("q_id", "rnk")
+    probeTail(assigned, q)
+  }
+
+  /** The store-served probe under the HIERARCHICAL quantizer at a
+    * level-1 fan-out of `gprobe` (s24) — the recall-recovery lever the
+    * s4 battery measures as `hier_np2`, served from a STORED two-level
+    * assignment (s23's stream-built index): corpus rows meet queries on
+    * their stored cell with zero quantizer work ([[probeAssigned]]'s
+    * rule), and only the query rows re-rank the codebook artifact `arr`
+    * (the one-row [[hierCentArr]] nested literal s23's ingest wrote) to
+    * explode to the level-2 argmax cell of each of their top-`gprobe`
+    * groups ([[hierQueryCells]]' rule — fan-out at the GROUP level,
+    * where the hier quantizer's level-1 errors live). Fan-out cost is
+    * queries × gprobe broadcast rows, constant in corpus size; the
+    * store is never exchanged. At gprobe=1 this is s23's own probe. */
+  private[graft] def probeAssignedHierMulti(assigned: DataFrame,
+                                            arr: DataFrame,
+                                            gprobe: Int): DataFrame = {
+    val q = assigned.filter(col("label") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(arr))
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(hierQueryCells(col("groups"), col("qv"), col("qn"), gprobe)).as("cell"))
+    probeTail(assigned, q)
   }
 
   /** Decimal places at which retrained centroids are published (s17).
@@ -1345,6 +1371,14 @@ object SimilarityOps {
         element_at(groups, t.getField("c_id").cast("int") + 1).getField("subs"),
         v, nrm).getField("c_id"))
   }
+
+  /** The batch twin of s24's store-served probe — the s4 battery's
+    * hier_np2 chain as a standalone frame (the spec seam for the
+    * s23 × multiprobe composition pin, s15's "≡ batch at the same
+    * nprobe" move lifted to the two-level quantizer). */
+  private[graft] def hierMultiprobeBatch(spark: SparkSession, dir: String,
+                                         gprobe: Int): DataFrame =
+    hierProbeFrom(normed(spark, dir), gprobe)
 
   /** The hier probe at a level-1 fan-out of `gprobe` — s22's probe with
     * the query side widened to its top-`gprobe` groups ([[hierQueryCells]]),

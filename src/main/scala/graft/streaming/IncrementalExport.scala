@@ -70,20 +70,88 @@ object IncrementalExport {
     * converge to the from-scratch answer. */
   private[graft] def p6WithBatchCount(spark: SparkSession, dir: String,
       crashAt: Option[Long] = None,
+      workDir: Option[String] = None): (DataFrame, Int) =
+    p6OnDocs(spark, exportDocs(spark, dir), crashAt, workDir)
+
+  private def exportDocs(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source")
+
+  /** The export run over an explicit document frame — the seam the
+    * specs use to PLANT a cross-phase duplicate (the fixture tables
+    * carry no exact duplicates, so without a planted one the digest
+    * store never decides a verdict and p7's invariance would be
+    * vacuously checkable). */
+  private[graft] def p6OnDocs(spark: SparkSession, docs: DataFrame,
+      crashAt: Option[Long] = None,
       workDir: Option[String] = None): (DataFrame, Int) = {
     val work = workDir.getOrElse(Files.createTempDirectory("graft_increxport_").toString)
     val manifest = s"$work/manifest"
     val keys = s"$work/keys"
-    val docs = Sources.table(spark, dir, "documents")
-      .select("doc_id", "text", "lang", "source")
     val nBatches = StreamSketch.runWaveReplay(spark, docs, "doc_id", work, manifest) {
       (batch, batchId) => processBatch(batch, batchId, keys, manifest, crashAt)
     }
-    val result = spark.read.parquet(manifest)
+    (readManifest(spark, manifest), nBatches)
+  }
+
+  private def readManifest(spark: SparkSession, manifest: String): DataFrame =
+    spark.read.parquet(manifest)
       .select(col("batch_id").cast("long").as("batch_id"), col("source"),
         col("shard"), col("n_docs"), col("n_tok"), col("n_seqs"), col("pack_md5"))
       .orderBy("batch_id", "source", "shard")
-    (result, nBatches)
+
+  def p7ExportCompact(spark: SparkSession, dir: String): DataFrame =
+    p7WithStoreInfo(spark, dir)._1
+
+  /** p7: d19's mid-stream compaction applied to p6's digest SET store —
+    * the second full-history store family the r11 verdict named (the
+    * band/shingle stores were d19's). The store's semantics demand the
+    * REWRITE compaction, not x20's fold: first-arrival dedup needs
+    * every digest ever shipped (a dropped key re-admits a revived
+    * duplicate; there is no sufficient statistic smaller than the set),
+    * so the shipped `batch_id=N` partitions rewrite into ONE
+    * `batch_id=-1` partition repartitioned on `norm_key` — the store's
+    * join key, keeping the per-batch anti-join's scan key-clustered —
+    * via d19's compactStore verbatim (shared code, shared swap moves).
+    *
+    * Adversarial moment, d19's shape: replay the first half of the
+    * document waves, compact the digest store down to one partition,
+    * replay the rest against the compacted state. Every phase-B batch's
+    * first-arrival verdicts now come from the consolidated partition,
+    * so a lost or duplicated digest flips a keep/drop and fails the
+    * oracle — which is p6's SQL VERBATIM (shared string): the manifest,
+    * including every phase-B pack digest, must be byte-identical to the
+    * uncompacted run's. The MANIFEST store is never compacted: it is
+    * the shipped export artifact whose append-only property is the
+    * gate's whole point.
+    *
+    * Scale: compaction reads each shipped digest partition once and
+    * writes back key-clustered (32-byte keys, never text — the cheapest
+    * store in the pipeline to rewrite); between compactions the listing
+    * is bounded by 1 + batches since the last one. */
+  private[graft] def p7WithStoreInfo(spark: SparkSession, dir: String)
+      : (DataFrame, Int, Int, Int) =
+    p7OnDocs(spark, exportDocs(spark, dir))
+
+  /** The phased run over an explicit frame — [[p6OnDocs]]'s spec seam,
+    * compaction included. */
+  private[graft] def p7OnDocs(spark: SparkSession, docs: DataFrame)
+      : (DataFrame, Int, Int, Int) = {
+    val work = Files.createTempDirectory("graft_increxport7_").toString
+    val manifest = s"$work/manifest"
+    val keys = s"$work/keys"
+    var partsBefore = 0
+    var partsAfter = 0
+    StreamSketch.runWaveReplayPhased(spark, docs, "doc_id", work, manifest,
+      StreamSketch.SplitFiles / 2) {
+      (batch, batchId) => processBatch(batch, batchId, keys, manifest, None)
+    } { () =>
+      partsBefore = StreamSketch.countBatchDirs(keys)
+      IncrementalDedup.compactStore(spark, keys, "norm_key")
+      partsAfter = StreamSketch.countBatchDirs(keys)
+    }
+    (readManifest(spark, manifest), partsBefore, partsAfter,
+      StreamSketch.countBatchDirs(keys))
   }
 
   /** The shared pack stage — p4's curate-then-pack move scoped to a kept

@@ -78,50 +78,124 @@ object LateLedger {
     val events = Sources.table(spark, dir, "events")
       .select("event_id", "event_type", "value", "ts")
     val nBatches = StreamSketch.runWaveReplay(spark, events, "event_id", work, ledger) {
-      (batch, batchId) =>
-        val session = batch.sparkSession
-        // the watermark at batch START: max event time of PRIOR batches
-        // minus the allowed lateness (Spark's update rule — data seen
-        // through batch b-1 gates batch b); batch 0 has none
-        val wm: Option[Long] =
-          if (!new java.io.File(stats).exists()) None
-          else {
-            val prior = session.read.parquet(stats)
-              .filter(col("batch_id") < batchId)
-              .agg(max("max_tsu")).collect()(0)
-            if (prior.isNullAt(0)) None
-            else Some(prior.getLong(0) - LateDelayMicros)
-          }
-        val classified = batch
-          .withColumn("tsu", unix_micros(col("ts")))
-          .withColumn("late",
-            wm.map(w => col("tsu") < lit(w)).getOrElse(lit(false)))
-        classified.groupBy("event_type")
-          .agg(
-            sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
-            sum(when(!col("late"), 1L).otherwise(0L)).as("n_ontime"),
-            // the guard fences the aggregate: only on-time value enters
-            sum(when(!col("late"), col("value").cast("decimal(18,4)"))
-              .otherwise(lit(0).cast("decimal(18,4)"))).as("ontime_value_d"))
-          .write.mode("overwrite").parquet(s"$ledger/batch_id=$batchId")
-        // crash seam: dying HERE leaves the ledger written but the
-        // batch's event-time maximum unregistered — the torn two-store
-        // state the redo must heal
-        crashAt.filter(_ == batchId).foreach(b =>
-          sys.error(s"injected crash in batch $b"))
-        // register the batch's max event time for the NEXT watermark
-        // (idempotent per-batch overwrite — a redone batch rewrites the
-        // same scalar)
-        classified.agg(max("tsu").as("max_tsu"))
-          .write.mode("overwrite").parquet(s"$stats/batch_id=$batchId")
+      (batch, batchId) => ledgerBatch(batch, batchId, ledger, stats, crashAt)
     }
-    val result = spark.read.parquet(ledger)
+    (readLedger(spark, ledger), nBatches)
+  }
+
+  /** The per-batch ledger step — shared verbatim by x19's single-phase
+    * replay and x20's phased one, so the guard/fence/two-store-write
+    * semantics cannot drift between the gates. */
+  private def ledgerBatch(batch: DataFrame, batchId: Long,
+                          ledger: String, stats: String,
+                          crashAt: Option[Long]): Unit = {
+    val session = batch.sparkSession
+    // the watermark at batch START: max event time of PRIOR batches
+    // minus the allowed lateness (Spark's update rule — data seen
+    // through batch b-1 gates batch b); batch 0 has none
+    val wm: Option[Long] =
+      if (!new java.io.File(stats).exists()) None
+      else {
+        val prior = session.read.parquet(stats)
+          .filter(col("batch_id") < batchId)
+          .agg(max("max_tsu")).collect()(0)
+        if (prior.isNullAt(0)) None
+        else Some(prior.getLong(0) - LateDelayMicros)
+      }
+    val classified = batch
+      .withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("late",
+        wm.map(w => col("tsu") < lit(w)).getOrElse(lit(false)))
+    classified.groupBy("event_type")
+      .agg(
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(!col("late"), 1L).otherwise(0L)).as("n_ontime"),
+        // the guard fences the aggregate: only on-time value enters
+        sum(when(!col("late"), col("value").cast("decimal(18,4)"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("ontime_value_d"))
+      .write.mode("overwrite").parquet(s"$ledger/batch_id=$batchId")
+    // crash seam: dying HERE leaves the ledger written but the
+    // batch's event-time maximum unregistered — the torn two-store
+    // state the redo must heal
+    crashAt.filter(_ == batchId).foreach(b =>
+      sys.error(s"injected crash in batch $b"))
+    // register the batch's max event time for the NEXT watermark
+    // (idempotent per-batch overwrite — a redone batch rewrites the
+    // same scalar)
+    classified.agg(max("tsu").as("max_tsu"))
+      .write.mode("overwrite").parquet(s"$stats/batch_id=$batchId")
+  }
+
+  private def readLedger(spark: SparkSession, ledger: String): DataFrame =
+    spark.read.parquet(ledger)
       .select(col("batch_id").cast("long").as("batch_id"), col("event_type"),
         col("n_late"), col("n_ontime"),
         col("ontime_value_d").cast("double").as("ontime_value"))
       .orderBy("batch_id", "event_type")
-    (result, nBatches)
+
+  def x20StatsCompact(spark: SparkSession, dir: String): DataFrame =
+    x20WithStoreInfo(spark, dir)._1
+
+  /** x20: the stats-store lifecycle motion x19's scaladoc names, made
+    * real — the watermark source is a running MAX, so unlike d19's
+    * digest stores (whose compaction must preserve every row) the
+    * shipped `batch_id=N` scalar rows compact by FOLDING: max is the
+    * sufficient statistic, and the consolidated `batch_id=-1` partition
+    * is ONE row, max over everything shipped. -1 stays inside every
+    * later batch's `batch_id < current` prune, and a redone batch still
+    * excludes its own torn write (the consolidated row covers only
+    * strictly earlier batches — the stream is quiesced at the
+    * compaction point). The LEDGER store is never compacted: it is the
+    * full-history audit artifact itself, read only at the end.
+    *
+    * The gate is d19's adversarial shape on the TIME axis: replay the
+    * first half of the waves, fold the stats store down to one row,
+    * replay the rest against the folded state — every phase-B watermark
+    * now derives from the consolidated partition, so a fold that lost
+    * (or inflated) the max would flip lateness verdicts and fail the
+    * oracle, which is x19's SQL VERBATIM (shared string).
+    *
+    * Scale: the fold reads batches-many one-row files and writes one;
+    * between compactions the stats listing is bounded by 1 + batches
+    * since the last fold — the claim x19's scaladoc makes, now a
+    * measured gate. */
+  private[graft] def x20WithStoreInfo(spark: SparkSession, dir: String)
+      : (DataFrame, Int, Int, Int) = {
+    val work = Files.createTempDirectory("graft_lateledger20_").toString
+    val ledger = s"$work/ledger"
+    val stats = s"$work/stats"
+    val events = Sources.table(spark, dir, "events")
+      .select("event_id", "event_type", "value", "ts")
+    var partsBefore = 0
+    var partsAfter = 0
+    StreamSketch.runWaveReplayPhased(spark, events, "event_id", work, ledger,
+      StreamSketch.SplitFiles / 2) {
+      (batch, batchId) => ledgerBatch(batch, batchId, ledger, stats, None)
+    } { () =>
+      partsBefore = StreamSketch.countBatchDirs(stats)
+      compactStats(spark, stats)
+      partsAfter = StreamSketch.countBatchDirs(stats)
+    }
+    (readLedger(spark, ledger), partsBefore, partsAfter,
+      StreamSketch.countBatchDirs(stats))
   }
+
+  /** Fold the shipped stats partitions into one consolidated
+    * `batch_id=-1` running-max row, then swap it in (the same
+    * delete+rename move as d19's compactStore — single writer, stream
+    * quiesced between triggers). */
+  private[graft] def compactStats(spark: SparkSession, stats: String): Unit = {
+    val tmp = stats + "_compacting"
+    spark.read.parquet(stats).drop("batch_id")
+      .agg(max("max_tsu").as("max_tsu"))
+      .coalesce(1).write.parquet(s"$tmp/batch_id=-1")
+    val fs = new org.apache.hadoop.fs.Path(stats)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stats), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(stats)): Unit
+  }
+
 
   /** The closed-form batch twin: watermark_b = max event time over
     * earlier waves − delay, derived entirely from the membership rule —

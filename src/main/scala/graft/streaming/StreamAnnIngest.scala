@@ -220,6 +220,45 @@ object StreamAnnIngest {
       .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
   }
 
+  // ---- s24: hier multiprobe over the stream-built store --------------
+
+  /** Query-side GROUP fan-out for the stream-store hier probe (s24); 2
+    * matches the s4 battery's measured `hier_np2` recovery row. */
+  val HierGprobe = 2
+
+  def s24StreamHierMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    s24WithBatchCount(spark, dir)._1
+
+  /** s24: the recall-recovery lever CLOSED over the stream index — s22
+    * pinned the hierarchical quantizer's recall trade (hier 0.177 vs
+    * flat 0.206 recall@3 uniform), the s4 battery measured group-level
+    * multiprobe recovering it (`hier_np2`), and s23 built the stream
+    * store under the hier quantizer; s24 is the composition that makes
+    * the lever OPERATIONAL where a deployment pulls it: the store side
+    * is byte-identical to s23's probe (rows meet queries on their
+    * STORED cell — the quantizer swap stays invisible to the store),
+    * and only the query rows re-rank the ingest's own codebook artifact
+    * to fan out to their top-[[HierGprobe]] groups' level-2 argmax
+    * cells ([[SimilarityOps.probeAssignedHierMulti]]) — s15's move
+    * lifted to the two-level quantizer, exactly as s15 lifted s4's np2
+    * move to the flat store. Oracle-checked against the batch hier
+    * chain with the query CTE widened to grn ≤ 2; the s15 × s23
+    * composition (probe over the stream store ≡ batch hier_np2's rows)
+    * is the StreamEquivSpec pin.
+    *
+    * Scale: fan-out adds queries × gprobe broadcast rows — constant in
+    * corpus size; per-batch ingest cost and store layout are s23's
+    * unchanged; the store is never exchanged. */
+  private[graft] def s24WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val (store, cbPath, nBatches) =
+      runHierIngestStream(spark, dir, SimilarityOps.IvfCells,
+        SimilarityOps.HierSub, col("vec_id"))
+    val result = SimilarityOps.probeAssignedHierMulti(
+      spark.read.parquet(store).drop("batch_id"),
+      spark.read.parquet(cbPath), HierGprobe)
+    (result, nBatches)
+  }
+
   // ---- s12: deletes — the tombstone merge s11's scaladoc promises ----
 
   /** The deterministic delete ledger: corpus vectors (never queries)

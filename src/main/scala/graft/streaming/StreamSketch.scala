@@ -322,6 +322,58 @@ object StreamSketch {
     * ran. One definition so the replay-order contract (mtime base,
     * part-file filter, wave accounting) cannot drift between the
     * windowed gates. */
+  /** Two-phase variant of [[runWaveReplay]] for MID-STREAM store
+    * maintenance gates (d19's adversarial moment, shared scaffolding):
+    * waves [0, splitAt) replay as one query, then `midpoint()` runs
+    * while the stream is quiesced — exactly when a production table
+    * service takes the store lock — then waves [splitAt, SplitFiles)
+    * resume as a second query whose foreachBatch ids are offset by
+    * `splitAt`, so the wave → global-batch-id mapping (and with it
+    * every `batch_id < current` store prune and the oracle's membership
+    * rule) is IDENTICAL to the single-phase replay's. Same mod-key
+    * membership and ascending-mtime contract as [[runWaveReplay]]. */
+  private[streaming] def runWaveReplayPhased(spark: SparkSession, src: DataFrame,
+      splitKey: String, work: String, store: String, splitAt: Int)
+      (body: (DataFrame, Long) => Unit)(midpoint: () => Unit): Int = {
+    val dirs = Seq(s"$work/inA", s"$work/inB")
+    (0 until SplitFiles).foreach { b =>
+      val tgt = dirs(if (b < splitAt) 0 else 1)
+      val prior = Option(new java.io.File(tgt).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+      src.filter(pmod(col(splitKey), lit(SplitFiles)) === b)
+        .coalesce(1).write.mode("append").parquet(tgt)
+      new java.io.File(tgt).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !prior(f.getName))
+        .foreach(f =>
+          require(f.setLastModified(1000000000000L + b * 60000L),
+            s"cannot set mtime on $f; file-replay order would be undefined"))
+    }
+    def phase(inDir: String, ckpt: String, offset: Long): Unit = {
+      val session = spark.newSession()
+      val q = session.readStream
+        .schema(session.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch((batch: DataFrame, batchId: Long) =>
+          body(batch, offset + batchId))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    phase(dirs(0), s"$work/ckptA", 0L)
+    midpoint()
+    phase(dirs(1), s"$work/ckptB", splitAt.toLong)
+    countBatchDirs(store)
+  }
+
+  /** How many `batch_id=N` partitions a store currently holds — the
+    * quantity the compaction gates (d19/x20/p7) bound. */
+  private[streaming] def countBatchDirs(store: String): Int =
+    Option(new java.io.File(store).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+
   private[streaming] def runWaveReplay(spark: SparkSession, src: DataFrame, splitKey: String,
       work: String, store: String)(body: (DataFrame, Long) => Unit): Int = {
     val splitDir = s"$work/in"
@@ -636,9 +688,6 @@ object StreamSketch {
     (after, beforeRows, retired, partsBefore, countBatchDirs(store))
   }
 
-  private def countBatchDirs(store: String): Int =
-    Option(new java.io.File(store).listFiles())
-      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
 
   // ---- x17: the growth curve from cumulative sketch unions -----------
 

@@ -808,6 +808,25 @@ class InvariantSpec extends AnyFunSuite {
         f"flat nprobe=1 ${mean("ivf")}%.3f")
   }
 
+  test("s24 dominates s23 per query: more probed cells never worsen the best neighbour") {
+    // the structural law behind the recovery lever, on the STREAM-store
+    // serves: s24's candidate set per query is a superset of s23's (the
+    // top-1 group is always among the top-2), so the rank-1 cosine can
+    // only improve. A violated dominance means the fan-out silently
+    // dropped the primary cell — the bug class this pin exists for.
+    def best(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter(col("rnk") === 1).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val np1 = best(graft.streaming.StreamAnnIngest.s23StreamHierIngest(spark, sf))
+    val np2 = best(graft.streaming.StreamAnnIngest.s24StreamHierMultiprobe(spark, sf))
+    assert(np1.keySet.subsetOf(np2.keySet),
+      "a query answered under gprobe=1 vanished under gprobe=2")
+    np1.foreach { case (q, c1) =>
+      assert(np2(q) >= c1 - 1e-9,
+        f"query $q: gprobe=2 best cosine ${np2(q)}%.4f fell below gprobe=1 $c1%.4f")
+    }
+  }
+
   test("s19 radius search: every match clears τ, and it agrees with s3's ranked view") {
     val radius = SimilarityOps.s19AnnRadius(spark, sf).cache()
     try {

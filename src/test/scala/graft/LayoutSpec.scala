@@ -253,6 +253,45 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("s24's hier multi-probe on the bucketed store: group fan-out rides a broadcast, store never shuffles") {
+    // s15's exchange-free claim carried to the two-level quantizer: the
+    // hier store's cell column is what the probe joins on, so the
+    // quantizer swap is invisible to the layout story — query rows
+    // re-rank the broadcast codebook, explode to their top-2 groups'
+    // level-2 argmax cells, and ride a broadcast into the bucket-local
+    // cell equi-join. ZERO shuffle exchanges on the corpus side.
+    import graft.ops.SimilarityOps
+    val all = SimilarityOps.normed(spark, sf)
+    val seeds = SimilarityOps.ivfSeedCentroids(all)
+    val assigned = SimilarityOps
+      .hierAssignCells(all, seeds, SimilarityOps.HierSub)
+      .withColumn("batch_id", (col("vec_id") % 4).cast("int"))
+    assigned.write.mode("overwrite").partitionBy("batch_id")
+      .bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("ann_index_hier_np")
+    try {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      val store = child.table("ann_index_hier_np").filter(col("batch_id") < 4)
+      val childAll = SimilarityOps.normed(child, sf)
+      val arr = SimilarityOps.hierCentArr(
+        SimilarityOps.ivfSeedCentroids(childAll), SimilarityOps.HierSub)
+      val probe = SimilarityOps.probeAssignedHierMulti(
+        store.drop("batch_id"), arr,
+        graft.streaming.StreamAnnIngest.HierGprobe)
+      probe.collect()
+      val plan = probe.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "store scan does not report a bucketed read")
+      val nCellExchanges = "hashpartitioning\\(cell".r.findAllMatchIn(plan).length
+      assert(nCellExchanges == 0,
+        s"expected zero cell exchanges (group fan-out is query-side only), got $nCellExchanges")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_index_hier_np")
+      ()
+    }
+  }
+
   test("s12's tombstone layout: cell-bucketed merge + probe with zero exchanges") {
     // The scaladoc claim behind s12's 100 TB story: tombstones CARRY
     // THEIR CELL and ride the same batch-partitioned + cell-bucketed

@@ -1154,4 +1154,199 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
     assert(stream == batch)
   }
+
+  test("x19's closed-form lateness rule ≡ Spark's numRowsDroppedByWatermark on a planted-late replay") {
+    // x19 makes lateness COUNTABLE in the wave-replay family; the real-
+    // watermark gates (q07-q10, q37) let Spark drop late rows silently.
+    // This case connects the two ledgers: a watermarked windowed
+    // aggregation over a file replay with PLANTED late rows must report,
+    // through its own observed metrics
+    // (QueryProgress.stateOperators.numRowsDroppedByWatermark), exactly
+    // the drop counts the x19-style closed form predicts. The closed
+    // form is Spark's update rule, read off the fixture — with TWO
+    // engine facts this case exists to pin:
+    //  (a) the TWO-WATERMARK split: since the late/eviction watermark
+    //      separation, the late-events filter in batch b uses the
+    //      PREVIOUS batch's watermark (eventTimeWatermarkForLateEvents
+    //      = max event time through batch b-2 − delay), while state
+    //      EVICTION uses the current one — so a row is dropped iff its
+    //      window closed under the lagged watermark:
+    //        window_end <= max(event ts through batch b-2) − delay
+    //      (x19's row-level `ts < wm` rule, lifted to the operator's
+    //      window axis with the filter's one-batch lag);
+    //  (b) the UNIT: the state operator sits downstream of map-side
+    //      partial aggregation, so it counts late PARTIAL-AGGREGATE
+    //      rows — one per (late window, input partition), not one per
+    //      late input row (the programming guide's stated caveat for
+    //      streaming aggregation). Each wave is written as exactly ONE
+    //      file (one input partition per micro-batch), so the closed
+    //      form is the number of DISTINCT late windows per wave — wave
+    //      3 plants two rows in the SAME late window precisely to pin
+    //      that unit.
+    // Except for the deliberate same-window pair, every planted window
+    // end sits ≥ 5 minutes from the filter watermark, so the <-vs-<=
+    // boundary cannot decide those verdicts.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val delayMin = 10L; val windowMin = 5L
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    // wave → event minutes; filter wm for batch b = max(waves < b-1) − 10:
+    //   wave 2: wm 20 → 2, 8 late (2 windows: ends 5, 10); 47 on time
+    //   wave 3: wm 30 → 12, 13 late (ONE window [10,15)), 22 late
+    //           ([20,25) end 25); 50 on time
+    val waves: Seq[Seq[Long]] = Seq(
+      Seq(0L, 30L),
+      Seq(40L),
+      Seq(2L, 8L, 47L),
+      Seq(12L, 13L, 22L, 50L))
+    val expectedDrops: Map[Long, Long] = waves.zipWithIndex.map { case (mins, b) =>
+      val lateWm = if (b < 2) None
+        else Some(waves.take(b - 1).flatten.max - delayMin)
+      val late = lateWm.map(w => mins.map { m =>
+        (m / windowMin + 1) * windowMin  // window end
+      }.filter(_ <= w).distinct.size.toLong).getOrElse(0L)
+      b.toLong -> late
+    }.toMap
+    assert(expectedDrops.values.sum == 4L, "fixture must actually plant late rows")
+    val work = java.nio.file.Files.createTempDirectory("graft_wmdrop_").toString
+    val inDir = s"$work/in"
+    waves.zipWithIndex.foreach { case (mins, b) =>
+      val df = spark.createDataFrame(mins.map(m =>
+        (b * 100 + m, java.sql.Timestamp.from(t0.plusSeconds(m * 60)))))
+        .toDF("event_id", "ts")
+      df.coalesce(1).write.mode("append").parquet(inDir)
+      // mtime order IS the replay order contract (runWaveReplay's rule)
+      new java.io.File(inDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.lastModified() > 1000000000000L + b * 60000L)
+        .foreach(f => assert(f.setLastModified(1000000000000L + b * 60000L)))
+    }
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = session.readStream
+      .schema(session.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .withWatermark("ts", s"$delayMin minutes")
+      .groupBy(window(col("ts"), s"$windowMin minutes"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val observed: Map[Long, Long] = q.recentProgress.toSeq
+      .map(p => p.batchId -> p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).max }
+    // per-batch: every wave's planted count must appear under its own
+    // batchId (one file per trigger → batch b IS wave b); trailing
+    // no-data batches may exist and must report zero
+    expectedDrops.foreach { case (b, want) =>
+      assert(observed.getOrElse(b, -1L) == want,
+        s"batch $b: Spark dropped ${observed.getOrElse(b, -1L)} rows, closed form says $want")
+    }
+    assert(observed.values.sum == expectedDrops.values.sum,
+      "a batch outside the planted waves reported watermark drops")
+  }
+
+  test("s24 hier multiprobe over the stream store ≡ batch hier_np2 chain") {
+    import org.apache.spark.sql.functions._
+    // the s15 × s23 composition: the store side is the stream-built
+    // two-level index, the query side fans out to its top-2 GROUPS —
+    // and the answer must be row-identical to the batch hier_np2 chain
+    // the s4 battery measures (so that recall row IS this probe's
+    // recall, by proven equivalence)
+    val (stream, nBatches) =
+      graft.streaming.StreamAnnIngest.s24WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val streamRows = rows(stream)
+    val batch = rows(graft.ops.SimilarityOps
+      .hierMultiprobeBatch(spark, sf, graft.streaming.StreamAnnIngest.HierGprobe)
+      .orderBy("q_id", "rnk"))
+    assert(streamRows.nonEmpty)
+    assert(streamRows == batch,
+      "stream-store hier multiprobe diverged from the batch hier_np2 chain")
+    // non-vacuity: the group fan-out must change some query's answer vs
+    // the single-group probe, else gprobe=2 tested nothing on this fixture
+    val np1 = rows(graft.streaming.StreamAnnIngest.s23StreamHierIngest(spark, sf))
+    assert(streamRows != np1, "gprobe=2 answered identically to gprobe=1")
+  }
+
+  test("x20 stats-store running-max fold: ledger invariant, store bounded, phase-B watermarks real") {
+    import org.apache.spark.sql.functions._
+    val m = graft.streaming.StreamSketch.SplitFiles
+    val (compacted, before, after, end) =
+      graft.streaming.LateLedger.x20WithStoreInfo(spark, sf)
+    val compactedRows = rows(compacted)
+    // the fold is invisible to the ledger: byte-identical to x19's
+    val plain = rows(graft.streaming.LateLedger.x19LateLedger(spark, sf))
+    assert(compactedRows == plain,
+      "stats-store fold changed the lateness ledger")
+    // the store genuinely shrank and stays bounded: half the waves'
+    // one-row partitions → ONE consolidated row → 1 + later batches
+    assert(before == m / 2, s"phase A shipped $before stats partitions, expected ${m / 2}")
+    assert(after == 1, s"compaction left $after partitions, expected 1")
+    assert(end == 1 + m - m / 2, s"stream ended with $end partitions, expected ${1 + m - m / 2}")
+    // non-vacuity: every phase-B watermark derives from the consolidated
+    // row — if the fold had lost the max, wm would be None/low and these
+    // batches' n_late would collapse to 0
+    val phaseBLate = compacted.filter(col("batch_id") >= m / 2)
+      .agg(sum("n_late")).collect()(0).getLong(0)
+    assert(phaseBLate > 0,
+      "no phase-B batch saw a late row — the folded watermark was never exercised")
+  }
+
+  test("p7 digest-store compaction: manifest invariant, store bounded, cross-phase dedup adjudicated") {
+    import org.apache.spark.sql.functions._
+    val m = graft.streaming.StreamSketch.SplitFiles
+    val (compacted, before, after, end) =
+      graft.streaming.IncrementalExport.p7WithStoreInfo(spark, sf)
+    val compactedRows = rows(compacted)
+    // the swap is invisible to the export: manifest (digests included)
+    // byte-identical to p6's
+    val plain = rows(graft.streaming.IncrementalExport.p6IncrementalExport(spark, sf))
+    assert(compactedRows == plain,
+      "digest-store compaction changed the export manifest")
+    assert(before == m / 2, s"phase A shipped $before digest partitions, expected ${m / 2}")
+    assert(after == 1, s"compaction left $after partitions, expected 1")
+    assert(end == 1 + m - m / 2, s"stream ended with $end partitions, expected ${1 + m - m / 2}")
+    // non-vacuity, the planted-duplicate pin: the fixture tables carry
+    // NO exact duplicates (checked below), so on them the digest store
+    // never decides a verdict — a compaction that lost every digest
+    // would still pass the oracle. Plant one: 8 quality-passing texts
+    // at doc_ids 1..8 (none eval under mod-10), with doc 6's text a
+    // COPY of doc 1's — first arrival in phase A (1 mod 4 = wave 1),
+    // twin in phase B (6 mod 4 = wave 2). Phase B's keep/drop verdict
+    // can only come from the consolidated partition; if the swap lost
+    // the digest, the twin survives and the count reads 8.
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val noNaturalDups = docs
+      .groupBy(md5(graft.ops.TextOps.normText(col("text")))).count()
+      .filter(col("count") > 1).count()
+    assert(noNaturalDups == 0L,
+      "fixture grew natural exact duplicates — re-point the planted pin at them")
+    val qTexts = graft.ops.PipelineOps.headFlags(docs)
+      .filter(!col("is_eval") && col("q"))
+      .join(docs, Seq("doc_id"))
+      .orderBy("doc_id").limit(8)
+      .select("text").collect().map(_.getString(0))
+    assert(qTexts.length == 8 && qTexts.distinct.length == 8)
+    val planted = spark.createDataFrame(
+      (1 to 8).map(i => (i.toLong, if (i == 6) qTexts(0) else qTexts(i - 1),
+        "en", s"src${i % 3}")))
+      .toDF("doc_id", "text", "lang", "source")
+    val (pm, _, _, _) = graft.streaming.IncrementalExport.p7OnDocs(spark, planted)
+    val keptDocs = pm.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(keptDocs == 7L,
+      s"planted cross-phase duplicate was not dropped through the compacted store ($keptDocs kept)")
+    // and the planted run is itself swap-invariant vs the unphased twin
+    val (pm6, _) = graft.streaming.IncrementalExport.p6OnDocs(spark, planted)
+    assert(rows(pm) == rows(pm6),
+      "compaction changed the planted-frame manifest")
+  }
 }
