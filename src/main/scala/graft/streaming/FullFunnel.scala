@@ -91,24 +91,40 @@ object FullFunnel {
       orderExpr: org.apache.spark.sql.Column = col("doc_id")): (DataFrame, Int) = {
     val spark = docs.sparkSession
     val work = Files.createTempDirectory("graft_fullfunnel_").toString
-    val splitDir = s"$work/in"
+    writeReplayFiles(docs, s"$work/in", orderExpr)
+    val stores = prepArtifacts(docs, work)
+    runPhase(spark, s"$work/in", s"$work/ckpt", 0L, stores)
+    val nBatches = Option(new java.io.File(stores.labels).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    (ledger(spark.read.parquet(stores.labels)), nBatches)
+  }
+
+  /** Write the doc_id-range replay files with ascending mtimes.
+    * First-arrival must mean min-doc_id: the file source orders by
+    * modification time; stamp range files with ascending mtimes —
+    * replay order IS the first-arrival semantics, so fail loudly on a
+    * filesystem that can't stamp mtimes rather than as a puzzling
+    * oracle mismatch downstream. Returns the files in arrival order. */
+  private def writeReplayFiles(docs: DataFrame, splitDir: String,
+      orderExpr: org.apache.spark.sql.Column): Array[java.io.File] = {
     docs
       .select("doc_id", "text", "lang", "source")
       .repartitionByRange(SplitFiles, orderExpr)
       .write.parquet(splitDir)
-    // first-arrival must mean min-doc_id: the file source orders by
-    // modification time; stamp range files with ascending mtimes
     val parts = new java.io.File(splitDir).listFiles()
       .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
     parts.zipWithIndex.foreach { case (f, i) =>
-      // replay order IS the first-arrival semantics — fail loudly on a
-      // filesystem that can't stamp mtimes rather than as a puzzling
-      // oracle mismatch downstream
       require(f.setLastModified(1000000000000L + i * 60000L),
         s"cannot set mtime on $f; file-replay order would be undefined")
     }
-    // static benchmark side, materialized once (offline artifacts the
-    // stream consumes): distinct eval 5-grams + their bloom filter
+    parts
+  }
+
+  /** Materialize the static benchmark-side artifacts the stream consumes
+    * (distinct eval 5-grams + their bloom filter, written once before
+    * the stream starts) and name the store paths. */
+  private def prepArtifacts(docs: DataFrame, work: String): Stores = {
+    val spark = docs.sparkSession
     val evalgPath = s"$work/evalg"
     val bloomPath = s"$work/bloom"
     TextOps.gram5(docs.filter(col("doc_id") % DedupOps.EvalMod === 0), col("doc_id"))
@@ -119,23 +135,80 @@ object FullFunnel {
         s"bloom_filter_agg(xxhash64(g), ${DedupOps.BloomCapacity}L, ${DedupOps.BloomNumBits}L)"
       ).as("bf"))
       .write.parquet(bloomPath)
-    val stores = Stores(s"$work/keys", s"$work/bands", s"$work/shingles",
+    Stores(s"$work/keys", s"$work/bands", s"$work/shingles",
       s"$work/labels", evalgPath, bloomPath)
+  }
+
+  /** One AvailableNow replay over `inDir`; `offset` renumbers the
+    * phase's local batch ids into the stream-lifetime sequence (the
+    * phased runs' second half must keep appending AFTER the first
+    * half's ids, or the `batch_id < current` prunes would re-admit
+    * phase-A partitions as "future" state). */
+  private def runPhase(spark: SparkSession, inDir: String, ckpt: String,
+      offset: Long, stores: Stores): Unit = {
     val session = spark.newSession()
     val q = session.readStream
-      .schema(session.read.parquet(splitDir).schema)
+      .schema(session.read.parquet(inDir).schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(splitDir)
+      .parquet(inDir)
       .writeStream
       .foreachBatch((batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, stores))
-      .option("checkpointLocation", s"$work/ckpt")
+        processBatch(batch, offset + batchId, stores))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val nBatches = Option(new java.io.File(stores.labels).listFiles())
-      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
-    (ledger(spark.read.parquet(stores.labels)), nBatches)
+  }
+
+  private[graft] def p3CompactInfo(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[Int], Seq[Int], Seq[Int]) =
+    p3CompactOnDocs(spark, Sources.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source"))
+
+  /** d19's mid-stream compaction proven on p3's funnel — the most
+    * store-heavy stream in the repo holds THREE growing full-history
+    * stores (digest set, band rows, shingle rows), and each gets d19's
+    * adversarial phased shape at once: replay the first half of the
+    * doc_id-ordered arrivals, rewrite ALL THREE stores' shipped
+    * partitions into one consolidated `batch_id=-1` partition each
+    * (keyed on that store's join key — norm_key / bv / doc_id — via
+    * [[IncrementalDedup.compactStore]] verbatim), then replay the
+    * second half against the compacted state. Every phase-B verdict —
+    * exact dup, near-dup candidate, Jaccard verify — now reads the
+    * consolidated partitions, so a lost digest/band/shingle flips a
+    * stage label and diverges the ledger; StreamEquivSpec asserts the
+    * ledger is byte-identical to the unphased run's (and, on a planted
+    * frame, that cross-phase exact AND near duplicates still drop
+    * through the compacted stores). The LABELS store is never
+    * compacted: it is the output ledger, never re-read by a batch.
+    * Returns (ledger, per-store partition counts before / after /
+    * at stream end), count order (keys, bands, shingles). */
+  private[graft] def p3CompactOnDocs(spark: SparkSession, docs: DataFrame)
+      : (DataFrame, Seq[Int], Seq[Int], Seq[Int]) = {
+    val work = Files.createTempDirectory("graft_fullfunnel_c_").toString
+    val files = writeReplayFiles(docs, s"$work/in_all", col("doc_id"))
+    // deal the replay into two arrival phases (half each): the stream
+    // must CONTINUE over the compacted stores, not restart. The move
+    // preserves the stamped mtimes, so arrival order holds within and
+    // across phases.
+    val (aDir, bDir) = (s"$work/inA", s"$work/inB")
+    new java.io.File(aDir).mkdirs(); new java.io.File(bDir).mkdirs()
+    files.zipWithIndex.foreach { case (f, i) =>
+      val tgt = if (i < SplitFiles / 2) aDir else bDir
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(tgt, f.getName)): Unit
+    }
+    val stores = prepArtifacts(docs, work)
+    val tracked = Seq(stores.keys, stores.bands, stores.shingles)
+    def counts(): Seq[Int] = tracked.map(StreamSketch.countBatchDirs)
+    runPhase(spark, aDir, s"$work/ckptA", 0L, stores)
+    val before = counts()
+    IncrementalDedup.compactStore(spark, stores.keys, "norm_key")
+    IncrementalDedup.compactStore(spark, stores.bands, "bv")
+    IncrementalDedup.compactStore(spark, stores.shingles, "doc_id")
+    val after = counts()
+    runPhase(spark, bDir, s"$work/ckptB", (SplitFiles / 2).toLong, stores)
+    (ledger(spark.read.parquet(stores.labels)), before, after, counts())
   }
 
   private case class Stores(keys: String, bands: String, shingles: String,

@@ -241,11 +241,7 @@ object IncrementalDedup {
     spark.read.parquet(store).drop("batch_id")
       .repartition(col(key))
       .write.parquet(s"$tmp/batch_id=-1")
-    val fs = new org.apache.hadoop.fs.Path(store)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(store), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(store)): Unit
+    StreamSketch.swapStore(spark, tmp, store)
   }
 
   private def countBatchDirs(store: String): Int =

@@ -46,7 +46,9 @@ import graft.io.Sources
   * artifact itself, and the watermark is a max over ALL prior batches'
   * stats rows — but the max is monotone, so a long-lived deployment
   * bounds the stats listing by COMPACTING shipped rows into one
-  * running-max partition (s13/d19's consolidation move), not by
+  * running-max partition — shipped and proven mid-stream as x20's
+  * [[compactStats]], which FOLDS the scalars (a running max is its own
+  * sufficient statistic) where d19/p7 must rewrite rows — not by
   * deleting them; nothing ever re-reads shipped batches. This
   * is how a 1000-executor ingest accounts for stragglers over 100 TB:
   * the guard is a filter fused into the batch scan, and the ledger is
@@ -182,18 +184,14 @@ object LateLedger {
 
   /** Fold the shipped stats partitions into one consolidated
     * `batch_id=-1` running-max row, then swap it in (the same
-    * delete+rename move as d19's compactStore — single writer, stream
-    * quiesced between triggers). */
+    * crash-recoverable retire+promote move as d19's compactStore —
+    * single writer, stream quiesced between triggers). */
   private[graft] def compactStats(spark: SparkSession, stats: String): Unit = {
     val tmp = stats + "_compacting"
     spark.read.parquet(stats).drop("batch_id")
       .agg(max("max_tsu").as("max_tsu"))
       .coalesce(1).write.parquet(s"$tmp/batch_id=-1")
-    val fs = new org.apache.hadoop.fs.Path(stats)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(stats), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(stats)): Unit
+    StreamSketch.swapStore(spark, tmp, stats)
   }
 
 

@@ -336,18 +336,23 @@ object StreamSketch {
       splitKey: String, work: String, store: String, splitAt: Int)
       (body: (DataFrame, Long) => Unit)(midpoint: () => Unit): Int = {
     val dirs = Seq(s"$work/inA", s"$work/inB")
-    (0 until SplitFiles).foreach { b =>
-      val tgt = dirs(if (b < splitAt) 0 else 1)
-      val prior = Option(new java.io.File(tgt).listFiles())
-        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
-      src.filter(pmod(col(splitKey), lit(SplitFiles)) === b)
-        .coalesce(1).write.mode("append").parquet(tgt)
-      new java.io.File(tgt).listFiles()
-        .filter(f => f.getName.startsWith("part-") && !prior(f.getName))
-        .foreach(f =>
-          require(f.setLastModified(1000000000000L + b * 60000L),
-            s"cannot set mtime on $f; file-replay order would be undefined"))
-    }
+    // resume idempotence (mirrors [[runWaveReplay]]'s guard): a re-run
+    // over an existing work dir — the crash-recovery shape — must not
+    // append the waves a second time (which would double every batch's
+    // rows); the checkpoints resume over the original files
+    if (dirs.forall(d => !new java.io.File(d).exists()))
+      (0 until SplitFiles).foreach { b =>
+        val tgt = dirs(if (b < splitAt) 0 else 1)
+        val prior = Option(new java.io.File(tgt).listFiles())
+          .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+        src.filter(pmod(col(splitKey), lit(SplitFiles)) === b)
+          .coalesce(1).write.mode("append").parquet(tgt)
+        new java.io.File(tgt).listFiles()
+          .filter(f => f.getName.startsWith("part-") && !prior(f.getName))
+          .foreach(f =>
+            require(f.setLastModified(1000000000000L + b * 60000L),
+              s"cannot set mtime on $f; file-replay order would be undefined"))
+      }
     def phase(inDir: String, ckpt: String, offset: Long): Unit = {
       val session = spark.newSession()
       val q = session.readStream
@@ -366,6 +371,26 @@ object StreamSketch {
     midpoint()
     phase(dirs(1), s"$work/ckptB", splitAt.toLong)
     countBatchDirs(store)
+  }
+
+  /** Crash-recoverable store swap shared by the compaction verbs
+    * (d19/p7's [[IncrementalDedup.compactStore]], x20's
+    * [[LateLedger.compactStats]]): retire the live store aside, promote
+    * the consolidated tmp dir, then drop the retired copy. Both renames
+    * are require-checked, and a crash between them leaves the data
+    * recoverable at `_retired` — unlike the delete-then-rename shape,
+    * where a failed promote silently loses the store (a missing stats
+    * store would read every later watermark as None and collapse n_late
+    * to 0 until the oracle caught it). */
+  private[streaming] def swapStore(spark: SparkSession, tmp: String,
+                                   store: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = p(store + "_retired")
+    fs.delete(retired, true)
+    require(fs.rename(p(store), retired), s"compact: cannot retire $store")
+    require(fs.rename(p(tmp), p(store)), s"compact: cannot promote $tmp")
+    fs.delete(retired, true): Unit
   }
 
   /** How many `batch_id=N` partitions a store currently holds — the

@@ -1223,6 +1223,15 @@ class StreamEquivSpec extends AnyFunSuite {
     }
     val session = spark.newSession()
     session.conf.set("spark.sql.shuffle.partitions", "4")
+    // the closed form's counting unit (one partial-aggregate row per
+    // late window per INPUT PARTITION) assumes each one-file wave scans
+    // as exactly one partition — force that explicitly rather than rely
+    // on the files being smaller than the default split size, so a
+    // future failure here is diagnosable as an ENGINE-behavior change
+    // (the Spark 4.1 two-watermark lag or the partial-agg counting
+    // unit moving), never as parquet split sizing
+    session.conf.set("spark.sql.files.maxPartitionBytes", (1L << 30).toString)
+    session.conf.set("spark.sql.files.openCostInBytes", "0")
     val q = session.readStream
       .schema(session.read.parquet(inDir).schema)
       .option("maxFilesPerTrigger", 1)
@@ -1348,5 +1357,84 @@ class StreamEquivSpec extends AnyFunSuite {
     val (pm6, _) = graft.streaming.IncrementalExport.p6OnDocs(spark, planted)
     assert(rows(pm) == rows(pm6),
       "compaction changed the planted-frame manifest")
+  }
+
+  test("p3 mid-stream compaction of all three stores: ledger invariant, stores bounded, cross-phase dups adjudicated") {
+    import org.apache.spark.sql.functions._
+    val half = graft.streaming.FullFunnel.SplitFiles / 2
+    // fixture run: the most store-heavy stream compacts its digest,
+    // band, AND shingle stores at the phase boundary — the ledger must
+    // be byte-identical to the unphased gate's, and each store's
+    // listing must collapse to one partition then stay bounded
+    val (compacted, before, after, end) =
+      graft.streaming.FullFunnel.p3CompactInfo(spark, sf)
+    val plain = rows(graft.streaming.FullFunnel.p3StreamFunnel(spark, sf))
+    assert(rows(compacted) == plain,
+      "three-store compaction changed the funnel ledger")
+    assert(before == Seq.fill(3)(half),
+      s"phase A shipped $before store partitions (keys/bands/shingles), expected $half each")
+    assert(after == Seq.fill(3)(1),
+      s"compaction left $after partitions, expected 1 each")
+    assert(end == Seq.fill(3)(1 + half),
+      s"stream ended with $end partitions, expected ${1 + half} each")
+    // non-vacuity, the planted-duplicate pin (p7's move, aimed at all
+    // three stores at once): the fixture carries no exact duplicates,
+    // and its natural near-dups may or may not straddle the phase
+    // boundary — so plant a controlled frame where phase B holds an
+    // EXACT twin (drops only if the consolidated digest partition kept
+    // its key) and a TRUNCATED near copy (candidate + verify only if
+    // the consolidated band AND shingle partitions kept their rows) of
+    // phase-A originals. 8 distinct eligible long texts from docs in no
+    // near-dup cluster, at doc_ids 1,2,3,4 (phase A) and 97,98,99,101
+    // (phase B); 99 copies 1's text verbatim, 101 keeps ~92% of 2's
+    // tokens (J ≥ 0.7, different digest); doc 10 is the eval holdout so
+    // the benchmark-side artifacts are non-degenerate. No id ≡ 0 mod
+    // EvalMod except 10.
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    val dupIds = graft.ops.DedupOps.d3MinhashLsh(spark, sf)
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
+    val texts = graft.ops.PipelineOps.headFlags(docs)
+      .filter(!col("is_eval") && col("q") && col("wc") >= 60)
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .join(docs, Seq("doc_id"))
+      .orderBy("doc_id").limit(7)
+      .select("text").collect().map(_.getString(0))
+    assert(texts.length == 7 && texts.distinct.length == 7,
+      "fixture too small for the planted frame")
+    def trunc(t: String): String = {
+      val toks = t.split("\\s+")
+      toks.take((toks.length * 0.92).toInt).mkString(" ")
+    }
+    val planted = spark.createDataFrame(Seq(
+        (1L, texts(0)), (2L, texts(1)), (3L, texts(2)), (4L, texts(3)),
+        (10L, texts(6)), (97L, texts(4)), (98L, texts(5)),
+        (99L, texts(0)), (101L, trunc(texts(1)))))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", concat(lit("src"), col("doc_id") % 3))
+    // planting effectiveness: both copies eligible, and the truncation
+    // genuinely verifies at the near threshold
+    val pf = graft.ops.PipelineOps.headFlags(planted)
+    assert(pf.filter(col("doc_id").isin(99L, 101L))
+      .filter(!col("is_eval") && col("q")).count() == 2,
+      "planted copies not eligible — truncation or holdout broke them")
+    val ver = graft.ops.DedupOps.jaccard(
+        spark.createDataFrame(Seq((2L, 101L))).toDF("a_id", "b_id"),
+        graft.ops.DedupOps.shingles(planted))
+      .filter(col("jac") >= 0.7)
+    assert(ver.count() == 1, "planted truncation failed to verify at J >= 0.7")
+    val (pm, _, _, _) = graft.streaming.FullFunnel.p3CompactOnDocs(spark, planted)
+    // phase-B verdicts decided by the consolidated partitions: the twin
+    // drops as exact (digest store), the truncation as near (band +
+    // shingle stores) — a compaction that lost any store's rows would
+    // read 0 here and 9 kept-side docs in the equality below
+    assert(pm.agg(sum("n_exact_dup")).collect()(0).getLong(0) == 1L,
+      "planted cross-phase exact twin was not dropped through the compacted digest store")
+    assert(pm.agg(sum("n_near_dup")).collect()(0).getLong(0) == 1L,
+      "planted cross-phase near copy was not dropped through the compacted band/shingle stores")
+    // and the planted run is itself swap-invariant vs the unphased twin
+    val (plainPlanted, _) = graft.streaming.FullFunnel.p3From(planted)
+    assert(rows(pm) == rows(plainPlanted),
+      "compaction changed the planted-frame ledger")
   }
 }
