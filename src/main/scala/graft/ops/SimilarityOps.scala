@@ -1335,7 +1335,12 @@ object SimilarityOps {
     * (one row, the [[hierCentArr]] nested literal) — the seam the
     * streaming ingest (s23) reads: the codebook is an offline artifact
     * written once before the stream starts, exactly like s11's flat
-    * quantizer file, so each micro-batch pays only the G + sub fold. */
+    * quantizer file, so each micro-batch pays only the G + sub fold.
+    * The chosen group's sub-array is looked up BY ID (a filter over the
+    * G-element literal, still a narrow expression), not by array
+    * position: a RETRAINED codebook (s26) may have retired a whole
+    * group — every cell lost its members — and positional indexing
+    * would silently read the wrong group's subs once ids are sparse. */
   private[graft] def hierAssignWithCodebook(frame: DataFrame, arr: DataFrame): DataFrame = {
     frame.crossJoin(broadcast(arr))
       .withColumn("grp", bestCellStruct(
@@ -1344,7 +1349,8 @@ object SimilarityOps {
           grp.getField("cn").as("cn"))),
         col("v"), col("nrm")))
       .withColumn("subs",
-        element_at(col("groups"), col("grp.c_id").cast("int") + 1).getField("subs"))
+        element_at(filter(col("groups"),
+          g => g.getField("c_id") === col("grp.c_id")), 1).getField("subs"))
       .withColumn("best", bestCellStruct(col("subs"), col("v"), col("nrm")))
       .select(col("vec_id"), col("v"), col("nrm"), col("label"),
         col("best.c_id").as("cell"), col("best.ccos").as("ccos"))
@@ -1366,9 +1372,13 @@ object SimilarityOps {
     val gcents = transform(groups, g => struct(
       g.getField("c_id").as("c_id"), g.getField("cv").as("cv"),
       g.getField("cn").as("cn")))
+    // subs looked up by group ID, not array position — same sparse-ids
+    // rule as [[hierAssignWithCodebook]] (a retrained codebook may have
+    // retired whole groups)
     transform(slice(rankedCellStructs(gcents, v, nrm), 1, gprobe), t =>
       bestCellStruct(
-        element_at(groups, t.getField("c_id").cast("int") + 1).getField("subs"),
+        element_at(filter(groups,
+          g => g.getField("c_id") === t.getField("c_id")), 1).getField("subs"),
         v, nrm).getField("c_id"))
   }
 
