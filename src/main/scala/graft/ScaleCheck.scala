@@ -132,7 +132,13 @@ object ScaleCheck {
     // the stats-store running-max fold (x19's class + one
     // batches-row fold), and the digest-store compaction (p6's class
     // + one key-clustered rewrite of 32-byte keys)
-    "s24_stream_hier_multiprobe", "x20_stats_compact", "p7_export_compact")
+    "s24_stream_hier_multiprobe", "x20_stats_compact", "p7_export_compact",
+    // r13 additions: the hier-store lifecycle (s12+s13's machinery with
+    // the per-batch assignment swapped to the 2√k fold — expected in
+    // the s12/s13 band) and the two-level retrain (s17's M-step class:
+    // one posexplode shuffle + two narrow assignment sweeps — expected
+    // in s17's flat-to-linear band)
+    "s25_hier_delete_compact", "s26_hier_retrain")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

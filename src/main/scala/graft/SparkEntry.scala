@@ -100,6 +100,9 @@ object SparkEntry {
     "s21_ann_bulk_probe" -> (SimilarityOps.s21AnnBulkProbe _),
     "s21_bulk_topk" -> (SimilarityOps.s21AnnBulkTopK _),
     "s22_ann_hier" -> (SimilarityOps.s22AnnHier _),
+    "s25_hier_delete_compact" ->
+      (graft.streaming.StreamAnnIngest.s25HierDeleteCompact _),
+    "s26_hier_retrain" -> (SimilarityOps.s26HierRetrain _),
     "s20_stream_radius_alert" ->
       (graft.streaming.StreamAnnIngest.s20StreamRadiusAlert _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
@@ -553,13 +556,58 @@ object SparkEntry {
        |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   }
 
-  /** s22/s23's shared oracle: the two-level quantizer replayed in
-    * closed form — group means at CentroidScale decimals (s17's
-    * fixed-precision parity), level-1 argmax over the G super-
-    * centroids, level-2 argmax within the chosen group, then s3's
-    * probe chain verbatim. s23 serves the SAME answer from a
-    * stream-built store, so the string is shared (the s11 ≡ s3 move). */
-  private val s22HierSql: String = {
+  /** s22/s23's shared oracle, parameterized by a corpus-survivor
+    * predicate (the [[s3IvfSqlWhere]] move lifted to the two-level
+    * quantizer): the codebook — group means at CentroidScale decimals
+    * (s17's fixed-precision parity), built from the FULL vector set
+    * (deletes never retrain the quantizer) — then level-1 argmax over
+    * the G super-centroids, level-2 argmax within the chosen group, and
+    * s3's probe chain verbatim, all over the filtered corpus. Empty
+    * filter = s22 itself (shared verbatim by s23 — the s11 ≡ s3 move);
+    * s25 passes the tombstone rule. */
+  private def hierIvfSqlWhere(corpusFilter: String): String = {
+    val dim = SimilarityOps.SignBands * SimilarityOps.BandBits
+    val sub = SimilarityOps.HierSub
+    s"""WITH $embCte,
+       |nf AS (SELECT * FROM n $corpusFilter),
+       |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+       |gseed AS (SELECT c_id, cv, cn, c_id // $sub AS g FROM seeds),
+       |sm AS (SELECT g, i, round(avg(cv[i]), ${SimilarityOps.CentroidScale}) AS sval
+       |  FROM gseed CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY g, i),
+       |sup AS (SELECT g, sv, sqrt(list_inner_product(sv, sv)) AS sn
+       |  FROM (SELECT g, list(sval ORDER BY i) AS sv FROM sm GROUP BY g)),
+       |a1 AS (SELECT nf.vec_id, nf.v, nf.nrm, nf.label, s.g, list_inner_product(nf.v, s.sv) / (nf.nrm * s.sn) AS gcos FROM nf CROSS JOIN sup s),
+       |r1 AS (SELECT vec_id, v, nrm, label, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, g) AS grn FROM a1),
+       |g1 AS (SELECT vec_id, v, nrm, label, g FROM r1 WHERE grn = 1),
+       |a2 AS (SELECT g1.vec_id, g1.v, g1.nrm, g1.label, s.c_id, list_inner_product(g1.v, s.cv) / (g1.nrm * s.cn) AS ccos FROM g1 JOIN gseed s ON s.g = g1.g),
+       |r2 AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM a2),
+       |asn AS (SELECT vec_id, v, nrm, label, cell FROM r2 WHERE arn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
+       |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
+       |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+       |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  private val s22HierSql: String = hierIvfSqlWhere("")
+
+  /** s25's oracle: the hier chain over the surviving corpus with the
+    * ORIGINAL full-set codebook — s12/s13's [[survivorIvfSql]] move on
+    * the two-level quantizer (same tombstone rule, and compaction must
+    * be query-invisible, so delete + compact share this one string). */
+  private def hierSurvivorSql: String =
+    hierIvfSqlWhere("WHERE NOT (vec_id % 10 = 7 AND label = 0)")
+
+  /** s26's oracle: ONE Lloyd refinement of the two-level codebook
+    * replayed in closed form — s17RetrainSql's M-step composed with
+    * s22HierSql's assignment chain. The gen-0 half is s22's chain
+    * verbatim (supers `sup`, two-level assignment `asn0`); `cm`/`seeds1`
+    * are s17's fixed-precision per-cell means over the HIER assignment
+    * (memberless cells retire with the GROUP BY); `gseed1`/`sup1`
+    * rebuild the two-level structure from the SURVIVORS (groups keep
+    * ⌊c_id / sub⌋ — ids are preserved by the M-step — and a group whose
+    * every cell retired vanishes); the gen-1 half re-runs the identical
+    * two-level assignment under the rebuilt codebook, then s3's probe. */
+  private def s26HierRetrainSql: String = {
     val dim = SimilarityOps.SignBands * SimilarityOps.BandBits
     val sub = SimilarityOps.HierSub
     s"""WITH $embCte,
@@ -569,14 +617,29 @@ object SparkEntry {
        |  FROM gseed CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY g, i),
        |sup AS (SELECT g, sv, sqrt(list_inner_product(sv, sv)) AS sn
        |  FROM (SELECT g, list(sval ORDER BY i) AS sv FROM sm GROUP BY g)),
-       |a1 AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.g, list_inner_product(n.v, s.sv) / (n.nrm * s.sn) AS gcos FROM n CROSS JOIN sup s),
-       |r1 AS (SELECT vec_id, v, nrm, label, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, g) AS grn FROM a1),
-       |g1 AS (SELECT vec_id, v, nrm, label, g FROM r1 WHERE grn = 1),
-       |a2 AS (SELECT g1.vec_id, g1.v, g1.nrm, g1.label, s.c_id, list_inner_product(g1.v, s.cv) / (g1.nrm * s.cn) AS ccos FROM g1 JOIN gseed s ON s.g = g1.g),
-       |r2 AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM a2),
-       |asn AS (SELECT vec_id, v, nrm, label, cell FROM r2 WHERE arn = 1),
-       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
-       |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
+       |a1 AS (SELECT n.vec_id, n.v, n.nrm, s.g, list_inner_product(n.v, s.sv) / (n.nrm * s.sn) AS gcos FROM n CROSS JOIN sup s),
+       |r1 AS (SELECT vec_id, v, nrm, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, g) AS grn FROM a1),
+       |g1 AS (SELECT vec_id, v, nrm, g FROM r1 WHERE grn = 1),
+       |a2 AS (SELECT g1.vec_id, g1.v, g1.nrm, s.c_id, list_inner_product(g1.v, s.cv) / (g1.nrm * s.cn) AS ccos FROM g1 JOIN gseed s ON s.g = g1.g),
+       |r2 AS (SELECT vec_id, v, nrm, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM a2),
+       |asn0 AS (SELECT vec_id, v, nrm, cell FROM r2 WHERE arn = 1),
+       |cm AS (SELECT cell, i, round(avg(v[i]), ${SimilarityOps.CentroidScale}) AS cval
+       |  FROM asn0 CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY cell, i),
+       |seeds1 AS (SELECT c_id, cv, sqrt(list_inner_product(cv, cv)) AS cn
+       |  FROM (SELECT cell AS c_id, list(cval ORDER BY i) AS cv FROM cm GROUP BY cell)),
+       |gseed1 AS (SELECT c_id, cv, cn, c_id // $sub AS g FROM seeds1),
+       |sm1 AS (SELECT g, i, round(avg(cv[i]), ${SimilarityOps.CentroidScale}) AS sval
+       |  FROM gseed1 CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY g, i),
+       |sup1 AS (SELECT g, sv, sqrt(list_inner_product(sv, sv)) AS sn
+       |  FROM (SELECT g, list(sval ORDER BY i) AS sv FROM sm1 GROUP BY g)),
+       |b1 AS (SELECT n.vec_id, n.v, n.nrm, n.label, s.g, list_inner_product(n.v, s.sv) / (n.nrm * s.sn) AS gcos FROM n CROSS JOIN sup1 s),
+       |rb1 AS (SELECT vec_id, v, nrm, label, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, g) AS grn FROM b1),
+       |gb1 AS (SELECT vec_id, v, nrm, label, g FROM rb1 WHERE grn = 1),
+       |b2 AS (SELECT gb1.vec_id, gb1.v, gb1.nrm, gb1.label, s.c_id, list_inner_product(gb1.v, s.cv) / (gb1.nrm * s.cn) AS ccos FROM gb1 JOIN gseed1 s ON s.g = gb1.g),
+       |rb2 AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM b2),
+       |asn1 AS (SELECT vec_id, v, nrm, label, cell FROM rb2 WHERE arn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn1 WHERE label = 1),
+       |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn1 a USING (cell) WHERE a.vec_id <> q.q_id),
        |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
        |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   }
@@ -1471,6 +1534,18 @@ object SparkEntry {
     // (fixed precision keeps the gen-1 codebook bit-identical across
     // engines), gen-1 re-assignment, then s3's probe shape
     "s17_ivf_retrain" -> s17RetrainSql,
+    // s25 runs delete + compact over the HIER-ingested store: the
+    // oracle is the hier chain over the SURVIVING corpus with the
+    // ORIGINAL full-set codebook — s12/s13's survivor move on the
+    // two-level quantizer (delete + compact share the one string:
+    // compaction must be query-invisible)
+    "s25_hier_delete_compact" -> hierSurvivorSql,
+    // s26 replays the two-level retrain in closed form: gen-0 hier
+    // assignment, per-cell means at CentroidScale decimals, the
+    // two-level codebook REBUILT from surviving cells (groups keep
+    // ⌊c_id/sub⌋; memberless cells and emptied groups retire), gen-1
+    // hier re-assignment, then s3's probe shape
+    "s26_hier_retrain" -> s26HierRetrainSql,
     // s18 is s3's chain with the tenant equality added to the probe
     // join — filtering DURING candidate generation, not after
     "s18_ann_filtered" -> {

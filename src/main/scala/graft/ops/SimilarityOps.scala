@@ -315,7 +315,15 @@ object SimilarityOps {
     * rebuild. No driver-side math; the new codebook is a DataFrame the
     * next stage broadcasts, exactly like the seed codebook it replaces. */
   private[graft] def lloydStep(all: DataFrame, seeds: DataFrame): DataFrame =
-    assignCells(all, seeds)
+    cellMeans(assignCells(all, seeds))
+
+  /** The M-step alone, over an already-assigned frame: per-cell
+    * dimension-wise means at [[CentroidScale]] decimals, norms
+    * recomputed, memberless cells retired by the groupBy. Assignment-
+    * source-agnostic — s17 feeds it the flat argmax, s26 the two-level
+    * fold — because the update never looks at HOW a row got its cell. */
+  private[graft] def cellMeans(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("i", "val")))
       .groupBy("cell", "i").agg(round(avg(col("val")), CentroidScale).as("cval"))
       .groupBy("cell")
@@ -1331,26 +1339,41 @@ object SimilarityOps {
                                      sub: Int): DataFrame =
     hierAssignWithCodebook(frame, hierCentArr(seeds, sub))
 
+  /** The winning group's ARRAY POSITION (0-based) under the level-1
+    * argmax: the same strict-improvement fold as [[bestCellStruct]]
+    * (ties to the lowest c_id — `groups` is c_id-sorted, so first-kept
+    * = lowest id), but carrying each element's index so the caller can
+    * `element_at` the winner in O(1). This is how sparse group ids stay
+    * CORRECT without paying for it: a RETRAINED codebook (s26) may
+    * have retired a whole group — every cell lost its members — so
+    * indexing by c_id would read the wrong group's subs; indexing by
+    * the winning element's own position cannot, and unlike a
+    * filter-by-id scan it never deep-copies the nested sub-codebooks
+    * (measured: the filter form cost ~4× on the k ∝ corpus decade
+    * entries, where G and the per-group payload are 10× the gate's). */
+  private def bestGroupIdx(groups: Column, v: Column, nrm: Column): Column = {
+    val scored = transform(groups, (grp, i) => struct(
+      (dot(v, grp.getField("cv")) / (nrm * grp.getField("cn"))).as("ccos"),
+      grp.getField("c_id").as("c_id"),
+      i.as("idx")))
+    aggregate(scored, element_at(scored, 1), (acc, c) =>
+      when(c.getField("ccos") > acc.getField("ccos"), c).otherwise(acc))
+      .getField("idx")
+  }
+
   /** The two-level assignment against an ALREADY-BUILT codebook frame
     * (one row, the [[hierCentArr]] nested literal) — the seam the
     * streaming ingest (s23) reads: the codebook is an offline artifact
     * written once before the stream starts, exactly like s11's flat
     * quantizer file, so each micro-batch pays only the G + sub fold.
-    * The chosen group's sub-array is looked up BY ID (a filter over the
-    * G-element literal, still a narrow expression), not by array
-    * position: a RETRAINED codebook (s26) may have retired a whole
-    * group — every cell lost its members — and positional indexing
-    * would silently read the wrong group's subs once ids are sparse. */
+    * The chosen group's subs are fetched by the WINNING FOLD POSITION
+    * ([[bestGroupIdx]]) — O(1), and correct under the sparse group ids
+    * a retrained codebook (s26) has. */
   private[graft] def hierAssignWithCodebook(frame: DataFrame, arr: DataFrame): DataFrame = {
     frame.crossJoin(broadcast(arr))
-      .withColumn("grp", bestCellStruct(
-        transform(col("groups"), grp => struct(
-          grp.getField("c_id").as("c_id"), grp.getField("cv").as("cv"),
-          grp.getField("cn").as("cn"))),
-        col("v"), col("nrm")))
+      .withColumn("gidx", bestGroupIdx(col("groups"), col("v"), col("nrm")))
       .withColumn("subs",
-        element_at(filter(col("groups"),
-          g => g.getField("c_id") === col("grp.c_id")), 1).getField("subs"))
+        element_at(col("groups"), col("gidx") + 1).getField("subs"))
       .withColumn("best", bestCellStruct(col("subs"), col("v"), col("nrm")))
       .select(col("vec_id"), col("v"), col("nrm"), col("label"),
         col("best.c_id").as("cell"), col("best.ccos").as("ccos"))
@@ -1369,16 +1392,23 @@ object SimilarityOps {
     * distinct cells, so probed pairs stay unique by construction. */
   private def hierQueryCells(groups: Column, v: Column, nrm: Column,
                              gprobe: Int): Column = {
-    val gcents = transform(groups, g => struct(
-      g.getField("c_id").as("c_id"), g.getField("cv").as("cv"),
-      g.getField("cn").as("cn")))
-    // subs looked up by group ID, not array position — same sparse-ids
-    // rule as [[hierAssignWithCodebook]] (a retrained codebook may have
-    // retired whole groups)
-    transform(slice(rankedCellStructs(gcents, v, nrm), 1, gprobe), t =>
+    // each probed group fetched by its array position carried through
+    // the rank sort — the same sparse-ids-without-a-scan rule as
+    // [[bestGroupIdx]] (a retrained codebook may have retired whole
+    // groups, so positions and ids need not agree)
+    val scored = transform(groups, (grp, i) => struct(
+      (dot(v, grp.getField("cv")) / (nrm * grp.getField("cn"))).as("ccos"),
+      grp.getField("c_id").as("c_id"),
+      i.as("idx")))
+    val ranked = array_sort(scored, (l, r) =>
+      when(l.getField("ccos") > r.getField("ccos"), -1)
+        .when(l.getField("ccos") < r.getField("ccos"), 1)
+        .when(l.getField("c_id") < r.getField("c_id"), -1)
+        .when(l.getField("c_id") > r.getField("c_id"), 1)
+        .otherwise(0))
+    transform(slice(ranked, 1, gprobe), t =>
       bestCellStruct(
-        element_at(filter(groups,
-          g => g.getField("c_id") === t.getField("c_id")), 1).getField("subs"),
+        element_at(groups, t.getField("idx") + 1).getField("subs"),
         v, nrm).getField("c_id"))
   }
 
@@ -1437,6 +1467,62 @@ object SimilarityOps {
     val seeds = normed(spark, dir).filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     hierAssignCells(normed(spark, dir), seeds, sub)
+  }
+
+  // ---- s26: retrain of the two-level codebook (s17 × s22) ------------
+
+  /** The gen-1 two-level codebook: ONE fixed-precision Lloyd M-step
+    * under the HIER assignment — every vector joins its current
+    * two-level cell ([[hierAssignCells]]), each cell's centroid is
+    * refined to its members' dimension-wise mean at [[CentroidScale]]
+    * decimals ([[cellMeans]], s17's rule verbatim), and the two-level
+    * structure is REBUILT from the surviving cells by [[hierCentArr]]'s
+    * own closed form: cells keep their group (g = ⌊c_id / sub⌋ — ids
+    * are preserved by the M-step), memberless cells retire, a group
+    * whose every cell retired disappears from the codebook entirely,
+    * and each group's super-centroid is recomputed as the mean of its
+    * SURVIVING refined centroids. Retirement is exactly why
+    * [[hierAssignWithCodebook]] looks subs up by group ID, not array
+    * position — a retrained codebook has sparse ids by design. */
+  private[graft] def s26RetrainedCodebook(all: DataFrame): DataFrame =
+    hierCentArr(
+      cellMeans(hierAssignCells(all, ivfSeedCentroids(all), HierSub)),
+      HierSub)
+
+  /** s26: quantizer retrain for the HIERARCHICAL codebook — s17's
+    * drift verb composed with s22's two-level structure, owed since s23
+    * made the hier codebook the recommended ingest artifact (the flat
+    * retrain s17 covers a quantizer the 100 TB deployment no longer
+    * ships). The gen-0 codebook is refined by [[s26RetrainedCodebook]],
+    * the whole corpus re-assigns under gen-1 (the same G + sub ≈ 2√k
+    * narrow fold — re-indexing is an assignment sweep, not a data
+    * rewrite), and queries probe the rebuilt inverted lists. The oracle
+    * replays the entire chain in closed form: gen-0 supers → two-level
+    * assignment → per-cell means at fixed precision → gen-1 supers over
+    * survivors → two-level re-assignment → probe.
+    *
+    * The deployment half REUSES s17's generation machinery unchanged
+    * ([[s17WriteGeneration]] / [[s17ServeLatest]] / vacuum) — the
+    * marker-gated flip never looks at how rows got their cell, so the
+    * quantizer swap is invisible to it (proven in LayoutSpec on a real
+    * written layout, the s17 case's sequence over hier generations).
+    *
+    * Scale: the M-step is one posexplode shuffle of dim doubles per
+    * vector that map-side combines to cells × dims rows (s17's class —
+    * the only corpus-sized exchange in the verb); codebook rebuild is
+    * cells-sized; both assignment sweeps are narrow maps over the
+    * kilobyte broadcast codebook at 2√k dots per vector where the flat
+    * retrain pays k. */
+  def s26HierRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    probeAssigned(hierAssignWithCodebook(all, s26RetrainedCodebook(all)))
+  }
+
+  /** The gen-1 hier index store s26's deployment half writes: every
+    * corpus vector with its gen-1 two-level cell assignment. */
+  private[graft] def s26Gen1Assigned(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    hierAssignWithCodebook(all, s26RetrainedCodebook(all))
   }
 
   /** d18: SemDeDup under the HIERARCHICAL quantizer — s22's assignment

@@ -161,7 +161,9 @@ object StreamAnnIngest {
     * Scale: per-batch cost is batch-size × 2√k dot products + one
     * append; the store layout, probe, and lifecycle verbs
     * (s12/s13/s14/s15/s16) are unchanged — the quantizer swap is
-    * invisible to everything downstream of the cell column. */
+    * invisible to everything downstream of the cell column (PROVEN,
+    * not prose, by s25: delete + compact run against this store and
+    * oracle-check over the hier survivor chain). */
   private[graft] def s23WithBatchCount(spark: SparkSession, dir: String,
       orderExpr: org.apache.spark.sql.Column = col("vec_id")): (DataFrame, Int) = {
     val (store, _, nBatches) =
@@ -680,11 +682,20 @@ object StreamAnnIngest {
     val seeds = spark.read.parquet(seedsPath)
     SimilarityOps.assignCells(batch, seeds)
       .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
-    // drain the request ledger: tombstone requests whose vector is now
-    // indexed (any batch ≤ current) and not already tombstoned. The
-    // inner join attaches the indexed row's CELL to the tombstone —
-    // tombstones ride the same cell-bucketed layout as the index, so
-    // the probe-time merge in [[liveRows]] stays bucket-local.
+    drainDeleteLedger(spark, batchId, reqPath, store, tombs)
+  }
+
+  /** Drain the standing request ledger after a batch's index append:
+    * tombstone requests whose vector is now indexed (any batch ≤
+    * current) and not already tombstoned. The inner join attaches the
+    * indexed row's CELL to the tombstone — tombstones ride the same
+    * cell-bucketed layout as the index, so the probe-time merge in
+    * [[liveRows]] stays bucket-local. Quantizer-agnostic (reads only
+    * the store's cell column), shared by the flat (s12) and hier (s25)
+    * delete streams. */
+  private def drainDeleteLedger(spark: SparkSession, batchId: Long,
+                                reqPath: String, store: String,
+                                tombs: String): Unit = {
     val indexed = spark.read.parquet(store)
       .filter(col("batch_id") <= batchId).select("vec_id", "cell")
     val prior =
@@ -696,6 +707,103 @@ object StreamAnnIngest {
       .join(indexed, Seq("vec_id"))
       .join(prior, Seq("vec_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$tombs/batch_id=$batchId")
+  }
+
+  // ---- s25: delete + compact PROVEN on the hier-built store ----------
+
+  def s25HierDeleteCompact(spark: SparkSession, dir: String): DataFrame =
+    s25WithInfo(spark, dir)._1
+
+  /** s25: the index-lifecycle verbs run against the HIER-ingested store
+    * — s23's scaladoc claims the store layout is byte-compatible so
+    * every downstream verb "reads it unchanged"; this gate converts
+    * that claim from prose to an oracle check (the s15 × s14
+    * composition precedent). The stream is s12's delete machinery with
+    * ONLY the per-batch assignment swapped for s23's two-level codebook
+    * fold: the standing request ledger drains per batch (requests may
+    * precede their vector's arrival — the cross-batch pending path),
+    * tombstones carry their cell, and after the stream the store is
+    * compacted with s13's move — tombstoned rows dropped, cells
+    * rewritten as single inverted lists — so the probe pays no
+    * anti-join at all (asserted in StreamEquivSpec).
+    *
+    * The oracle is the hier chain over the SURVIVING corpus with the
+    * ORIGINAL full-set codebook (deletes never retrain the quantizer —
+    * s12's rule, unchanged by the quantizer swap): s22's SQL with the
+    * corpus CTE filtered by the delete rule, exactly how s12/s13
+    * parameterize s3's.
+    *
+    * Scale: identical to s12 + s13 — the tombstone store is
+    * request-sized, the drain joins tiny frames against key-pruned
+    * stores, compaction is cell-local, and the quantizer swap changes
+    * only the per-batch assignment cost (k → G + sub ≈ 2√k dots per
+    * vector, s23's saving, now carried through the whole lifecycle). */
+  private[graft] def s25WithInfo(spark: SparkSession, dir: String)
+      : (DataFrame, Int, Array[Long], Long, Long) = {
+    val (work, store, tombs, nBatches) = runHierDeleteStream(spark, dir)
+    // test seam: tombstones registered per drain batch, in batch order
+    val drains = spark.read.parquet(tombs)
+      .groupBy("batch_id").count().orderBy("batch_id")
+      .collect().map(_.getLong(1))
+    val compacted = s"$work/compacted"
+    liveRows(spark, store, tombs)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(compacted)
+    val nDropped = spark.read.parquet(tombs).count()
+    val comp = spark.read.parquet(compacted)
+    (SimilarityOps.probeAssigned(comp), nBatches, drains, comp.count(), nDropped)
+  }
+
+  /** s25's stream run: s12's delete stream with the hier codebook as
+    * the offline artifact ([[runHierIngestStream]]'s build) and the
+    * two-level assignment per batch; the ledger drain is
+    * [[drainDeleteLedger]] verbatim — it reads only the store's cell
+    * column, which is exactly why the quantizer swap is invisible to
+    * it. Returns (work root, index store, tombstone store, batches). */
+  private def runHierDeleteStream(spark: SparkSession, dir: String)
+      : (String, String, String, Int) = {
+    val work = Files.createTempDirectory("graft_hierannstream_del_").toString
+    val splitDir = s"$work/in"
+    val all = SimilarityOps.normed(spark, dir)
+    all.select("vec_id", "v", "nrm", "label")
+      .repartitionByRange(SplitFiles, col("vec_id"))
+      .write.parquet(splitDir)
+    val cbPath = s"$work/codebook"
+    val seeds = all.filter(col("vec_id") < SimilarityOps.IvfCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    SimilarityOps.hierCentArr(seeds, SimilarityOps.HierSub)
+      .coalesce(1).write.parquet(cbPath)
+    val reqPath = s"$work/delete_requests"
+    deleteRequests(all).coalesce(1).write.parquet(reqPath)
+    val store = s"$work/index"
+    val tombs = s"$work/tombstones"
+    val session = spark.newSession()
+    val q = session.readStream
+      .schema(session.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        processHierDeleteBatch(batch, batchId, cbPath, reqPath, store, tombs))
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = Option(new java.io.File(store).listFiles())
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    (work, store, tombs, nBatches)
+  }
+
+  /** s25's per-batch work: s23's two-level assignment append + the
+    * shared ledger drain — processDeleteBatch with the quantizer
+    * swapped, nothing else. */
+  private def processHierDeleteBatch(batch: DataFrame, batchId: Long,
+                                     cbPath: String, reqPath: String,
+                                     store: String, tombs: String): Unit = {
+    val spark = batch.sparkSession
+    SimilarityOps.hierAssignWithCodebook(batch, spark.read.parquet(cbPath))
+      .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+    drainDeleteLedger(spark, batchId, reqPath, store, tombs)
   }
 
   // ---- s20: streaming radius alerts (the watchlist match-on-ingest) --

@@ -763,6 +763,63 @@ class InvariantSpec extends AnyFunSuite {
     assert(hier != flat, "hier cell populations equal flat everywhere — d18 is d15 renamed here")
   }
 
+  test("s26 hier retrain: genuinely moves assignments, and sparse-id codebooks assign correctly") {
+    // (1) the retrain is not a no-op: at least one vector's two-level
+    // cell changes between the gen-0 and gen-1 codebooks (the LayoutSpec
+    // flip test depends on this too — pinned here at the assignment
+    // level, where the retrain actually acts)
+    val all = SimilarityOps.normed(spark, sf)
+    val seeds = SimilarityOps.ivfSeedCentroids(all)
+    val gen0 = SimilarityOps.hierAssignCells(all, seeds, SimilarityOps.HierSub)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gen1 = SimilarityOps.s26Gen1Assigned(spark, sf)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gen0.keySet == gen1.keySet, "retrain changed the corpus itself")
+    assert(gen0 != gen1, "hier retrain moved no vector — the M-step was a no-op here")
+
+    // (2) the retired-group path: a retrained codebook may lose a whole
+    // group (every cell memberless), leaving SPARSE group ids — the
+    // exact case the by-ID sub-lookup exists for. Build that codebook
+    // deliberately (drop group 1's cells: ids {4..7}) and check the
+    // expression-side two-level fold against an independent join+window
+    // reference over the same nested literal. Positional sub indexing
+    // would read group 2's subs for group-id 2 at position 2 — wrong —
+    // so equality here is the regression pin for the sparse-ids rule.
+    val sub = SimilarityOps.HierSub
+    val sparseSeeds = seeds.filter(!(col("c_id") >= sub && col("c_id") < 2 * sub))
+    val arr = SimilarityOps.hierCentArr(sparseSeeds, sub)
+    val groupsTbl = arr.select(explode(col("groups")).as("grp"))
+      .select(col("grp.c_id").as("g"), col("grp.cv").as("sv"),
+        col("grp.cn").as("sn"), col("grp.subs").as("subs"))
+    val gids = groupsTbl.select("g").collect().map(_.getLong(0)).sorted
+    assert(gids.sameElements(Array(0L, 2L, 3L)),
+      s"fixture codebook is not sparse (groups ${gids.toSeq}) — the test is vacuous")
+    val got = SimilarityOps.hierAssignWithCodebook(all, arr)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: level-1 best group by (gcos desc, g), level-2 best cell
+    // within it by (ccos desc, c_id) — the fold's documented tie-break
+    import org.apache.spark.sql.expressions.Window
+    val l1 = all.crossJoin(groupsTbl)
+      .withColumn("gcos", SimilarityOps.dot(col("v"), col("sv")) / (col("nrm") * col("sn")))
+      .withColumn("grn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("gcos").desc, col("g"))))
+      .filter(col("grn") === 1)
+    val subsTbl = groupsTbl.select(col("g"), explode(col("subs")).as("s"))
+      .select(col("g"), col("s.c_id").as("c_id"), col("s.cv").as("cv"), col("s.cn").as("cn"))
+    val ref = l1.join(subsTbl, Seq("g"))
+      .withColumn("ccos", SimilarityOps.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("crn") === 1)
+      .select("vec_id", "c_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref,
+      "two-level fold diverged from the join reference on a sparse-id codebook")
+    // and some vector genuinely lands in a group whose id ≠ its array
+    // position (g ≥ 2 — where positional lookup would misread)
+    assert(got.values.exists(_ >= 2 * sub),
+      "no vector assigned past the gap — the sparse path went unexercised")
+  }
+
   test("s22's recall cost is bounded: hier recall@3 within 0.1 of flat on the fixture") {
     // the hierarchical quantizer buys its 2√k assignment with a recall
     // trade (a vector near a group boundary can land in the wrong

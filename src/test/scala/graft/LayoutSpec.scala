@@ -626,6 +626,40 @@ class LayoutSpec extends AnyFunSuite {
     assert(served().sameElements(retrained), "serve changed after vacuum")
   }
 
+  test("s26's generation flip: the s17 marker machinery serves hier generations unchanged") {
+    // the deployment half of the HIER retrain reuses s17's generation
+    // store verbatim — the marker-gated flip never looks at how rows got
+    // their cell, so the quantizer swap must be invisible to it. Proven
+    // on a real written layout with the s17 case's sequence: gen-0 (the
+    // seed two-level codebook) serves s22's answer; a gen-1 rebuild
+    // (the retrained codebook's assignment) whose files landed but
+    // whose marker hasn't stays invisible; the marker create flips the
+    // serve to s26's retrained answer.
+    import graft.ops.SimilarityOps
+    val dir = Files.createTempDirectory("graft_hiergen_").toString + "/hier_gens"
+    val all = SimilarityOps.normed(spark, sf)
+    val gen0 = SimilarityOps.hierAssignCells(
+      all, SimilarityOps.ivfSeedCentroids(all), SimilarityOps.HierSub)
+    SimilarityOps.s17WriteGeneration(gen0, dir, 0)
+    def served(): Array[(Long, Long, Double, Long)] =
+      SimilarityOps.s17ServeLatest(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    def expect(df: DataFrame): Array[(Long, Long, Double, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val s22Ans = expect(SimilarityOps.s22AnnHier(spark, sf))
+    assert(served().sameElements(s22Ans), "hier gen-0 serve diverged from s22")
+    // rebuild in flight: data files land, marker does not
+    SimilarityOps.s17WriteGenData(SimilarityOps.s26Gen1Assigned(spark, sf), dir, 1)
+    assert(served().sameElements(s22Ans),
+      "uncommitted hier gen-1 files leaked into the serve")
+    // the atomic flip: one marker create
+    SimilarityOps.s17CommitGen(spark, dir, 1)
+    val retrained = expect(SimilarityOps.s26HierRetrain(spark, sf))
+    assert(served().sameElements(retrained), "post-flip serve diverged from s26")
+    assert(!served().sameElements(s22Ans),
+      "hier retrain was a no-op on this fixture — the flip test proves nothing")
+  }
+
   test("a bucketed generation serves s17's probe with zero cell exchanges") {
     // the deployment composition: a generation written cell-bucketed
     // (the s11/s13 store recipe applied to s17's gen-1 rows) must serve

@@ -298,6 +298,41 @@ class StreamEquivSpec extends AnyFunSuite {
       "compacted probe still carries a tombstone anti-join")
   }
 
+  test("s25 hier-store lifecycle: delete + compact over the hier-ingested store ≡ batch hier over survivors") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.ops.SimilarityOps
+    // the batch twin: the TWO-LEVEL assignment over SURVIVORS with the
+    // full-set codebook (deletes never retrain the quantizer — s12's
+    // rule, unchanged by the quantizer swap), probed identically. This
+    // is the check that converts s23's "the store layout is
+    // byte-compatible, every lifecycle verb reads it unchanged" from
+    // scaladoc prose to a row-for-row equality.
+    val all = ops.normed(spark, sf)
+    val survivors = graft.streaming.StreamAnnIngest.survivorFilter(
+      all.select("vec_id", "v", "nrm", "label"))
+    val batch = rows(ops.probeAssigned(
+      ops.hierAssignCells(survivors, ops.ivfSeedCentroids(all), ops.HierSub)))
+    val (compDf, nBatches, drains, nLive, nDropped) =
+      graft.streaming.StreamAnnIngest.s25WithInfo(spark, sf)
+    assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    // the ledger drains across batches (the out-of-order pending path)
+    assert(drains.length > 1,
+      s"all tombstones registered in one batch (${drains.toSeq}) — " +
+        "cross-batch pending-drain path never exercised")
+    assert(nDropped > 0, "no tombstones were registered — vacuous compaction")
+    assert(nLive == survivors.count(),
+      s"compacted hier store has $nLive rows, expected survivor count")
+    assert(batch.nonEmpty)
+    assert(rows(compDf) == batch, "compacted hier probe diverged from batch twin")
+    // the probe paid no merge: compaction retired the anti-join entirely
+    compDf.collect()
+    val plan = compDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Anti"),
+      "compacted hier probe still carries a tombstone anti-join")
+  }
+
   test("s16 streaming upserts: latest-version probe ≡ batch IVF over the updated corpus, original quantizer") {
     import org.apache.spark.sql.functions._
     val ops = graft.ops.SimilarityOps
