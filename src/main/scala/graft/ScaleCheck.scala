@@ -121,12 +121,17 @@ object ScaleCheck {
     // alongside d15.
     "x18_retention_vacuum", "x19_late_ledger",
     // r12 additions: the hier-quantizer ingest (s11's class — per-batch
-    // narrow assignment + append; the scaled-k form has its own entry),
-    // the bulk top-k (s21's serve band at fixed k; the honest
-    // k ∝ corpus form is s21_topk_serve_scaled_k), and the mid-stream
-    // band-store compaction (d12's band + one consolidation rewrite —
-    // expected d12's band plus the store's own I/O once)
-    "s23_stream_hier_ingest", "s21_bulk_topk", "d19_band_compact",
+    // narrow assignment + append; the scaled-k form has its own entry)
+    // and the mid-stream band-store compaction (d12's band + one
+    // consolidation rewrite — expected d12's band plus the store's own
+    // I/O once). s21_bulk_topk at FIXED k is deliberately absent, the
+    // same rule that excludes d15 and s21 top-1: fixed 16 cells on 10×
+    // data make Σ cell² pair work 100× by design (measured 8.4× in r13
+    // before removal — the documented degenerate configuration, not the
+    // operator); the honest decade entries are s21_bulk_topk_scaled_k
+    // (full gate at k ∝ corpus) and s21_topk_serve_scaled_k (the
+    // pre-assigned production serve) in [[scaledKEntries]].
+    "s23_stream_hier_ingest", "d19_band_compact",
     // r12 round-2 additions: the stream-store hier multiprobe (s15's
     // class — query-side group fan-out is constant in corpus size),
     // the stats-store running-max fold (x19's class + one
@@ -187,6 +192,13 @@ object ScaleCheck {
         ((dir, k) => SimilarityOps.d15SemDedupK(spark, dir, k)),
       "s21_bulk_probe_scaled_k" ->
         ((dir, k) => SimilarityOps.s21AnnBulkProbeK(spark, dir, k)),
+      // the full top-k gate at the deployment rule — the bounded
+      // k-slot fold over the same two-sided join as the top-1 probe
+      // (its fixed-k twin is the documented degenerate quadratic and
+      // is excluded from [[Gates]])
+      "s21_bulk_topk_scaled_k" ->
+        ((dir, k) => SimilarityOps.s21TopKAssigned(
+          SimilarityOps.s21AssignedK(spark, dir, k))),
       "s22_hier_bulk_scaled_k" ->
         ((dir, k) => SimilarityOps.s21ServeAssigned(
           SimilarityOps.s22HierAssignedK(spark, dir, k, hierSubFor(k)))),
