@@ -489,6 +489,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "s22 plan contains CartesianProduct")
   }
 
+  test("s26 hier retrain: the M-step is the only corpus-keyed exchange, both sweeps stay narrow") {
+    // the retrain's cost claim: re-indexing is an assignment SWEEP, not
+    // a data rewrite — the gen-0 and gen-1 two-level assignments must
+    // both fold expression-side (no vec_id exchange, s22's detector),
+    // the one corpus-sized exchange is the M-step's (cell, i) partial
+    // aggregate (map-side combined to cells × dims rows), and the probe
+    // keeps the broadcast hash join on cell
+    val plan = finalPlan(SimilarityOps.s26HierRetrain(spark, sf))
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      "s26 assignment shuffles the corpus by vec_id — a fold regressed to a window/agg")
+    assert(plan.contains("hashpartitioning(cell, i") ||
+      plan.contains("hashpartitioning(cell#"),
+      "s26 plan lost the M-step's (cell, dim) partial aggregate exchange")
+    assert(plan.contains("BroadcastHashJoin"),
+      "s26 cell probe is not a broadcast hash join")
+    assert(!plan.contains("CartesianProduct"), "s26 plan contains CartesianProduct")
+  }
+
   test("d18 hier semdedup keeps d15's shape: narrow two-fold assignment, pair join on cell") {
     val plan = finalPlan(SimilarityOps.d18SemDedupHier(spark, sf))
     assert(!plan.contains("CartesianProduct"),
