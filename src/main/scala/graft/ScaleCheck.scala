@@ -143,7 +143,10 @@ object ScaleCheck {
     // the s12/s13 band) and the two-level retrain (s17's M-step class:
     // one posexplode shuffle + two narrow assignment sweeps — expected
     // in s17's flat-to-linear band)
-    "s25_hier_delete_compact", "s26_hier_retrain")
+    "s25_hier_delete_compact", "s26_hier_retrain",
+    // the hier upsert: s16's class (update-sized drain, 3-key merge)
+    // at the 2√k per-batch assignment — expected s16's band
+    "s27_hier_upsert")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

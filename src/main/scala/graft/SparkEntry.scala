@@ -103,6 +103,7 @@ object SparkEntry {
     "s25_hier_delete_compact" ->
       (graft.streaming.StreamAnnIngest.s25HierDeleteCompact _),
     "s26_hier_retrain" -> (SimilarityOps.s26HierRetrain _),
+    "s27_hier_upsert" -> (graft.streaming.StreamAnnIngest.s27HierUpsert _),
     "s20_stream_radius_alert" ->
       (graft.streaming.StreamAnnIngest.s20StreamRadiusAlert _),
     "s4_ann_recall" -> (SimilarityOps.s4AnnRecall _),
@@ -565,11 +566,17 @@ object SparkEntry {
     * s3's probe chain verbatim, all over the filtered corpus. Empty
     * filter = s22 itself (shared verbatim by s23 — the s11 ≡ s3 move);
     * s25 passes the tombstone rule. */
-  private def hierIvfSqlWhere(corpusFilter: String): String = {
+  private def hierIvfSqlWhere(corpusFilter: String): String =
+    hierIvfSqlFromNf(s"nf AS (SELECT * FROM n $corpusFilter)")
+
+  /** The hier chain over an arbitrary corpus CTE `nf` (filtered for the
+    * survivor gates, REWRITTEN for the upsert gate) — the codebook
+    * always derives from the original full set `n`. */
+  private def hierIvfSqlFromNf(nfCte: String): String = {
     val dim = SimilarityOps.SignBands * SimilarityOps.BandBits
     val sub = SimilarityOps.HierSub
     s"""WITH $embCte,
-       |nf AS (SELECT * FROM n $corpusFilter),
+       |$nfCte,
        |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
        |gseed AS (SELECT c_id, cv, cn, c_id // $sub AS g FROM seeds),
        |sm AS (SELECT g, i, round(avg(cv[i]), ${SimilarityOps.CentroidScale}) AS sval
@@ -596,6 +603,15 @@ object SparkEntry {
     * be query-invisible, so delete + compact share this one string). */
   private def hierSurvivorSql: String =
     hierIvfSqlWhere("WHERE NOT (vec_id % 10 = 7 AND label = 0)")
+
+  /** s27's oracle: the hier chain over the UPDATED corpus
+    * ([[upsertIvfSql]]'s rewrite CTEs — the two update classes with
+    * norms recomputed over the new fold order) with the ORIGINAL
+    * full-set codebook: update semantics, never a rebuilt index. */
+  private def hierUpsertSql: String =
+    hierIvfSqlFromNf(
+      """u AS (SELECT vec_id, CASE WHEN vec_id % 20 = 3 AND label = 0 THEN list_transform(v, x -> x * 1.25) WHEN vec_id % 20 = 13 AND label = 0 THEN list_slice(v, 2, 64) || list_slice(v, 1, 1) ELSE v END AS v, label FROM n),
+        |nf AS (SELECT vec_id, v, label, sqrt(list_inner_product(v, v)) AS nrm FROM u)""".stripMargin)
 
   /** s26's oracle: ONE Lloyd refinement of the two-level codebook
     * replayed in closed form — s17RetrainSql's M-step composed with
@@ -1546,6 +1562,11 @@ object SparkEntry {
     // ⌊c_id/sub⌋; memberless cells and emptied groups retire), gen-1
     // hier re-assignment, then s3's probe shape
     "s26_hier_retrain" -> s26HierRetrainSql,
+    // s27 serves the UPDATED corpus from the hier store (new versions
+    // tombstone their prior physical entry by the 3-key address) with
+    // the ORIGINAL codebook — the hier chain over upsertIvfSql's
+    // corpus-rewrite CTEs
+    "s27_hier_upsert" -> hierUpsertSql,
     // s18 is s3's chain with the tenant equality added to the probe
     // join — filtering DURING candidate generation, not after
     "s18_ann_filtered" -> {

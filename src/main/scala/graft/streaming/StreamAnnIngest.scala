@@ -174,6 +174,17 @@ object StreamAnnIngest {
     (result, nBatches)
   }
 
+  /** Test seam (the s21 × s23 composition pin): the stream-built hier
+    * store and codebook paths at the gate configuration, for serves
+    * that read the store directly (the bulk serve's stored-assignment
+    * production state). */
+  private[graft] def s23StoreAndCodebook(spark: SparkSession, dir: String)
+      : (String, String) = {
+    val (store, cb, _) = runHierIngestStream(spark, dir,
+      SimilarityOps.IvfCells, SimilarityOps.HierSub, col("vec_id"))
+    (store, cb)
+  }
+
   /** The hier-ingest stream at an explicit (k, sub) — ScaleCheck's
     * scaled-k ingest seam (k ∝ corpus, the deployment rule): returns
     * the store-served probe so the timed unit is the full gate. */
@@ -459,12 +470,18 @@ object StreamAnnIngest {
   private[graft] def s16WithInfo(spark: SparkSession, dir: String)
       : (DataFrame, Int, Long, Long, Long) = {
     val (store, tombs, nBatches) = runUpsertStream(spark, dir)
-    // the latest-version merge: physical rows minus tombstoned versions
+    upsertProbeInfo(spark, store, tombs, nBatches)
+  }
+
+  /** The latest-version merge + test seams shared by the flat (s16) and
+    * hier (s27) upsert gates: tombstones registered, and the update
+    * wave produced BOTH same-cell and cross-cell replacements (the
+    * 3-key precision and the cell-move path are each exercised). The
+    * new cell is read from the SURVIVING entry — the live view itself. */
+  private def upsertProbeInfo(spark: SparkSession, store: String,
+                              tombs: String, nBatches: Int)
+      : (DataFrame, Int, Long, Long, Long) = {
     val live = s16LiveRows(spark, store, tombs)
-    // test seams: tombstones registered, and the update wave produced
-    // BOTH same-cell and cross-cell replacements (the 3-key precision
-    // and the cell-move path are each exercised). The new cell is read
-    // from the SURVIVING entry — the live view itself.
     val tombRows = spark.read.parquet(tombs)
       .select(col("vec_id"), col("cell").as("old_cell"))
     val newCells = live.select(col("vec_id"), col("cell").as("new_cell"))
@@ -473,6 +490,43 @@ object StreamAnnIngest {
     val nMoved = moved.filter(col("old_cell") =!= col("new_cell")).count()
     (SimilarityOps.probeAssigned(live.drop("batch_id")), nBatches,
       tombRows.count(), nSame, nMoved)
+  }
+
+  // ---- s27: upserts PROVEN on the hier-built store --------------------
+
+  def s27HierUpsert(spark: SparkSession, dir: String): DataFrame =
+    s27WithInfo(spark, dir)._1
+
+  /** s27: the LAST lifecycle verb proven on the hier store — s25 proved
+    * delete + compact, s24 multiprobe, s26 retrain; upsert completes
+    * the matrix. The stream is s16's machinery with ONLY the per-batch
+    * assignment swapped ([[runUpsertStreamWith]]'s seam): the 3-key
+    * victim tombstone (cell, vec_id, batch_id) never looks at how a row
+    * got its cell, so the quantizer swap is invisible to it — including
+    * the load-bearing same-cell precision: the 1.25-scale update class
+    * is cosine-invariant at BOTH quantizer levels (scaling changes no
+    * cosine), so those replacements provably stay in their two-level
+    * cell exactly as they stayed in their flat cell, and the rotation
+    * class still moves most of its vectors across cells (the spec
+    * asserts both kinds occur under the hier cells). The codebook is
+    * untouched (updates never retrain — an updated seed vector keeps
+    * serving from its ORIGINAL position, s16's rule).
+    *
+    * Oracle: the hier chain over the UPDATED corpus with the original
+    * full-set codebook — upsertIvfSql's corpus-rewrite CTEs composed
+    * with s22's two-level chain. Scale: s16's exactly — update-sized
+    * tombstones, key-pruned drains, the 3-key merge on the same
+    * cell-bucketed layout — with per-batch assignment at 2√k dots. */
+  private[graft] def s27WithInfo(spark: SparkSession, dir: String)
+      : (DataFrame, Int, Long, Long, Long) = {
+    val (store, tombs, nBatches) = runUpsertStreamWith(spark, dir,
+      (all, path) => SimilarityOps.hierCentArr(
+        all.filter(col("vec_id") < SimilarityOps.IvfCells)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")),
+        SimilarityOps.HierSub).coalesce(1).write.parquet(path),
+      (batch, path) =>
+        SimilarityOps.hierAssignWithCodebook(batch, batch.sparkSession.read.parquet(path)))
+    upsertProbeInfo(spark, store, tombs, nBatches)
   }
 
   /** s16's merge, keyed on the victim's full physical address
@@ -505,7 +559,22 @@ object StreamAnnIngest {
 
   /** The upsert stream run shared by the gate and the compaction seam:
     * returns (index store path, tombstone store path, batch count). */
-  private def runUpsertStream(spark: SparkSession, dir: String): (String, String, Int) = {
+  private def runUpsertStream(spark: SparkSession, dir: String): (String, String, Int) =
+    runUpsertStreamWith(spark, dir,
+      (all, path) => SimilarityOps.ivfSeedCentroids(all)
+        .coalesce(1).write.parquet(path),
+      (batch, path) =>
+        SimilarityOps.assignCells(batch, batch.sparkSession.read.parquet(path)))
+
+  /** s16's upsert stream with the offline artifact and per-batch
+    * assignment as seams (`writeArtifact(all, path)` trains the
+    * quantizer once before the stream; `assign(batch, path)` maps a
+    * batch to its cell-assigned rows) — everything else, including the
+    * 3-key victim tombstone drain, is quantizer-agnostic and shared
+    * verbatim between the flat (s16) and hier (s27) gates. */
+  private def runUpsertStreamWith(spark: SparkSession, dir: String,
+      writeArtifact: (DataFrame, String) => Unit,
+      assign: (DataFrame, String) => DataFrame): (String, String, Int) = {
     val work = Files.createTempDirectory("graft_annstream_ups_").toString
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
@@ -525,7 +594,7 @@ object StreamAnnIngest {
         s"cannot set mtime on $f; file-replay order would be undefined")
     }
     val seedsPath = s"$work/quantizer"
-    SimilarityOps.ivfSeedCentroids(all).coalesce(1).write.parquet(seedsPath)
+    writeArtifact(all, seedsPath)
     val store = s"$work/index"
     val tombs = s"$work/tombstones"
     val session = spark.newSession()
@@ -535,7 +604,7 @@ object StreamAnnIngest {
       .parquet(splitDir)
       .writeStream
       .foreachBatch((batch: DataFrame, batchId: Long) =>
-        processUpsertBatch(batch, batchId, seedsPath, store, tombs))
+        processUpsertBatch(batch, batchId, seedsPath, store, tombs, assign))
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -547,10 +616,10 @@ object StreamAnnIngest {
 
   private def processUpsertBatch(batch: DataFrame, batchId: Long,
                                  seedsPath: String, store: String,
-                                 tombs: String): Unit = {
+                                 tombs: String,
+                                 assign: (DataFrame, String) => DataFrame): Unit = {
     val spark = batch.sparkSession
-    val seeds = spark.read.parquet(seedsPath)
-    SimilarityOps.assignCells(batch, seeds)
+    assign(batch, seedsPath)
       .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
     // tombstone every PRIOR physical entry of an incoming vec_id — the
     // victim's (cell, vec_id, batch_id), so a same-cell replacement

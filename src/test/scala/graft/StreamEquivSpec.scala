@@ -367,6 +367,61 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(rows(streamDf) == batch, "upserted probe diverged from the updated-corpus batch twin")
   }
 
+  test("s27 hier upserts: latest-version probe ≡ batch hier over the updated corpus, original codebook") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.ops.SimilarityOps
+    // the batch twin: the TWO-LEVEL assignment of the UPDATED corpus
+    // with the original full-set codebook — the s16 twin with the
+    // quantizer swapped, completing the lifecycle-verb matrix on the
+    // hier store (delete+compact s25, multiprobe s24, retrain s26,
+    // and now upsert)
+    val all = ops.normed(spark, sf)
+    val updated = all.select("vec_id", "v", "nrm", "label")
+      .withColumn("v",
+        when(col("vec_id") % 20 === 3 && col("label") === 0,
+          transform(col("v"), x => x * lit(1.25)))
+          .when(col("vec_id") % 20 === 13 && col("label") === 0,
+            concat(slice(col("v"), 2, 63), slice(col("v"), 1, 1)))
+          .otherwise(col("v")))
+      .withColumn("nrm", sqrt(ops.dot(col("v"), col("v"))))
+    val batch = rows(ops.probeAssigned(
+      ops.hierAssignCells(updated, ops.ivfSeedCentroids(all), ops.HierSub)))
+    val (streamDf, nBatches, nTombs, nSame, nMoved) =
+      graft.streaming.StreamAnnIngest.s27WithInfo(spark, sf)
+    assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles + 1,
+      s"replay ran $nBatches micro-batches — expected corpus batches + update wave")
+    assert(nTombs > 0, "no prior entries were tombstoned — vacuous upsert run")
+    // both replacement kinds must occur UNDER THE HIER CELLS: the
+    // 1.25-scale class is cosine-invariant at both quantizer levels, so
+    // its replacements provably stay in-cell (3-key precision); the
+    // rotation class must still move some vector across a hier cell
+    assert(nSame > 0, "no same-cell replacement under hier cells — 3-key precision untested")
+    assert(nMoved > 0, "no cross-cell replacement under hier cells — the move path is untested")
+    assert(batch.nonEmpty)
+    assert(rows(streamDf) == batch,
+      "hier upserted probe diverged from the updated-corpus hier batch twin")
+  }
+
+  test("s21 bulk serve over the stream-built hier store ≡ batch hier bulk serve") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.ops.SimilarityOps
+    // the s21 × s23 composition: s23's SURVEY row claims the stored-
+    // assignment serve reads the stream-built hier store unchanged —
+    // prove it: the bulk top-1 read over the store's rows equals the
+    // batch bulk serve over the same two-level assignment (both sides
+    // fold candidates map-side; the store side paid assignment at
+    // ingest, the batch twin pays it inline)
+    val all = ops.normed(spark, sf)
+    val batch = rows(ops.s21ServeAssigned(
+      ops.hierAssignCells(all, ops.ivfSeedCentroids(all), ops.HierSub)))
+    val (store, _) = graft.streaming.StreamAnnIngest.s23StoreAndCodebook(spark, sf)
+    val served = rows(ops.s21ServeAssigned(
+      spark.read.parquet(store).drop("batch_id")))
+    assert(batch.nonEmpty)
+    assert(served == batch,
+      "bulk serve over the stream-built hier store diverged from the batch twin")
+  }
+
   test("s16 compaction after upserts: version-tombstones retire like delete-tombstones, one row per vec_id") {
     import org.apache.spark.sql.functions._
     val ops = graft.ops.SimilarityOps
