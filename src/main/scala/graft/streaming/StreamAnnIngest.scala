@@ -697,6 +697,16 @@ object StreamAnnIngest {
   private def partialCompactState(spark: SparkSession, dir: String)
       : (String, DataFrame, DataFrame, Long, Long) = {
     val (work, store, tombs, _) = runDeleteStream(spark, dir)
+    partialCompactStateFrom(spark, work, store, tombs)
+  }
+
+  /** s14's mixed-state build over an already-run delete stream —
+    * quantizer-agnostic (the subset rule, the partial rewrite, and the
+    * remainder merge read only the cell column), so the hier delete
+    * stream composes in directly (the StreamEquivSpec s14 × s25 pin). */
+  private[graft] def partialCompactStateFrom(spark: SparkSession, work: String,
+                                             store: String, tombs: String)
+      : (String, DataFrame, DataFrame, Long, Long) = {
     val compacted = s"$work/compacted_subset"
     // the partial rewrite: ONLY the subset's cells, survivors only —
     // cell-local, the uncompacted cells' files are never read
@@ -821,6 +831,20 @@ object StreamAnnIngest {
     val nDropped = spark.read.parquet(tombs).count()
     val comp = spark.read.parquet(compacted)
     (SimilarityOps.probeAssigned(comp), nBatches, drains, comp.count(), nDropped)
+  }
+
+  /** The s14 × s25 composition seam: the mixed partial-compaction state
+    * built over the HIER delete stream — [[partialCompactStateFrom]] is
+    * quantizer-agnostic, so the only hier-specific part is the stream
+    * that produced the store. StreamEquivSpec proves the mixed serve
+    * equals the hier survivor twin with the anti-join confined to the
+    * uncompacted branch, completing every verb in s23's layout-compat
+    * claim (delete s25, compact s25, partial-compact here, multiprobe
+    * s24, upsert s27, retrain s26). */
+  private[graft] def hierPartialCompactState(spark: SparkSession, dir: String)
+      : (String, DataFrame, DataFrame, Long, Long) = {
+    val (work, store, tombs, _) = runHierDeleteStream(spark, dir)
+    partialCompactStateFrom(spark, work, store, tombs)
   }
 
   /** s25's stream run: s12's delete stream with the hier codebook as

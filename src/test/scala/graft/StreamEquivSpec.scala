@@ -489,6 +489,45 @@ class StreamEquivSpec extends AnyFunSuite {
       "uncompacted branch lost its tombstone merge — deleted rows would serve")
   }
 
+  test("s14 × s25: hier partial compaction — mixed-state serve ≡ hier survivors, anti-join only uncompacted") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.ops.SimilarityOps
+    // the final verb of s23's layout-compat claim: s14's mixed-state
+    // decomposition (cells partition the probe at nprobe=1) is
+    // quantizer-independent once cells exist, so the partial rewrite
+    // over the HIER delete stream must serve the hier survivor twin
+    // verbatim, with the tombstone merge confined to the uncompacted
+    // branch — the same laws the flat s14 case pins
+    val all = ops.normed(spark, sf)
+    val survivors = graft.streaming.StreamAnnIngest.survivorFilter(
+      all.select("vec_id", "v", "nrm", "label"))
+    val batch = rows(ops.probeAssigned(
+      ops.hierAssignCells(survivors, ops.ivfSeedCentroids(all), ops.HierSub)))
+    val (_, comp, uncomp, nRetired, nPending) =
+      graft.streaming.StreamAnnIngest.hierPartialCompactState(spark, sf)
+    assert(nRetired > 0, "no tombstones in the compacted subset — vacuous partial compaction")
+    assert(nPending > 0, "no tombstones left uncompacted — this is s25's endpoint, not a partial state")
+    val compProbe = ops.probeAssigned(comp)
+    val uncompProbe = ops.probeAssigned(uncomp)
+    assert(compProbe.select("q_id").distinct().count() > 0,
+      "no query lives in a compacted hier cell — compacted branch untested")
+    assert(uncompProbe.select("q_id").distinct().count() > 0,
+      "no query lives in an uncompacted hier cell — uncompacted branch untested")
+    val served = rows(compProbe.unionByName(uncompProbe).orderBy("q_id", "rnk"))
+    assert(batch.nonEmpty)
+    assert(served == batch, "hier mixed-state serve diverged from the hier survivor twin")
+    compProbe.collect()
+    val compPlan = compProbe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!compPlan.contains("Anti"),
+      "compacted hier branch still carries a tombstone anti-join")
+    uncompProbe.collect()
+    val uncompPlan = uncompProbe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(uncompPlan.contains("Anti"),
+      "uncompacted hier branch lost its tombstone merge — deleted rows would serve")
+  }
+
   test("s15 × s14: multiprobe over the mixed compacted/uncompacted store ≡ batch multiprobe over survivors") {
     import org.apache.spark.sql.functions._
     val ops = graft.ops.SimilarityOps
