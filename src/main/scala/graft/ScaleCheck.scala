@@ -146,7 +146,10 @@ object ScaleCheck {
     "s25_hier_delete_compact", "s26_hier_retrain",
     // the hier upsert: s16's class (update-sized drain, 3-key merge)
     // at the 2√k per-batch assignment — expected s16's band
-    "s27_hier_upsert")
+    "s27_hier_upsert",
+    // the mixture sampler: one narrow tokenize + the two-level prefix
+    // sum over a 4-column stats frame — expected linear in the scan
+    "p8_mixture_sample")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

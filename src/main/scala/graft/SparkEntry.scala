@@ -149,6 +149,7 @@ object SparkEntry {
     "p5_shuffle_shard" -> (PipelineOps.p5ShuffleShard _),
     "p6_incremental_export" ->
       (graft.streaming.IncrementalExport.p6IncrementalExport _),
+    "p8_mixture_sample" -> (graft.ops.PipelineOps.p8MixtureSample _),
     "p7_export_compact" ->
       (graft.streaming.IncrementalExport.p7ExportCompact _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
@@ -1319,6 +1320,26 @@ object SparkEntry {
     // cross-phase duplicates were really adjudicated from the
     // consolidated partition)
     "p7_export_compact" -> p6ExportSql,
+    // p8 replays the balanced-mixture sample in closed form: t14's
+    // multiplicative hash as the preference order, one cumsum window
+    // per source (the oracle may pay the skewed window; the engine's
+    // two-level prefix sum is exact-equivalent because bucket = a
+    // RANGE of u refines the u order), budget = min source token total
+    "p8_mixture_sample" -> {
+      val (mod, mul) = (TextOps.MixHashMod, TextOps.MixHashMul)
+      s"""WITH tok AS (SELECT doc_id, source, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tok FROM documents),
+         |t AS (SELECT doc_id, source, n_tok, doc_id % $mod * $mul % $mod AS u FROM tok WHERE n_tok > 0),
+         |bdg AS (SELECT min(tot) AS budget FROM (SELECT source, sum(n_tok) AS tot FROM t GROUP BY source)),
+         |c AS (SELECT t.*, sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum FROM t),
+         |s AS (SELECT c.*, CASE WHEN cum - n_tok < (SELECT budget FROM bdg) THEN 1 ELSE 0 END AS keep FROM c)
+         |SELECT source,
+         |CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |CAST(sum(keep) AS BIGINT) AS n_docs_sampled,
+         |CAST(sum(CASE WHEN keep = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS n_tok_sampled,
+         |md5(string_agg(CASE WHEN keep = 1 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id)) AS sample_md5
+         |FROM s GROUP BY source ORDER BY source""".stripMargin
+    },
     // the stream ledger must equal the BATCH derivation of its stages —
     // same funnel-head CTEs as p1, minus the near-dup/contam tail
     "p2_stream_funnel" ->

@@ -150,6 +150,90 @@ object PipelineOps {
     * — per-shard work is bounded by construction either way. */
   val OutShards = 8L
 
+  /** Range-bucket count for p8's distributed prefix sum. At 100 TB this
+    * scales with executor count (buckets ≈ a few × cores) — the point is
+    * only that per-(source, bucket) slices are small and numerous where
+    * per-source slices are huge and few. */
+  val MixBuckets = 64L
+
+  /** p8 mixture-sample: BALANCED-MIXTURE token-budget sampling — the
+    * source-reweighting read every training-data pipeline runs between
+    * curation and packing ("sample each source down to a common token
+    * budget", the uniform-mixture special case of the DoReMi /
+    * Pile-style domain-weight rebalance; weights would arrive as a
+    * config table, the mechanics are identical). The budget is the
+    * SMALLEST source's token total — every other source is sampled down
+    * to it, so the output mixture is uniform across sources by token
+    * count (± one boundary document per source, included by the prefix
+    * rule below).
+    *
+    * Selection must be deterministic and order-free, so the preference
+    * order is t14's multiplicative hash (u = (doc_id mod 2³¹) ·
+    * 2654435761 mod 2³¹ — pure integer arithmetic, replayed exactly by
+    * the oracle): a source keeps its docs in ascending-u order until
+    * the running token total crosses the budget (the crossing doc is
+    * kept — budgets are floors, not ceilings). Per source the gate
+    * emits the ledger (docs/tokens available, docs/tokens sampled) plus
+    * the md5 of the sampled doc_id list — the digest pins the exact
+    * document SET, not just its size.
+    *
+    * Scale shape — the reason this is not one window per source: a
+    * running total over (source ORDER BY u) is a prefix sum with
+    * source-count parallelism (a handful of huge partitions at 100 TB —
+    * the classic low-cardinality window skew). The standard fix is the
+    * TWO-LEVEL distributed prefix sum, exact and oracle-identical
+    * because the bucket key is a RANGE of u (bucket = ⌊u / 2²⁵⌋, [[MixBuckets]]
+    * buckets — monotone in u, so bucket order refines u order):
+    * per-(source, bucket) token totals cumsum across buckets (a
+    * sources × buckets table — tiny), each doc's prefix = its bucket's
+    * offset + the within-(source, bucket) running total, giving
+    * sources × [[MixBuckets]] way parallelism with no corpus-sized sort
+    * and no skewed window. The only corpus-sized exchange is the ONE
+    * hash partition on (source, bucket); the stats frame it moves is
+    * 4 narrow columns, never the text. */
+  def p8MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    val bucketWidth = TextOps.MixHashMod / MixBuckets
+    val stats = docs
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("u",
+        col("doc_id") % TextOps.MixHashMod * TextOps.MixHashMul % TextOps.MixHashMod)
+      .withColumn("bucket", floor(col("u") / bucketWidth).cast("long"))
+    // the budget: the smallest source's token total (sources-sized agg)
+    val budget = stats.groupBy("source").agg(sum("n_tok").as("tot"))
+      .agg(min("tot").as("budget"))
+    // level 1: per-(source, bucket) totals, offset = cumsum of PRIOR
+    // buckets within the source — a sources × MixBuckets frame, tiny
+    val wBuckets = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = stats.groupBy("source", "bucket")
+      .agg(sum("n_tok").as("btok"))
+      .withColumn("off", coalesce(sum("btok").over(wBuckets), lit(0L)))
+      .select("source", "bucket", "off")
+    // level 2: within-(source, bucket) running total in (u, doc_id)
+    // order — bucket ranges refine u order, so off + within ≡ the
+    // single-window prefix the oracle computes
+    val wWithin = Window.partitionBy("source", "bucket").orderBy("u", "doc_id")
+    val cum = stats.join(offsets, Seq("source", "bucket"))
+      .withColumn("cum", col("off") + sum("n_tok").over(wWithin))
+      .crossJoin(broadcast(budget))
+      .withColumn("keep", col("cum") - col("n_tok") < col("budget"))
+    cum.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tok"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_sampled"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("n_tok_sampled"),
+        array_sort(collect_list(when(col("keep"), struct(col("doc_id"))))).as("a"))
+      .withColumn("sample_md5",
+        md5(concat_ws(",", transform(col("a"), x => x.getField("doc_id").cast("string")))))
+      .select(col("source"), col("n_docs"), col("n_tok"),
+        col("n_docs_sampled"), col("n_tok_sampled"), col("sample_md5"))
+      .orderBy("source")
+  }
+
   /** p5 shuffle-shard: the TRAINING-ORDER export — p4 packs the kept
     * corpus in (source, doc_id) order, which is exactly the order a
     * trainer must NOT consume (consecutive docs correlate: same crawl,

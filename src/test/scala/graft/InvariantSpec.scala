@@ -820,6 +820,33 @@ class InvariantSpec extends AnyFunSuite {
       "no vector assigned past the gap — the sparse path went unexercised")
   }
 
+  test("p8 mixture sample: budget laws — floor crossed once, min source intact, mixture balanced") {
+    // the balanced-mixture contract, checked as laws on the gate's own
+    // ledger: (1) every source samples AT LEAST the budget (the
+    // crossing doc is kept — budgets are floors) and at most budget +
+    // one document's tokens; (2) the smallest source defines the budget
+    // and keeps everything; (3) sampling never invents documents
+    val rows = PipelineOps.p8MixtureSample(spark, sf).collect()
+    assert(rows.length > 1, "mixture sample needs multiple sources to balance")
+    val budget = rows.map(_.getLong(2)).min
+    val maxDocTok = Sources.table(spark, sf, "documents")
+      .select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .agg(max("n")).collect()(0).getLong(0)
+    rows.foreach { r =>
+      val (src, nDocs, nTok, nDocsS, nTokS) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nDocsS <= nDocs && nTokS <= nTok, s"$src sampled more than it has")
+      assert(nTokS >= math.min(budget, nTok), s"$src under-filled its budget: $nTokS < $budget")
+      assert(nTokS < budget + maxDocTok,
+        s"$src overshot by more than one document: $nTokS vs budget $budget")
+      if (nTok == budget)
+        assert(nDocsS == nDocs && nTokS == nTok, s"min source $src lost documents")
+    }
+    // the sample genuinely drops something somewhere (not a no-op)
+    assert(rows.exists(r => r.getLong(3) < r.getLong(1)),
+      "no source was down-sampled — the fixture makes this test vacuous")
+  }
+
   test("s22's recall cost is bounded: hier recall@3 within 0.1 of flat on the fixture") {
     // the hierarchical quantizer buys its 2√k assignment with a recall
     // trade (a vector near a group boundary can land in the wrong

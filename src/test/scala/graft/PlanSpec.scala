@@ -536,6 +536,23 @@ class PlanSpec extends AnyFunSuite {
       "p5 plan globally sorts the corpus by hash — assignment must be a narrow map")
   }
 
+  test("p8 mixture sample: two-level prefix sum — (source, bucket) exchange, no skewed per-source window") {
+    // the scale mechanism under the balanced-mixture sampler: the
+    // running token total must NOT be one window per source (a handful
+    // of huge partitions at 100 TB); the plan must carry the
+    // (source, bucket) hash exchange of the two-level prefix sum and
+    // never a corpus-wide range sort on the preference hash
+    val plan = finalPlan(graft.ops.PipelineOps.p8MixtureSample(spark, sf))
+    // the budget attach is the documented single-row broadcast pattern
+    // (one BroadcastNestedLoopJoin over ONE row — the s22 codebook
+    // convention), so only the all-pairs product is banned here
+    assert(!plan.contains("CartesianProduct"), "p8 plan contains CartesianProduct")
+    assert(plan.contains("hashpartitioning(source") && plan.contains("bucket"),
+      "p8 lost the (source, bucket) exchange — the prefix sum regressed to per-source windows")
+    assert(!plan.contains("rangepartitioning(u"),
+      "p8 plan globally range-sorts the corpus by the preference hash")
+  }
+
   test("AQE splits a skewed join partition at runtime (the second skew lever)") {
     // q35's salting is the PLANNED answer to skew; this locks the RUNTIME
     // one — on a hot key the engine's AQE config must actually rewrite
