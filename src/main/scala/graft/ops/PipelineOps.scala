@@ -194,22 +194,27 @@ object PipelineOps {
   def p8MixtureSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.table(spark, dir, "documents")
     val bucketWidth = TextOps.MixHashMod / MixBuckets
+    // the stats frame is the ONLY thing read more than once, so it is
+    // cached: 4 narrow columns (no text) — at 100 TB the corpus scan +
+    // tokenize runs ONCE and everything downstream reads tens of GB
     val stats = docs
       .select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
-      .withColumn("u",
-        col("doc_id") % TextOps.MixHashMod * TextOps.MixHashMul % TextOps.MixHashMod)
+      .withColumn("u", TextOps.mixHash(col("doc_id")))
       .withColumn("bucket", floor(col("u") / bucketWidth).cast("long"))
-    // the budget: the smallest source's token total (sources-sized agg)
-    val budget = stats.groupBy("source").agg(sum("n_tok").as("tot"))
+      .cache()
+    // level 1: per-(source, bucket) totals — a sources × MixBuckets
+    // frame, tiny; the budget (the smallest source's token total)
+    // derives from IT, not from another corpus scan
+    val bucketTotals = stats.groupBy("source", "bucket")
+      .agg(sum("n_tok").as("btok"))
+    val budget = bucketTotals.groupBy("source").agg(sum("btok").as("tot"))
       .agg(min("tot").as("budget"))
-    // level 1: per-(source, bucket) totals, offset = cumsum of PRIOR
-    // buckets within the source — a sources × MixBuckets frame, tiny
+    // offset = cumsum of PRIOR buckets within the source
     val wBuckets = Window.partitionBy("source").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = stats.groupBy("source", "bucket")
-      .agg(sum("n_tok").as("btok"))
+    val offsets = bucketTotals
       .withColumn("off", coalesce(sum("btok").over(wBuckets), lit(0L)))
       .select("source", "bucket", "off")
     // level 2: within-(source, bucket) running total in (u, doc_id)
@@ -269,8 +274,7 @@ object PipelineOps {
       .select(col("doc_id"), concat_ws(" ", col("ts")).as("s"),
         size(col("ts")).cast("long").as("n_tok"))
     kept.join(toks, Seq("doc_id"))
-      .withColumn("u",
-        col("doc_id") % TextOps.MixHashMod * TextOps.MixHashMul % TextOps.MixHashMod)
+      .withColumn("u", TextOps.mixHash(col("doc_id")))
       .withColumn("oshard", (col("u") % OutShards).cast("long"))
       .groupBy("oshard")
       .agg(

@@ -1351,11 +1351,19 @@ object SimilarityOps {
     * filter-by-id scan it never deep-copies the nested sub-codebooks
     * (measured: the filter form cost ~4× on the k ∝ corpus decade
     * entries, where G and the per-group payload are 10× the gate's). */
-  private def bestGroupIdx(groups: Column, v: Column, nrm: Column): Column = {
-    val scored = transform(groups, (grp, i) => struct(
+  /** Each group scored against (v, nrm) with its array position carried
+    * — the single source of the level-1 scoring expression, shared by
+    * the argmax fold and the multiprobe rank so a tie-break or perf fix
+    * can never land in one and miss the other (exactly the expression
+    * class where a one-sided edit cost 4× at scaled k). */
+  private def scoredGroupsWithIdx(groups: Column, v: Column, nrm: Column): Column =
+    transform(groups, (grp, i) => struct(
       (dot(v, grp.getField("cv")) / (nrm * grp.getField("cn"))).as("ccos"),
       grp.getField("c_id").as("c_id"),
       i.as("idx")))
+
+  private def bestGroupIdx(groups: Column, v: Column, nrm: Column): Column = {
+    val scored = scoredGroupsWithIdx(groups, v, nrm)
     aggregate(scored, element_at(scored, 1), (acc, c) =>
       when(c.getField("ccos") > acc.getField("ccos"), c).otherwise(acc))
       .getField("idx")
@@ -1396,11 +1404,7 @@ object SimilarityOps {
     // the rank sort — the same sparse-ids-without-a-scan rule as
     // [[bestGroupIdx]] (a retrained codebook may have retired whole
     // groups, so positions and ids need not agree)
-    val scored = transform(groups, (grp, i) => struct(
-      (dot(v, grp.getField("cv")) / (nrm * grp.getField("cn"))).as("ccos"),
-      grp.getField("c_id").as("c_id"),
-      i.as("idx")))
-    val ranked = array_sort(scored, (l, r) =>
+    val ranked = array_sort(scoredGroupsWithIdx(groups, v, nrm), (l, r) =>
       when(l.getField("ccos") > r.getField("ccos"), -1)
         .when(l.getField("ccos") < r.getField("ccos"), 1)
         .when(l.getField("c_id") < r.getField("c_id"), -1)
@@ -1513,10 +1517,8 @@ object SimilarityOps {
     * cells-sized; both assignment sweeps are narrow maps over the
     * kilobyte broadcast codebook at 2√k dots per vector where the flat
     * retrain pays k. */
-  def s26HierRetrain(spark: SparkSession, dir: String): DataFrame = {
-    val all = normed(spark, dir)
-    probeAssigned(hierAssignWithCodebook(all, s26RetrainedCodebook(all)))
-  }
+  def s26HierRetrain(spark: SparkSession, dir: String): DataFrame =
+    probeAssigned(s26Gen1Assigned(spark, dir))
 
   /** The gen-1 hier index store s26's deployment half writes: every
     * corpus vector with its gen-1 two-level cell assignment. */

@@ -436,6 +436,12 @@ object TextOps {
   val MixHashMod = 2147483648L
   val MixHashMul = 2654435761L
 
+  /** The mix hash as one shared expression — single-sourced so the
+    * gates that replay it (t14's sampling, p5's training-order shuffle,
+    * p8's budget sampling) and their SQL oracles can never drift: an
+    * edit here is an edit to every preference order at once. */
+  def mixHash(c: Column): Column = c % MixHashMod * MixHashMul % MixHashMod
+
   /** t14 mixture sampling: the data-mixing step of a training pipeline —
     * downsample each source so the blended corpus approaches target
     * mixture weights, keeping as much data as possible without
@@ -465,7 +471,7 @@ object TextOps {
       .select(col("source"), col("w"), col("n_docs"),
         least(lit(1.0), col("w") * col("c") / col("n_docs")).as("rate"))
     docs.join(rates.select("source", "rate"), "source")
-      .withColumn("u", col("doc_id") % MixHashMod * MixHashMul % MixHashMod)
+      .withColumn("u", mixHash(col("doc_id")))
       .withColumn("kept", col("u").cast("double") < col("rate") * MixHashMod)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

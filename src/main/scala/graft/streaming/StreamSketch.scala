@@ -336,11 +336,14 @@ object StreamSketch {
       splitKey: String, work: String, store: String, splitAt: Int)
       (body: (DataFrame, Long) => Unit)(midpoint: () => Unit): Int = {
     val dirs = Seq(s"$work/inA", s"$work/inB")
-    // resume idempotence (mirrors [[runWaveReplay]]'s guard): a re-run
-    // over an existing work dir — the crash-recovery shape — must not
-    // append the waves a second time (which would double every batch's
-    // rows); the checkpoints resume over the original files
-    if (dirs.forall(d => !new java.io.File(d).exists()))
+    // resume idempotence (mirrors [[runWaveReplay]]'s marker guard): a
+    // re-run trusts the DEALT marker written after the LAST wave, never
+    // the directories' existence — a deal that died between waves would
+    // otherwise resume over a silently incomplete wave set; a torn deal
+    // is cleared and re-dealt (no stream has run: the marker precedes
+    // the first checkpoint)
+    if (!dealComplete(work)) {
+      dirs.foreach(clearDir)
       (0 until SplitFiles).foreach { b =>
         val tgt = dirs(if (b < splitAt) 0 else 1)
         val prior = Option(new java.io.File(tgt).listFiles())
@@ -353,6 +356,8 @@ object StreamSketch {
             require(f.setLastModified(1000000000000L + b * 60000L),
               s"cannot set mtime on $f; file-replay order would be undefined"))
       }
+      markDealt(work)
+    }
     def phase(inDir: String, ckpt: String, offset: Long): Unit = {
       val session = spark.newSession()
       val q = session.readStream
@@ -399,13 +404,40 @@ object StreamSketch {
     Option(new java.io.File(store).listFiles())
       .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
 
+  /** The deal-completion marker both replay scaffolds trust: created
+    * AFTER the last wave's mtime is stamped, so its presence means the
+    * full wave set is on disk. One metadata create — the s17 commit-
+    * marker rule applied to the replay fixture. */
+  private def dealComplete(work: String): Boolean =
+    new java.io.File(work, "_dealt").exists()
+
+  private def markDealt(work: String): Unit = {
+    val f = new java.io.File(work, "_dealt")
+    require(f.createNewFile(), s"cannot create deal marker $f")
+  }
+
+  /** Clear a torn deal's debris (recursive delete; absent dir is fine). */
+  private def clearDir(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
   private[streaming] def runWaveReplay(spark: SparkSession, src: DataFrame, splitKey: String,
       work: String, store: String)(body: (DataFrame, Long) => Unit): Int = {
     val splitDir = s"$work/in"
     // resume idempotence: a re-run over an existing work dir (the
     // crash-recovery path — SinkSpec's restart shape) must not re-append
-    // the waves; the checkpoint resumes over the original files
-    if (!new java.io.File(splitDir).exists()) {
+    // the waves. What the re-run trusts is the DEALT marker, written
+    // after the LAST wave — not the directory's existence: a deal that
+    // died mid-wave leaves files but no marker, and resuming over it
+    // would silently replay an incomplete wave set, so a torn deal is
+    // cleared and re-dealt from scratch (safe — no stream has run yet:
+    // the marker precedes the first checkpoint).
+    if (!dealComplete(work)) {
+      clearDir(splitDir)
       var seen = Set.empty[String]
       (0 until SplitFiles).foreach { b =>
         src.filter(pmod(col(splitKey), lit(SplitFiles)) === b)
@@ -417,6 +449,7 @@ object StreamSketch {
             s"cannot set mtime on $f; file-replay order would be undefined"))
         seen ++= wave.map(_.getName)
       }
+      markDealt(work)
     }
     val session = spark.newSession()
     val q = session.readStream

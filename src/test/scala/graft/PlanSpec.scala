@@ -547,7 +547,11 @@ class PlanSpec extends AnyFunSuite {
     // (one BroadcastNestedLoopJoin over ONE row — the s22 codebook
     // convention), so only the all-pairs product is banned here
     assert(!plan.contains("CartesianProduct"), "p8 plan contains CartesianProduct")
-    assert(plan.contains("hashpartitioning(source") && plan.contains("bucket"),
+    // the combined key must appear in one exchange — `source` alone
+    // also appears in the final ledger aggregation's exchange, so the
+    // two-substring form would pass even after a regression to the
+    // per-source window
+    assert("hashpartitioning\\(source#\\d+, bucket#".r.findFirstIn(plan).nonEmpty,
       "p8 lost the (source, bucket) exchange — the prefix sum regressed to per-source windows")
     assert(!plan.contains("rangepartitioning(u"),
       "p8 plan globally range-sorts the corpus by the preference hash")
