@@ -161,9 +161,13 @@ object StreamAnnIngest {
     * Scale: per-batch cost is batch-size × 2√k dot products + one
     * append; the store layout, probe, and lifecycle verbs
     * (s12/s13/s14/s15/s16) are unchanged — the quantizer swap is
-    * invisible to everything downstream of the cell column (PROVEN,
-    * not prose, by s25: delete + compact run against this store and
-    * oracle-check over the hier survivor chain). */
+    * invisible to everything downstream of the cell column. PROVEN,
+    * not prose, verb by verb: delete + compact (s25, oracle-checked on
+    * the hier survivor chain), mixed-state partial compaction
+    * (StreamEquivSpec's s14 × s25 case), group-level multiprobe (s24),
+    * upsert (s27, oracle-checked on the updated-corpus hier chain),
+    * retrain (s26), and the stored-assignment bulk serve
+    * (StreamEquivSpec's s21 × s23 case). */
   private[graft] def s23WithBatchCount(spark: SparkSession, dir: String,
       orderExpr: org.apache.spark.sql.Column = col("vec_id")): (DataFrame, Int) = {
     val (store, _, nBatches) =
