@@ -200,7 +200,23 @@ object StreamAnnIngest {
 
   private def runHierIngestStream(spark: SparkSession, dir: String,
       k: Int, sub: Int,
-      orderExpr: org.apache.spark.sql.Column): (String, String, Int) = {
+      orderExpr: org.apache.spark.sql.Column): (String, String, Int) =
+    runHierIngestStreamWith(spark, dir, orderExpr,
+      (all, path) => {
+        val seeds = all.filter(col("vec_id") < k)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+        SimilarityOps.hierCentArr(seeds, sub).coalesce(1).write.parquet(path)
+      })
+
+  /** The hier ingest with the codebook ARTIFACT as a seam — the batches
+    * only ever read the written file, so ANY two-level codebook plugs
+    * in: the seed build (s23's default) or a RETRAINED generation
+    * (StreamEquivSpec's s23 × s26 case proves the full production cycle
+    * ingest → retrain → re-ingest by streaming over
+    * [[SimilarityOps.s26RetrainedCodebook]] and matching batch s26). */
+  private[graft] def runHierIngestStreamWith(spark: SparkSession, dir: String,
+      orderExpr: org.apache.spark.sql.Column,
+      writeCodebook: (DataFrame, String) => Unit): (String, String, Int) = {
     val work = Files.createTempDirectory("graft_hierannstream_").toString
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
@@ -209,9 +225,7 @@ object StreamAnnIngest {
       .write.parquet(splitDir)
     // the offline artifact: the TWO-LEVEL codebook, one nested row
     val cbPath = s"$work/codebook"
-    val seeds = all.filter(col("vec_id") < k)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    SimilarityOps.hierCentArr(seeds, sub).coalesce(1).write.parquet(cbPath)
+    writeCodebook(all, cbPath)
     val store = s"$work/index"
     val session = spark.newSession()
     val q = session.readStream

@@ -422,6 +422,29 @@ class StreamEquivSpec extends AnyFunSuite {
       "bulk serve over the stream-built hier store diverged from the batch twin")
   }
 
+  test("s23 × s26: the retrained codebook is a drop-in ingest artifact — stream under gen-1 ≡ batch retrain") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.ops.SimilarityOps
+    // the full production cycle: ingest (s23) → retrain (s26) →
+    // RE-INGEST under the gen-1 codebook. The ingest batches only read
+    // the written artifact file, so the retrained two-level codebook —
+    // sparse group ids and all — must plug in unchanged, and the
+    // store-served probe must equal batch s26's answer exactly
+    val expect = rows(ops.s26HierRetrain(spark, sf))
+    val (store, _, nBatches) =
+      graft.streaming.StreamAnnIngest.runHierIngestStreamWith(spark, sf,
+        col("vec_id"),
+        (all, path) =>
+          ops.s26RetrainedCodebook(all).coalesce(1).write.parquet(path))
+    assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val served = rows(ops.probeAssigned(
+      spark.read.parquet(store).drop("batch_id")))
+    assert(expect.nonEmpty)
+    assert(served == expect,
+      "stream ingest under the retrained codebook diverged from batch s26")
+  }
+
   test("s16 compaction after upserts: version-tombstones retire like delete-tombstones, one row per vec_id") {
     import org.apache.spark.sql.functions._
     val ops = graft.ops.SimilarityOps
