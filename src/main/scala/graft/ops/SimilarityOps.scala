@@ -1339,18 +1339,6 @@ object SimilarityOps {
                                      sub: Int): DataFrame =
     hierAssignWithCodebook(frame, hierCentArr(seeds, sub))
 
-  /** The winning group's ARRAY POSITION (0-based) under the level-1
-    * argmax: the same strict-improvement fold as [[bestCellStruct]]
-    * (ties to the lowest c_id — `groups` is c_id-sorted, so first-kept
-    * = lowest id), but carrying each element's index so the caller can
-    * `element_at` the winner in O(1). This is how sparse group ids stay
-    * CORRECT without paying for it: a RETRAINED codebook (s26) may
-    * have retired a whole group — every cell lost its members — so
-    * indexing by c_id would read the wrong group's subs; indexing by
-    * the winning element's own position cannot, and unlike a
-    * filter-by-id scan it never deep-copies the nested sub-codebooks
-    * (measured: the filter form cost ~4× on the k ∝ corpus decade
-    * entries, where G and the per-group payload are 10× the gate's). */
   /** Each group scored against (v, nrm) with its array position carried
     * — the single source of the level-1 scoring expression, shared by
     * the argmax fold and the multiprobe rank so a tie-break or perf fix
@@ -1362,9 +1350,31 @@ object SimilarityOps {
       grp.getField("c_id").as("c_id"),
       i.as("idx")))
 
+  /** The winning group's ARRAY POSITION (0-based) under the level-1
+    * argmax: the same strict-improvement fold as [[bestCellStruct]]
+    * (ties to the lowest c_id — `groups` is c_id-sorted, so first-kept
+    * = lowest id), but carrying each element's index so the caller can
+    * `element_at` the winner in O(1). This is how sparse group ids stay
+    * CORRECT without paying for it: a RETRAINED codebook (s26) may
+    * have retired a whole group — every cell lost its members — so
+    * indexing by c_id would read the wrong group's subs; indexing by
+    * the winning element's own position cannot, and unlike a
+    * filter-by-id scan it never deep-copies the nested sub-codebooks
+    * (measured: the filter form cost ~4× on the k ∝ corpus decade
+    * entries, where G and the per-group payload are 10× the gate's).
+    *
+    * The fold's init scores element 1 DIRECTLY rather than reading
+    * `element_at(scored, 1)`: HOFs get no codegen subexpression
+    * elimination, so a scored-array init would evaluate the whole
+    * G-element transform twice per row — the init here re-derives one
+    * dot product instead of G. */
   private def bestGroupIdx(groups: Column, v: Column, nrm: Column): Column = {
-    val scored = scoredGroupsWithIdx(groups, v, nrm)
-    aggregate(scored, element_at(scored, 1), (acc, c) =>
+    val g0 = element_at(groups, 1)
+    val init = struct(
+      (dot(v, g0.getField("cv")) / (nrm * g0.getField("cn"))).as("ccos"),
+      g0.getField("c_id").as("c_id"),
+      lit(0).as("idx"))
+    aggregate(scoredGroupsWithIdx(groups, v, nrm), init, (acc, c) =>
       when(c.getField("ccos") > acc.getField("ccos"), c).otherwise(acc))
       .getField("idx")
   }
@@ -1486,8 +1496,13 @@ object SimilarityOps {
     * whose every cell retired disappears from the codebook entirely,
     * and each group's super-centroid is recomputed as the mean of its
     * SURVIVING refined centroids. Retirement is exactly why
-    * [[hierAssignWithCodebook]] looks subs up by group ID, not array
-    * position — a retrained codebook has sparse ids by design. */
+    * [[hierAssignWithCodebook]] fetches the winning group's subs by the
+    * ARRAY POSITION carried through the scoring fold ([[bestGroupIdx]]),
+    * never by group ID: a retrained codebook has sparse ids by design,
+    * so id-as-index reads the wrong group, and the filter-by-id scan
+    * that would fix it deep-copies the nested sub-codebooks per row
+    * (measured ~4–7× at scaled k — the r13 regression). The fold
+    * position is sparse-id-correct AND O(1). */
   private[graft] def s26RetrainedCodebook(all: DataFrame): DataFrame =
     hierCentArr(
       cellMeans(hierAssignCells(all, ivfSeedCentroids(all), HierSub)),
