@@ -238,6 +238,14 @@ object IncrementalDedup {
   private[graft] def compactStore(spark: SparkSession, store: String,
                                   key: String): Unit = {
     val tmp = store + "_compacting"
+    // store-open seam of the swap's crash contract: a compaction retried
+    // after a crash between swapStore's renames must first restore the
+    // store from _retired (or this read throws on a missing path), and
+    // must clear the dead tmp from the crashed attempt (mode-default
+    // parquet write refuses an existing dir — the retry is idempotent
+    // because tmp is rebuilt from the healed store, never trusted)
+    StreamSketch.healRetiredStore(spark, store)
+    StreamSketch.clearPath(spark, tmp)
     spark.read.parquet(store).drop("batch_id")
       .repartition(col(key))
       .write.parquet(s"$tmp/batch_id=-1")

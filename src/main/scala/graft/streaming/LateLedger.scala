@@ -188,6 +188,11 @@ object LateLedger {
     * single writer, stream quiesced between triggers). */
   private[graft] def compactStats(spark: SparkSession, stats: String): Unit = {
     val tmp = stats + "_compacting"
+    // same store-open heal + dead-tmp clear as d19's compactStore: a
+    // retry after a mid-swap crash restores the stats from _retired and
+    // rebuilds tmp from the healed store
+    StreamSketch.healRetiredStore(spark, stats)
+    StreamSketch.clearPath(spark, tmp)
     spark.read.parquet(stats).drop("batch_id")
       .agg(max("max_tsu").as("max_tsu"))
       .coalesce(1).write.parquet(s"$tmp/batch_id=-1")

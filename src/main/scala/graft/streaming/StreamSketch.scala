@@ -386,16 +386,50 @@ object StreamSketch {
     * recoverable at `_retired` — unlike the delete-then-rename shape,
     * where a failed promote silently loses the store (a missing stats
     * store would read every later watermark as None and collapse n_late
-    * to 0 until the oracle caught it). */
-  private[streaming] def swapStore(spark: SparkSession, tmp: String,
+    * to 0 until the oracle caught it). The window is SELF-HEALING:
+    * [[healRetiredStore]] runs first, both here (a retried swap after
+    * the crash) and at the compaction verbs' store-open seams, so the
+    * crash state never needs a manual promotion — and `_retired` debris
+    * from a COMPLETED prior swap is only dropped after confirming the
+    * live store exists, so a heal-worthy copy can never be deleted. */
+  private[graft] def swapStore(spark: SparkSession, tmp: String,
                                    store: String): Unit = {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val retired = p(store + "_retired")
+    healRetiredStore(spark, store)
+    require(fs.exists(p(store)),
+      s"compact: $store missing and no _retired copy to recover — " +
+        "store was never written or was lost outside the swap protocol")
     fs.delete(retired, true)
     require(fs.rename(p(store), retired), s"compact: cannot retire $store")
     require(fs.rename(p(tmp), p(store)), s"compact: cannot promote $tmp")
     fs.delete(retired, true): Unit
+  }
+
+  /** Reader-side half of [[swapStore]]'s crash contract: a crash
+    * between the two renames leaves the live store ABSENT with the only
+    * copy at `_retired`, so any store open must first check for that
+    * state and heal it (one rename back — the promotion the crashed
+    * swap never reached is simply retried by the next compaction).
+    * A no-op in every other state: store present (normal, or a crash
+    * AFTER promote left stale `_retired` debris that the next swap
+    * clears) or neither path present (store never written). */
+  private[graft] def healRetiredStore(spark: SparkSession, store: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = p(store + "_retired")
+    if (!fs.exists(p(store)) && fs.exists(retired))
+      require(fs.rename(retired, p(store)),
+        s"recover: cannot restore $store from $retired")
+  }
+
+  /** Drop a path if present (recursive) — the compaction verbs clear a
+    * crashed attempt's dead `_compacting` tmp with this before
+    * rebuilding it from the healed store. */
+  private[streaming] def clearPath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
   }
 
   /** How many `batch_id=N` partitions a store currently holds — the

@@ -178,6 +178,63 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).filter(col("batch_id") === -1).count() == pre.size)
   }
 
+  test("a swap killed between its renames self-heals on the next compaction (crash window closed)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_swapcrash_").toString
+    val store = s"$work/bands"
+    (0 until 3).foreach { b =>
+      (0 until 20).map(i => (i.toLong + b, i % 4, s"v${i % 5}"))
+        .toDF("doc_id", "bi", "bv")
+        .write.parquet(s"$store/batch_id=$b")
+    }
+    def snapshot() = rows(spark.read.parquet(store).drop("batch_id")
+      .orderBy("doc_id", "bi", "bv"))
+    val pre = snapshot()
+    // simulate the EXACT state a crash between swapStore's two renames
+    // leaves: the live store retired aside (only copy at _retired), the
+    // promote never executed, and the crashed attempt's consolidated
+    // tmp dead on disk
+    spark.read.parquet(store).drop("batch_id")
+      .write.parquet(s"${store}_compacting/batch_id=-1")
+    val retired = new java.io.File(store + "_retired")
+    assert(new java.io.File(store).renameTo(retired),
+      "fixture: could not simulate the crash state")
+    // a bare read of the crash state heals it — the reader-side guard,
+    // independent of any compaction being retried
+    graft.streaming.StreamSketch.healRetiredStore(spark, store)
+    assert(snapshot() == pre, "healed store lost rows")
+    assert(!retired.exists, "heal left the store duplicated at _retired")
+    // heal is a no-op on a healthy store (idempotent — a second call
+    // must not touch anything)
+    graft.streaming.StreamSketch.healRetiredStore(spark, store)
+    assert(snapshot() == pre)
+    // re-crash, then prove the RETRIED COMPACTION heals end to end:
+    // restore from _retired, clear the dead tmp, rebuild, complete the
+    // swap — no manual promotion anywhere
+    assert(new java.io.File(store).renameTo(retired),
+      "fixture: could not re-simulate the crash state")
+    graft.streaming.IncrementalDedup.compactStore(spark, store, "bv")
+    assert(snapshot() == pre, "retried compaction changed the row multiset")
+    val dirs = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName)
+    assert(dirs.toSeq == Seq("batch_id=-1"), s"store dirs after healed swap: ${dirs.toSeq}")
+    assert(!retired.exists, "_retired debris survived the healed swap")
+    assert(!new java.io.File(store + "_compacting").exists,
+      "dead tmp survived the healed swap")
+    // the loud branch: with NEITHER the store nor a _retired copy, the
+    // swap refuses with the named instruction instead of silently
+    // swapping in a tmp over nothing
+    val ghost = s"$work/ghost"
+    Seq((1L, 1, "v1")).toDF("doc_id", "bi", "bv")
+      .write.parquet(s"${ghost}_compacting/batch_id=-1")
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.StreamSketch.swapStore(spark, s"${ghost}_compacting", ghost)
+    }
+    assert(err.getMessage.contains("no _retired copy to recover"),
+      s"swap on a missing store failed without the recovery instruction: ${err.getMessage}")
+  }
+
   test("s23 hier streaming ingest: stream-built two-level index serves batch s22's answer, order-free") {
     import org.apache.spark.sql.functions._
     val batch = rows(graft.ops.SimilarityOps.s22AnnHier(spark, sf))
