@@ -537,14 +537,33 @@ object StreamAnnIngest {
     * cell-bucketed layout — with per-batch assignment at 2√k dots. */
   private[graft] def s27WithInfo(spark: SparkSession, dir: String)
       : (DataFrame, Int, Long, Long, Long) = {
-    val (store, tombs, nBatches) = runUpsertStreamWith(spark, dir,
+    val (store, tombs, nBatches) = runHierUpsertStream(spark, dir)
+    upsertProbeInfo(spark, store, tombs, nBatches)
+  }
+
+  /** The hier upsert stream run shared by the s27 gate and the
+    * s27 × s26 composition seam. */
+  private def runHierUpsertStream(spark: SparkSession, dir: String)
+      : (String, String, Int) =
+    runUpsertStreamWith(spark, dir,
       (all, path) => SimilarityOps.hierCentArr(
         all.filter(col("vec_id") < SimilarityOps.IvfCells)
           .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")),
         SimilarityOps.HierSub).coalesce(1).write.parquet(path),
       (batch, path) =>
         SimilarityOps.hierAssignWithCodebook(batch, batch.sparkSession.read.parquet(path)))
-    upsertProbeInfo(spark, store, tombs, nBatches)
+
+  /** s27's upsert run with the MERGED store exposed — the s27 × s26
+    * composition seam: the live (latest-version) rows of the hier store
+    * after the update wave, plus the replayed batch count. This frame
+    * is the corpus a production retrain sees when it runs AFTER an
+    * upsert wave — the last unproven lifecycle sequence, pinned in
+    * StreamEquivSpec against the closed-form gen-1 oracle over the
+    * updated corpus. */
+  private[graft] def s27LiveRows(spark: SparkSession, dir: String)
+      : (DataFrame, Int) = {
+    val (store, tombs, nBatches) = runHierUpsertStream(spark, dir)
+    (s16LiveRows(spark, store, tombs).drop("batch_id"), nBatches)
   }
 
   /** s16's merge, keyed on the victim's full physical address

@@ -502,6 +502,63 @@ class StreamEquivSpec extends AnyFunSuite {
       "stream ingest under the retrained codebook diverged from batch s26")
   }
 
+  test("s27 × s26: gen-1 retrain AFTER the upsert wave — marker flip serves the updated-corpus oracle") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.ops.SimilarityOps
+    // the last unproven lifecycle sequence, in production order: upsert
+    // wave first, THEN the retrain runs over the MERGED (latest-version)
+    // store, the marker flips, and the serve must equal the closed-form
+    // gen-1 chain over the UPDATED corpus — no stream anywhere in the
+    // oracle side
+    val (live, nBatches) = graft.streaming.StreamAnnIngest.s27LiveRows(spark, sf)
+    assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles + 1,
+      s"replay ran $nBatches micro-batches — expected corpus batches + update wave")
+    val liveC = live.cache()
+    try {
+      // the retrain reads ONLY the store: M-step means of the live
+      // rows' cells, gen-1 codebook by hierCentArr's closed form, then
+      // an assignment sweep of the same live rows under gen-1
+      val gen1 = ops.hierAssignWithCodebook(
+        liveC.select("vec_id", "v", "nrm", "label"),
+        ops.hierCentArr(ops.cellMeans(liveC), ops.HierSub))
+      // marker-gated deployment: gen-0 = the upserted store as-is;
+      // gen-1 lands uncommitted (must not leak), then ONE marker create
+      // flips the serve
+      val gens = java.nio.file.Files
+        .createTempDirectory("graft_s27s26_").toString + "/gens"
+      ops.s17WriteGeneration(liveC, gens, 0)
+      val preFlip = rows(ops.s17ServeLatest(spark, gens))
+      assert(preFlip == rows(ops.probeAssigned(liveC)),
+        "gen-0 serve is not the upserted-store (s27) answer")
+      ops.s17WriteGenData(gen1, gens, 1)
+      assert(rows(ops.s17ServeLatest(spark, gens)) == preFlip,
+        "uncommitted gen-1 leaked into the serve")
+      ops.s17CommitGen(spark, gens, 1)
+      val served = rows(ops.s17ServeLatest(spark, gens))
+      // the closed-form oracle twin: the updated corpus under the
+      // ORIGINAL codebook (s27's proven store content), M-step means,
+      // gen-1 supers over survivors, re-assignment, probe — all batch
+      val all = ops.normed(spark, sf)
+      val updated = all.select("vec_id", "v", "nrm", "label")
+        .withColumn("v",
+          when(col("vec_id") % 20 === 3 && col("label") === 0,
+            transform(col("v"), x => x * lit(1.25)))
+            .when(col("vec_id") % 20 === 13 && col("label") === 0,
+              concat(slice(col("v"), 2, 63), slice(col("v"), 1, 1)))
+            .otherwise(col("v")))
+        .withColumn("nrm", sqrt(ops.dot(col("v"), col("v"))))
+      val gen0Assigned =
+        ops.hierAssignCells(updated, ops.ivfSeedCentroids(all), ops.HierSub)
+      val expect = rows(ops.probeAssigned(ops.hierAssignWithCodebook(
+        updated, ops.hierCentArr(ops.cellMeans(gen0Assigned), ops.HierSub))))
+      assert(expect.nonEmpty)
+      assert(served != preFlip,
+        "the retrain was a no-op on the fixture — the flip proved nothing")
+      assert(served == expect,
+        "post-flip serve diverged from the closed-form gen-1-over-updated-corpus answer")
+    } finally { liveC.unpersist(); () }
+  }
+
   test("s16 compaction after upserts: version-tombstones retire like delete-tombstones, one row per vec_id") {
     import org.apache.spark.sql.functions._
     val ops = graft.ops.SimilarityOps
