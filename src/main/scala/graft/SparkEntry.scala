@@ -1286,8 +1286,11 @@ object SparkEntry {
     // p5 replays the same funnel, then the training-order reshuffle:
     // t14's deterministic multiplicative hash orders and shards the kept
     // docs, and each output shard's packed stream is digested in hash
-    // order — the integer hash is closed-form, so the oracle re-derives
-    // the exact permutation
+    // order through the same u-range sub-buckets the engine folds —
+    // per-(oshard, sbucket) sub-md5s in (u, doc_id) order, then one md5
+    // over the bucket-ordered sub-digest list — the integer hash and
+    // the fold are both closed-form, so the oracle re-derives the exact
+    // permutation AND the exact two-level digest
     "p5_shuffle_shard" ->
       s"""WITH RECURSIVE $dupClusterCte,
          |$funnelHeadCtes,
@@ -1298,14 +1301,24 @@ object SparkEntry {
          |kt AS (SELECT kd.doc_id, kd.source,
          |  kd.doc_id % ${TextOps.MixHashMod} * ${TextOps.MixHashMul} % ${TextOps.MixHashMod} AS u,
          |  array_to_string(t.ts, ' ') AS s, len(t.ts) AS n_tok
-         |  FROM kd JOIN tok t ON t.doc_id = kd.doc_id WHERE len(t.ts) > 0)
-         |SELECT CAST(u % ${PipelineOps.OutShards} AS BIGINT) AS oshard,
-         |CAST(count(*) AS BIGINT) AS n_docs,
-         |CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-         |CAST(sum(n_tok) AS BIGINT) AS n_tok,
-         |CAST((sum(n_tok) + ${TextOps.SeqTokens - 1}) // ${TextOps.SeqTokens} AS BIGINT) AS n_seqs,
-         |md5(string_agg(s, ' ' ORDER BY u, doc_id)) AS pack_md5
-         |FROM kt GROUP BY 1 ORDER BY oshard""".stripMargin,
+         |  FROM kd JOIN tok t ON t.doc_id = kd.doc_id WHERE len(t.ts) > 0),
+         |sb AS (SELECT u % ${PipelineOps.OutShards} AS oshard,
+         |  u // ${TextOps.MixHashMod / PipelineOps.MixBuckets} AS sbucket,
+         |  count(*) AS b_docs, sum(n_tok) AS b_tok,
+         |  md5(string_agg(s, ' ' ORDER BY u, doc_id)) AS sub_md5
+         |  FROM kt GROUP BY 1, 2),
+         |shg AS (SELECT oshard, sum(b_docs) AS n_docs, sum(b_tok) AS n_tok,
+         |  md5(string_agg(sub_md5, ' ' ORDER BY sbucket)) AS pack_md5
+         |  FROM sb GROUP BY 1),
+         |src AS (SELECT u % ${PipelineOps.OutShards} AS oshard,
+         |  count(DISTINCT source) AS n_sources FROM kt GROUP BY 1)
+         |SELECT CAST(shg.oshard AS BIGINT) AS oshard,
+         |CAST(n_docs AS BIGINT) AS n_docs,
+         |CAST(n_sources AS BIGINT) AS n_sources,
+         |CAST(n_tok AS BIGINT) AS n_tok,
+         |CAST((n_tok + ${TextOps.SeqTokens - 1}) // ${TextOps.SeqTokens} AS BIGINT) AS n_seqs,
+         |pack_md5
+         |FROM shg JOIN src ON src.oshard = shg.oshard ORDER BY oshard""".stripMargin,
     // p6's incremental manifest from the membership rule's closed form:
     // first arrival = lexicographically smallest (batch, doc_id) per
     // digest among eligible docs (ORDER BY bid, doc_id — no packed-key
@@ -1324,21 +1337,32 @@ object SparkEntry {
     // multiplicative hash as the preference order, one cumsum window
     // per source (the oracle may pay the skewed window; the engine's
     // two-level prefix sum is exact-equivalent because bucket = a
-    // RANGE of u refines the u order), budget = min source token total
+    // RANGE of u refines the u order), budget = min source token total.
+    // The ledger digest folds through the same buckets the engine does:
+    // per-(source, bucket) kept-id sub-md5s in (u, doc_id) order, then
+    // one md5 over the bucket-ordered sub-digest list — the closed-form
+    // replay of the engine's bounded-buffer two-level digest
     "p8_mixture_sample" -> {
       val (mod, mul) = (TextOps.MixHashMod, TextOps.MixHashMul)
+      val width = TextOps.MixHashMod / PipelineOps.MixBuckets
       s"""WITH tok AS (SELECT doc_id, source, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tok FROM documents),
          |t AS (SELECT doc_id, source, n_tok, doc_id % $mod * $mul % $mod AS u FROM tok WHERE n_tok > 0),
+         |tb AS (SELECT t.*, u // $width AS bucket FROM t),
          |bdg AS (SELECT min(tot) AS budget FROM (SELECT source, sum(n_tok) AS tot FROM t GROUP BY source)),
-         |c AS (SELECT t.*, sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum FROM t),
-         |s AS (SELECT c.*, CASE WHEN cum - n_tok < (SELECT budget FROM bdg) THEN 1 ELSE 0 END AS keep FROM c)
+         |c AS (SELECT tb.*, sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum FROM tb),
+         |s AS (SELECT c.*, CASE WHEN cum - n_tok < (SELECT budget FROM bdg) THEN 1 ELSE 0 END AS keep FROM c),
+         |sb AS (SELECT source, bucket, count(*) AS b_docs, sum(n_tok) AS b_tok,
+         |  sum(keep) AS b_docs_sampled,
+         |  sum(CASE WHEN keep = 1 THEN n_tok ELSE 0 END) AS b_tok_sampled,
+         |  md5(string_agg(CASE WHEN keep = 1 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY u, doc_id)) AS sub_md5
+         |  FROM s GROUP BY source, bucket)
          |SELECT source,
-         |CAST(count(*) AS BIGINT) AS n_docs,
-         |CAST(sum(n_tok) AS BIGINT) AS n_tok,
-         |CAST(sum(keep) AS BIGINT) AS n_docs_sampled,
-         |CAST(sum(CASE WHEN keep = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS n_tok_sampled,
-         |md5(string_agg(CASE WHEN keep = 1 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id)) AS sample_md5
-         |FROM s GROUP BY source ORDER BY source""".stripMargin
+         |CAST(sum(b_docs) AS BIGINT) AS n_docs,
+         |CAST(sum(b_tok) AS BIGINT) AS n_tok,
+         |CAST(sum(b_docs_sampled) AS BIGINT) AS n_docs_sampled,
+         |CAST(sum(b_tok_sampled) AS BIGINT) AS n_tok_sampled,
+         |md5(string_agg(CASE WHEN b_docs_sampled > 0 THEN sub_md5 END, ',' ORDER BY bucket)) AS sample_md5
+         |FROM sb GROUP BY source ORDER BY source""".stripMargin
     },
     // the stream ledger must equal the BATCH derivation of its stages —
     // same funnel-head CTEs as p1, minus the near-dup/contam tail

@@ -174,8 +174,9 @@ object PipelineOps {
     * the running token total crosses the budget (the crossing doc is
     * kept — budgets are floors, not ceilings). Per source the gate
     * emits the ledger (docs/tokens available, docs/tokens sampled) plus
-    * the md5 of the sampled doc_id list — the digest pins the exact
-    * document SET, not just its size.
+    * a bucket-folded md5 over the sampled doc_id list — the digest pins
+    * the exact document SET, not just its size, without ever holding
+    * one source's kept ids in a single aggregation buffer.
     *
     * Scale shape — the reason this is not one window per source: a
     * running total over (source ORDER BY u) is a prefix sum with
@@ -225,15 +226,36 @@ object PipelineOps {
       .withColumn("cum", col("off") + sum("n_tok").over(wWithin))
       .crossJoin(broadcast(budget))
       .withColumn("keep", col("cum") - col("n_tok") < col("budget"))
-    cum.groupBy("source")
+    // the ledger digest folds through the SAME buckets as the prefix
+    // sum: per-(source, bucket) kept-id sub-digests first (each buffer
+    // ≈ kept/(sources·[[MixBuckets]]) ids, the 64-way-parallel bounded
+    // aggregation), then one md5 over the bucket-ordered sub-digest
+    // list per source (≤ [[MixBuckets]] fixed-width strings — the only
+    // per-source buffer). A single per-source collect_list of kept ids
+    // would be the one corpus-proportional aggregation buffer in the
+    // repo: billions of ids in one executor's state at 100 TB. Bucket
+    // ranges refine u order, so the two-level digest is as
+    // deterministic and oracle-replayable as the flat one — the oracle
+    // folds the identical shape in closed form.
+    val perBucket = cum.groupBy("source", "bucket")
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tok").as("n_tok"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_sampled"),
-        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("n_tok_sampled"),
-        array_sort(collect_list(when(col("keep"), struct(col("doc_id"))))).as("a"))
-      .withColumn("sample_md5",
-        md5(concat_ws(",", transform(col("a"), x => x.getField("doc_id").cast("string")))))
+        count(lit(1)).as("b_docs"),
+        sum("n_tok").as("b_tok"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("b_docs_sampled"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("b_tok_sampled"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(when(col("keep"), struct(col("u"), col("doc_id"))))),
+          x => x.getField("doc_id").cast("string")))).as("sub_md5"))
+    perBucket.groupBy("source")
+      .agg(
+        sum("b_docs").as("n_docs"),
+        sum("b_tok").as("n_tok"),
+        sum("b_docs_sampled").as("n_docs_sampled"),
+        sum("b_tok_sampled").as("n_tok_sampled"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(when(col("b_docs_sampled") > 0,
+            struct(col("bucket"), col("sub_md5"))))),
+          x => x.getField("sub_md5")))).as("sample_md5"))
       .select(col("source"), col("n_docs"), col("n_tok"),
         col("n_docs_sampled"), col("n_tok_sampled"), col("sample_md5"))
       .orderBy("source")
@@ -251,8 +273,9 @@ object PipelineOps {
     * shards order internally by (u, doc_id). Per output shard: doc
     * count, DISTINCT SOURCE count (the interleaving evidence — a shard
     * of one source means the shuffle failed its purpose), token count,
-    * sequence count in t13's geometry, and the md5 of the shard's packed
-    * token stream in hash order — the byte stream the trainer reads.
+    * sequence count in t13's geometry, and a sub-bucket-folded md5 of
+    * the shard's packed token stream in hash order — the byte stream
+    * the trainer reads, digested without a shard-sized buffer.
     *
     * Scale shape: no global sort and no global rank — shard assignment
     * is a narrow hash map (the 100 TB reason to hash-partition instead
@@ -273,19 +296,39 @@ object PipelineOps {
       .filter(size(col("ts")) > 0)
       .select(col("doc_id"), concat_ws(" ", col("ts")).as("s"),
         size(col("ts")).cast("long").as("n_tok"))
+    // pack_md5 folds through u-range sub-buckets exactly like p8's
+    // sample digest: per-(oshard, sbucket) the packed text digests in
+    // (u, doc_id) order (each buffer ≈ corpus/(OutShards·[[MixBuckets]])
+    // docs), then the shard digest is one md5 over the bucket-ordered
+    // sub-digest list (≤ [[MixBuckets]] fixed-width strings). A flat
+    // per-oshard collect_list of full text would hold corpus/OutShards
+    // DOCUMENTS in one aggregation buffer — with OutShards a handful,
+    // the worst corpus-proportional state in the repo. Sub-bucket
+    // ranges refine u order within the shard, so the fold preserves the
+    // training-order semantics and the oracle replays it closed-form.
+    val bucketWidth = TextOps.MixHashMod / MixBuckets
     kept.join(toks, Seq("doc_id"))
       .withColumn("u", TextOps.mixHash(col("doc_id")))
       .withColumn("oshard", (col("u") % OutShards).cast("long"))
+      .withColumn("sbucket", floor(col("u") / bucketWidth).cast("long"))
+      .groupBy("oshard", "sbucket")
+      .agg(
+        count(lit(1)).as("b_docs"),
+        collect_set(col("source")).as("b_sources"),
+        sum("n_tok").as("b_tok"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("u"), col("doc_id"), col("s")))),
+          x => x.getField("s")))).as("sub_md5"))
       .groupBy("oshard")
       .agg(
-        count(lit(1)).as("n_docs"),
-        size(collect_set(col("source"))).cast("long").as("n_sources"),
-        sum("n_tok").as("n_tok"),
-        array_sort(collect_list(struct(col("u"), col("doc_id"), col("s")))).as("a"))
+        sum("b_docs").as("n_docs"),
+        size(array_distinct(flatten(collect_list(col("b_sources"))))).cast("long").as("n_sources"),
+        sum("b_tok").as("n_tok"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("sbucket"), col("sub_md5")))),
+          x => x.getField("sub_md5")))).as("pack_md5"))
       .withColumn("n_seqs",
         floor((col("n_tok") + lit(TextOps.SeqTokens - 1)) / lit(TextOps.SeqTokens)).cast("long"))
-      .withColumn("pack_md5",
-        md5(concat_ws(" ", transform(col("a"), x => x.getField("s")))))
       .select(col("oshard"), col("n_docs"), col("n_sources"), col("n_tok"),
         col("n_seqs"), col("pack_md5"))
       .orderBy("oshard")

@@ -630,10 +630,14 @@ class InvariantSpec extends AnyFunSuite {
   }
 
   test("p5 hash order is a nontrivial permutation of corpus order") {
-    // rebuild p5 with the hash-order sort key replaced by corpus order:
-    // if every shard's digest still matched, the 'shuffle' would be the
-    // identity and the training-order claim vacuous
+    // rebuild p5 with the WITHIN-BUCKET sort key replaced by corpus
+    // order (doc_id) — construction otherwise identical, including the
+    // two-level sub-digest fold, so the digests can only differ if the
+    // hash genuinely reorders docs inside at least one sub-bucket. If
+    // every shard's digest still matched, the 'shuffle' would be the
+    // identity and the training-order claim vacuous.
     val docs = Sources.table(spark, sf, "documents")
+    val bucketWidth = TextOps.MixHashMod / PipelineOps.MixBuckets
     val hashOrdered = PipelineOps.p5ShuffleShard(spark, sf)
       .select("oshard", "pack_md5").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val corpusOrdered = docs
@@ -643,10 +647,15 @@ class InvariantSpec extends AnyFunSuite {
       .withColumn("u",
         col("doc_id") % TextOps.MixHashMod * TextOps.MixHashMul % TextOps.MixHashMod)
       .withColumn("oshard", (col("u") % PipelineOps.OutShards).cast("long"))
-      .groupBy("oshard")
+      .withColumn("sbucket", floor(col("u") / bucketWidth).cast("long"))
+      .groupBy("oshard", "sbucket")
       .agg(md5(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("doc_id"), col("s")))),
-        x => x.getField("s")))).as("corpus_md5"))
+        x => x.getField("s")))).as("sub_md5"))
+      .groupBy("oshard")
+      .agg(md5(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("sbucket"), col("sub_md5")))),
+        x => x.getField("sub_md5")))).as("corpus_md5"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val differing = hashOrdered.keySet.count(k =>
       corpusOrdered.get(k).exists(_ != hashOrdered(k)))

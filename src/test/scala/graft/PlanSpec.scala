@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -31,6 +31,15 @@ class PlanSpec extends AnyFunSuite {
   /** Pre-execution plan render, for shapes too expensive to run. */
   private def staticPlan(df: DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
+
+  /** The same final plan in SIMPLE mode — one line per operator with
+    * grouping keys and aggregate functions TOGETHER, so a line-grain
+    * assertion can tie an aggregate buffer to the keys it runs under
+    * (FormattedMode splits Keys/Functions across detail lines). Call
+    * only after [[finalPlan]] on the same frame: the query is already
+    * executed, this just re-renders the adaptive plan. */
+  private def finalPlanLines(df: DataFrame): Array[String] =
+    df.queryExecution.explainString(SimpleMode).linesIterator.toArray
 
   private def assertNoBlowupJoin(plan: String, name: String): Unit = {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
@@ -522,7 +531,8 @@ class PlanSpec extends AnyFunSuite {
     // OutShards), never rank round-robin: a global rank would need a
     // total order over the corpus (one all-data sort + a single-partition
     // window). The only wide exchange is the oshard hash partition.
-    val plan = finalPlan(graft.ops.PipelineOps.p5ShuffleShard(spark, sf))
+    val df = graft.ops.PipelineOps.p5ShuffleShard(spark, sf)
+    val plan = finalPlan(df)
     assertNoBlowupJoin(plan, "p5")
     assert(plan.contains("hashpartitioning(oshard"),
       "reshuffle lost its oshard hash exchange — per-shard packing would be global")
@@ -534,6 +544,16 @@ class PlanSpec extends AnyFunSuite {
       "p5 plan ranks rows — shard assignment degraded to a global rank")
     assert(!plan.contains("rangepartitioning(u"),
       "p5 plan globally sorts the corpus by hash — assignment must be a narrow map")
+    // the pack digest's buffer pin: every collect_list that gathers the
+    // packed TEXT (the struct carrying doc_id) must be keyed by the
+    // u-range sub-bucket too — a flat per-oshard collect would hold
+    // corpus/OutShards full documents in one aggregation buffer
+    val textCollects = finalPlanLines(df)
+      .filter(l => l.contains("collect_list") && l.contains("doc_id#"))
+    assert(textCollects.nonEmpty, "p5 plan lost the packed-text sub-digest collect entirely")
+    textCollects.foreach(l =>
+      assert("keys=\\[oshard#\\d+L?, sbucket#".r.findFirstIn(l).nonEmpty,
+        s"p5 collects packed text at a non-bucket grain — shard-sized buffer is back: $l"))
   }
 
   test("p8 mixture sample: two-level prefix sum — (source, bucket) exchange, no skewed per-source window") {
@@ -542,7 +562,8 @@ class PlanSpec extends AnyFunSuite {
     // of huge partitions at 100 TB); the plan must carry the
     // (source, bucket) hash exchange of the two-level prefix sum and
     // never a corpus-wide range sort on the preference hash
-    val plan = finalPlan(graft.ops.PipelineOps.p8MixtureSample(spark, sf))
+    val df = graft.ops.PipelineOps.p8MixtureSample(spark, sf)
+    val plan = finalPlan(df)
     // the budget attach is the documented single-row broadcast pattern
     // (one BroadcastNestedLoopJoin over ONE row — the s22 codebook
     // convention), so only the all-pairs product is banned here
@@ -555,6 +576,18 @@ class PlanSpec extends AnyFunSuite {
       "p8 lost the (source, bucket) exchange — the prefix sum regressed to per-source windows")
     assert(!plan.contains("rangepartitioning(u"),
       "p8 plan globally range-sorts the corpus by the preference hash")
+    // the digest-buffer pin: every collect_list that gathers kept
+    // doc_ids must be keyed by the u-range bucket too — a per-source
+    // collect of kept ids is the corpus-proportional aggregation buffer
+    // (billions of ids in one executor's state at 100 TB); the only
+    // per-source collect allowed is the bounded sub-digest fold, which
+    // never touches doc_id
+    val idCollects = finalPlanLines(df)
+      .filter(l => l.contains("collect_list") && l.contains("doc_id#"))
+    assert(idCollects.nonEmpty, "p8 plan lost the kept-id sub-digest collect entirely")
+    idCollects.foreach(l =>
+      assert("keys=\\[source#\\d+, bucket#".r.findFirstIn(l).nonEmpty,
+        s"p8 collects kept doc_ids at a non-bucket grain — corpus-proportional buffer is back: $l"))
   }
 
   test("AQE splits a skewed join partition at runtime (the second skew lever)") {
