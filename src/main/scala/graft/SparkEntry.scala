@@ -150,6 +150,7 @@ object SparkEntry {
     "p6_incremental_export" ->
       (graft.streaming.IncrementalExport.p6IncrementalExport _),
     "p8_mixture_sample" -> (graft.ops.PipelineOps.p8MixtureSample _),
+    "p9_weighted_mixture" -> (graft.ops.PipelineOps.p9WeightedMixture _),
     "p7_export_compact" ->
       (graft.streaming.IncrementalExport.p7ExportCompact _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
@@ -1357,6 +1358,37 @@ object SparkEntry {
          |  md5(string_agg(CASE WHEN keep = 1 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY u, doc_id)) AS sub_md5
          |  FROM s GROUP BY source, bucket)
          |SELECT source,
+         |CAST(sum(b_docs) AS BIGINT) AS n_docs,
+         |CAST(sum(b_tok) AS BIGINT) AS n_tok,
+         |CAST(sum(b_docs_sampled) AS BIGINT) AS n_docs_sampled,
+         |CAST(sum(b_tok_sampled) AS BIGINT) AS n_tok_sampled,
+         |md5(string_agg(CASE WHEN b_docs_sampled > 0 THEN sub_md5 END, ',' ORDER BY bucket)) AS sample_md5
+         |FROM sb GROUP BY source ORDER BY source""".stripMargin
+    },
+    // p9 is p8's closed-form replay with t14's weight table attached:
+    // the binding source minimizes tot/w (ties to the smallest source
+    // name), budget_s = ⌊w_s · tot_m / w_m⌋ in integer arithmetic, the
+    // same prefix keep rule and the same bucket-folded digest
+    "p9_weighted_mixture" -> {
+      val (mod, mul) = (TextOps.MixHashMod, TextOps.MixHashMul)
+      val width = TextOps.MixHashMod / PipelineOps.MixBuckets
+      s"""WITH tok AS (SELECT doc_id, source, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tok FROM documents),
+         |t AS (SELECT doc_id, source, n_tok, doc_id % $mod * $mul % $mod AS u FROM tok WHERE n_tok > 0),
+         |tb AS (SELECT t.*, u // $width AS bucket FROM t),
+         |wt AS (SELECT source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w, sum(n_tok) AS tot FROM t GROUP BY source),
+         |mrow AS (SELECT tot AS tot_m, w AS w_m FROM wt ORDER BY tot * 1.0 / w, source LIMIT 1),
+         |bdg AS (SELECT source, w, (w * tot_m) // w_m AS budget FROM wt, mrow),
+         |c AS (SELECT tb.*, sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum FROM tb),
+         |s AS (SELECT c.*, b.w, b.budget, CASE WHEN cum - n_tok < b.budget THEN 1 ELSE 0 END AS keep FROM c JOIN bdg b ON b.source = c.source),
+         |sb AS (SELECT source, bucket, min(w) AS w, min(budget) AS budget,
+         |  count(*) AS b_docs, sum(n_tok) AS b_tok,
+         |  sum(keep) AS b_docs_sampled,
+         |  sum(CASE WHEN keep = 1 THEN n_tok ELSE 0 END) AS b_tok_sampled,
+         |  md5(string_agg(CASE WHEN keep = 1 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY u, doc_id)) AS sub_md5
+         |  FROM s GROUP BY source, bucket)
+         |SELECT source,
+         |CAST(min(w) AS BIGINT) AS w,
+         |CAST(min(budget) AS BIGINT) AS budget,
          |CAST(sum(b_docs) AS BIGINT) AS n_docs,
          |CAST(sum(b_tok) AS BIGINT) AS n_tok,
          |CAST(sum(b_docs_sampled) AS BIGINT) AS n_docs_sampled,

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.io.Sources
 
@@ -160,8 +160,8 @@ object PipelineOps {
     * source-reweighting read every training-data pipeline runs between
     * curation and packing ("sample each source down to a common token
     * budget", the uniform-mixture special case of the DoReMi /
-    * Pile-style domain-weight rebalance; weights would arrive as a
-    * config table, the mechanics are identical). The budget is the
+    * Pile-style domain-weight rebalance; [[p9WeightedMixture]] is the
+    * general weighted form over the same machinery). The budget is the
     * SMALLEST source's token total — every other source is sampled down
     * to it, so the output mixture is uniform across sources by token
     * count (± one boundary document per source, included by the prefix
@@ -192,7 +192,45 @@ object PipelineOps {
     * and no skewed window. The only corpus-sized exchange is the ONE
     * hash partition on (source, bucket); the stats frame it moves is
     * 4 narrow columns, never the text. */
-  def p8MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+  def p8MixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSample(spark, dir, lit(1L))
+      .select(col("source"), col("n_docs"), col("n_tok"),
+        col("n_docs_sampled"), col("n_tok_sampled"), col("sample_md5"))
+      .orderBy("source")
+
+  /** p9 weighted-mixture: p8 with a DECLARED per-source weight table —
+    * the full DoReMi / Pile-style domain-weight rebalance p8's scaladoc
+    * promised was "mechanics identical". Weights are t14's rule
+    * verbatim (w = (srcN mod 4) + 1 — the one weight table the repo
+    * declares, so the doc-count blend t14 reports and the token-budget
+    * blend p9 enforces are the SAME mixture read at two granularities;
+    * production would load the table from config, and the join seam is
+    * the same either way). The largest-feasible-blend rule, reconciled
+    * with t14's: the BINDING source m minimizes tot/w (t14's
+    * C = min(n_s/w_s) in token space), every source's budget is
+    * ⌊w_s · tot_m / w_m⌋ — integer arithmetic, so the oracle replays it
+    * exactly — and the binding source is kept WHOLE (budget_m = tot_m),
+    * t14's "keeps the binding source whole" law. Budgets are floors:
+    * the crossing doc is kept, exactly p8's prefix rule. The ledger
+    * adds (w, budget) so the blend is auditable per source.
+    *
+    * Scale shape: identical to p8 — the weight/budget attach is a
+    * broadcast equi-join of a sources-sized frame, everything else is
+    * the same two-level prefix sum and bucket-folded digest. */
+  def p9WeightedMixture(spark: SparkSession, dir: String): DataFrame =
+    mixtureSample(spark, dir,
+      substring(col("source"), 4, 10).cast("long") % 4 + 1)
+      .select(col("source"), col("w"), col("budget"),
+        col("n_docs"), col("n_tok"),
+        col("n_docs_sampled"), col("n_tok_sampled"), col("sample_md5"))
+      .orderBy("source")
+
+  /** The shared mixture-sample machinery (p8 = uniform `weightOf` 1,
+    * p9 = t14's weight table): two-level prefix sum, largest-feasible
+    * budgets, prefix keep rule, bucket-folded ledger digest. Returns
+    * the full ledger including (w, budget); callers project. */
+  private def mixtureSample(spark: SparkSession, dir: String,
+                            weightOf: Column): DataFrame = {
     val docs = Sources.table(spark, dir, "documents")
     val bucketWidth = TextOps.MixHashMod / MixBuckets
     // the stats frame is the ONLY thing read more than once, so it is
@@ -206,12 +244,25 @@ object PipelineOps {
       .withColumn("bucket", floor(col("u") / bucketWidth).cast("long"))
       .cache()
     // level 1: per-(source, bucket) totals — a sources × MixBuckets
-    // frame, tiny; the budget (the smallest source's token total)
-    // derives from IT, not from another corpus scan
+    // frame, tiny; weights, the binding source, and every budget derive
+    // from IT, not from another corpus scan
     val bucketTotals = stats.groupBy("source", "bucket")
       .agg(sum("n_tok").as("btok"))
-    val budget = bucketTotals.groupBy("source").agg(sum("btok").as("tot"))
-      .agg(min("tot").as("budget"))
+    val totals = bucketTotals.groupBy("source").agg(sum("btok").as("tot"))
+      .withColumn("w", weightOf)
+    // largest feasible blend: the BINDING source m minimizes tot/w
+    // (ties to the smallest source name — both engines sort the same
+    // way); budget_s = ⌊w_s · tot_m / w_m⌋ in INTEGER arithmetic, so
+    // budget_m = tot_m exactly (binding source kept whole) and
+    // budget_s ≤ tot_s for every s (feasibility). The m-row attach is
+    // the sanctioned single-row broadcast over the sources-sized
+    // totals frame, never the corpus.
+    val m = totals
+      .orderBy((col("tot").cast("double") / col("w")).asc, col("source").asc)
+      .limit(1).select(col("tot").as("tot_m"), col("w").as("w_m"))
+    val budgets = totals.crossJoin(broadcast(m))
+      .withColumn("budget", expr("(w * tot_m) div w_m"))
+      .select("source", "w", "budget")
     // offset = cumsum of PRIOR buckets within the source
     val wBuckets = Window.partitionBy("source").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -220,11 +271,12 @@ object PipelineOps {
       .select("source", "bucket", "off")
     // level 2: within-(source, bucket) running total in (u, doc_id)
     // order — bucket ranges refine u order, so off + within ≡ the
-    // single-window prefix the oracle computes
+    // single-window prefix the oracle computes; the per-source budget
+    // rides in on a broadcast equi-join of the sources-sized frame
     val wWithin = Window.partitionBy("source", "bucket").orderBy("u", "doc_id")
     val cum = stats.join(offsets, Seq("source", "bucket"))
       .withColumn("cum", col("off") + sum("n_tok").over(wWithin))
-      .crossJoin(broadcast(budget))
+      .join(broadcast(budgets), Seq("source"))
       .withColumn("keep", col("cum") - col("n_tok") < col("budget"))
     // the ledger digest folds through the SAME buckets as the prefix
     // sum: per-(source, bucket) kept-id sub-digests first (each buffer
@@ -239,6 +291,8 @@ object PipelineOps {
     // folds the identical shape in closed form.
     val perBucket = cum.groupBy("source", "bucket")
       .agg(
+        first(col("w")).as("w"),
+        first(col("budget")).as("budget"),
         count(lit(1)).as("b_docs"),
         sum("n_tok").as("b_tok"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("b_docs_sampled"),
@@ -248,6 +302,8 @@ object PipelineOps {
           x => x.getField("doc_id").cast("string")))).as("sub_md5"))
     perBucket.groupBy("source")
       .agg(
+        first(col("w")).as("w"),
+        first(col("budget")).as("budget"),
         sum("b_docs").as("n_docs"),
         sum("b_tok").as("n_tok"),
         sum("b_docs_sampled").as("n_docs_sampled"),
@@ -256,9 +312,6 @@ object PipelineOps {
           array_sort(collect_list(when(col("b_docs_sampled") > 0,
             struct(col("bucket"), col("sub_md5"))))),
           x => x.getField("sub_md5")))).as("sample_md5"))
-      .select(col("source"), col("n_docs"), col("n_tok"),
-        col("n_docs_sampled"), col("n_tok_sampled"), col("sample_md5"))
-      .orderBy("source")
   }
 
   /** p5 shuffle-shard: the TRAINING-ORDER export — p4 packs the kept

@@ -856,6 +856,62 @@ class InvariantSpec extends AnyFunSuite {
       "no source was down-sampled — the fixture makes this test vacuous")
   }
 
+  test("p9 weighted mixture: declared weight table, largest feasible blend, binding source whole") {
+    // p9 ledger: (source, w, budget, n_docs, n_tok, n_docs_sampled,
+    // n_tok_sampled, sample_md5) — the laws are p8's, generalized to
+    // per-source budgets from t14's weight table
+    val rows = PipelineOps.p9WeightedMixture(spark, sf).collect()
+    assert(rows.length > 1, "weighted mixture needs multiple sources to blend")
+    // the weight table is t14's declared rule, w = (srcN mod 4) + 1 —
+    // the doc-count blend t14 reports and the token blend p9 enforces
+    // must read the SAME config
+    rows.foreach { r =>
+      val expW = r.getString(0).drop(3).toLong % 4 + 1
+      assert(r.getLong(1) == expW,
+        s"${r.getString(0)} carries weight ${r.getLong(1)}, declared table says $expW")
+    }
+    assert(rows.map(_.getLong(1)).distinct.length > 1,
+      "all weights equal on the fixture — p9 degenerates to p8 and proves nothing")
+    // the binding source minimizes tot/w (ties by name): its budget is
+    // its FULL token total and it is kept whole — t14's "keeps the
+    // binding source whole" law in token space
+    val m = rows.minBy(r => (r.getLong(4).toDouble / r.getLong(1), r.getString(0)))
+    val (totM, wM) = (m.getLong(4), m.getLong(1))
+    assert(m.getLong(2) == totM,
+      s"binding source ${m.getString(0)} budget ${m.getLong(2)} != its total $totM")
+    assert(m.getLong(5) == m.getLong(3) && m.getLong(6) == m.getLong(4),
+      s"binding source ${m.getString(0)} lost documents")
+    // largest feasible blend: budget_s = ⌊w_s · tot_m / w_m⌋, and every
+    // budget fits inside its source's availability
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * totM / wM,
+        s"${r.getString(0)} budget ${r.getLong(2)} breaks the blend rule " +
+          s"(w=${r.getLong(1)}, tot_m=$totM, w_m=$wM)")
+      assert(r.getLong(2) <= r.getLong(4),
+        s"${r.getString(0)} budget exceeds availability — the blend is infeasible")
+    }
+    // budgets are floors: every source fills its budget, overshooting by
+    // less than one document (the kept crossing doc)
+    val maxDocTok = Sources.table(spark, sf, "documents")
+      .select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .agg(max("n")).collect()(0).getLong(0)
+    rows.foreach { r =>
+      assert(r.getLong(6) >= math.min(r.getLong(2), r.getLong(4)),
+        s"${r.getString(0)} under-filled its budget")
+      assert(r.getLong(6) < r.getLong(2) + maxDocTok,
+        s"${r.getString(0)} overshot its budget by more than one document")
+    }
+    // the weighted blend genuinely differs from the uniform one — the
+    // weight table is load-bearing, not decorative
+    val uniform = PipelineOps.p8MixtureSample(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rows.exists(r => uniform(r.getString(0)) != r.getLong(6)),
+      "weighted ledger identical to uniform — weights changed nothing")
+    // and something genuinely drops (not a no-op blend)
+    assert(rows.exists(r => r.getLong(5) < r.getLong(3)),
+      "no source was down-sampled — the fixture makes this test vacuous")
+  }
+
   test("s22's recall cost is bounded: hier recall@3 within 0.1 of flat on the fixture") {
     // the hierarchical quantizer buys its 2√k assignment with a recall
     // trade (a vector near a group boundary can land in the wrong

@@ -590,6 +590,28 @@ class PlanSpec extends AnyFunSuite {
         s"p8 collects kept doc_ids at a non-bucket grain — corpus-proportional buffer is back: $l"))
   }
 
+  test("p9 weighted mixture keeps p8's scale shape: budget attach is a broadcast equi-join") {
+    // p9 shares p8's machinery; what the weight table must NOT add is a
+    // new corpus-keyed exchange — budgets ride in on a broadcast
+    // equi-join of the sources-sized frame, and the digest stays at
+    // (source, bucket) grain
+    val df = graft.ops.PipelineOps.p9WeightedMixture(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"), "p9 plan contains CartesianProduct")
+    assert("hashpartitioning\\(source#\\d+, bucket#".r.findFirstIn(plan).nonEmpty,
+      "p9 lost the (source, bucket) exchange — the prefix sum regressed to per-source windows")
+    assert(!plan.contains("rangepartitioning(u"),
+      "p9 plan globally range-sorts the corpus by the preference hash")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "p9 budget attach is not a broadcast — the sources-sized frame got shuffled wide")
+    val idCollects = finalPlanLines(df)
+      .filter(l => l.contains("collect_list") && l.contains("doc_id#"))
+    assert(idCollects.nonEmpty, "p9 plan lost the kept-id sub-digest collect entirely")
+    idCollects.foreach(l =>
+      assert("keys=\\[source#\\d+, bucket#".r.findFirstIn(l).nonEmpty,
+        s"p9 collects kept doc_ids at a non-bucket grain — corpus-proportional buffer is back: $l"))
+  }
+
   test("AQE splits a skewed join partition at runtime (the second skew lever)") {
     // q35's salting is the PLANNED answer to skew; this locks the RUNTIME
     // one — on a hot key the engine's AQE config must actually rewrite
