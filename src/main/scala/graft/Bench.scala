@@ -104,7 +104,26 @@ object Bench {
       val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
         .getOrElse(if (seen.isEmpty) 1 else seen.max + 1)
       val minPath = new java.io.File(cwd, f"BENCH_r$round%02d.min.json").getPath
-      val minJson = s"""{"metric":"per_query_min","round":$round,"total_min":$totalMin,"passes":$Passes,"sf":"$sfDir","min":$mins}"""
+      // merge with a SAME-ROUND min file if one exists: the committed
+      // artifact is per-query min ACROSS sittings (the r10/r14
+      // precedent — two+ sittings per round), so a later sitting must
+      // fold in, never clobber, an earlier sitting's better minima
+      val prior: Map[String, Double] =
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(minPath)), java.nio.charset.StandardCharsets.UTF_8)
+          "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(
+            txt.substring(txt.indexOf("\"min\":")))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } catch { case _: Exception => Map.empty }
+      val merged = ok.map { q =>
+        val mine = samples(q).min
+        q -> prior.get(q).map(math.min(_, mine)).getOrElse(mine)
+      }.toMap ++ (prior -- ok)
+      val mergedTotal = merged.values.sum
+      val mergedJson = merged.toSeq.sortBy(_._1)
+        .map { case (q, v) => f""""$q":$v%.3f""" }.mkString("{", ",", "}")
+      val minJson = s"""{"metric":"per_query_min","round":$round,"total_min":$mergedTotal,"passes":$Passes,"sf":"$sfDir","min":$mergedJson}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(minPath),
         (minJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
       catch { case e: Exception =>

@@ -149,7 +149,11 @@ object ScaleCheck {
     "s27_hier_upsert",
     // the mixture sampler: one narrow tokenize + the two-level prefix
     // sum over a 4-column stats frame — expected linear in the scan
-    "p8_mixture_sample")
+    "p8_mixture_sample",
+    // r14: the weighted mixture — p8's machinery plus sources-sized
+    // broadcast attaches (weight table + per-source budgets); expected
+    // p8's band exactly
+    "p9_weighted_mixture")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
