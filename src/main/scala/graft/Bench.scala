@@ -107,19 +107,25 @@ object Bench {
       // merge with a SAME-ROUND min file if one exists: the committed
       // artifact is per-query min ACROSS sittings (the r10/r14
       // precedent — two+ sittings per round), so a later sitting must
-      // fold in, never clobber, an earlier sitting's better minima
+      // fold in, never clobber, an earlier sitting's better minima.
+      // Guards: a prior file measured at a DIFFERENT scale factor is
+      // ignored wholesale (min-merging sf0.1 against sf1.0 timings
+      // would commit a meaningless blend), and prior keys absent from
+      // the current full suite are dropped (a renamed gate would
+      // otherwise be summed twice into total_min forever).
       val prior: Map[String, Double] =
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(minPath)), java.nio.charset.StandardCharsets.UTF_8)
-          "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(
+          if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+          else "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(
             txt.substring(txt.indexOf("\"min\":")))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         } catch { case _: Exception => Map.empty }
       val merged = ok.map { q =>
         val mine = samples(q).min
         q -> prior.get(q).map(math.min(_, mine)).getOrElse(mine)
-      }.toMap ++ (prior -- ok)
+      }.toMap
       val mergedTotal = merged.values.sum
       val mergedJson = merged.toSeq.sortBy(_._1)
         .map { case (q, v) => f""""$q":$v%.3f""" }.mkString("{", ",", "}")

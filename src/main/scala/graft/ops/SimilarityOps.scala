@@ -1363,17 +1363,17 @@ object SimilarityOps {
     * (measured: the filter form cost ~4× on the k ∝ corpus decade
     * entries, where G and the per-group payload are 10× the gate's).
     *
-    * The fold's init scores element 1 DIRECTLY rather than reading
-    * `element_at(scored, 1)`: HOFs get no codegen subexpression
-    * elimination, so a scored-array init would evaluate the whole
-    * G-element transform twice per row — the init here re-derives one
-    * dot product instead of G. */
+    * The fold's init scores ONLY element 1 (through the shared
+    * transform, over a one-element slice — so the scoring formula has
+    * exactly one source and a tie-break or normalization edit can
+    * never land in the fold and miss the init): HOFs get no codegen
+    * subexpression elimination, so a whole-scored-array init would
+    * evaluate the full G-element transform twice per row — the init
+    * here re-derives one dot product instead of G. The slice's
+    * carried index is 0, which IS element 1's position in `groups`. */
   private def bestGroupIdx(groups: Column, v: Column, nrm: Column): Column = {
-    val g0 = element_at(groups, 1)
-    val init = struct(
-      (dot(v, g0.getField("cv")) / (nrm * g0.getField("cn"))).as("ccos"),
-      g0.getField("c_id").as("c_id"),
-      lit(0).as("idx"))
+    val init = element_at(
+      scoredGroupsWithIdx(slice(groups, 1, 1), v, nrm), 1)
     aggregate(scoredGroupsWithIdx(groups, v, nrm), init, (acc, c) =>
       when(c.getField("ccos") > acc.getField("ccos"), c).otherwise(acc))
       .getField("idx")

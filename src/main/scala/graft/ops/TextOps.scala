@@ -456,10 +456,19 @@ object TextOps {
     * rows, broadcast back by AQE), one narrow hash-filter map over the
     * corpus, one ledger aggregation. The corpus is read once and never
     * shuffled on a wide key. */
+  /** The declared per-source weight table, w = (srcN mod 4) + 1 — the
+    * ONE weight config in the repo, read by t14's doc-count blend and
+    * p9's token-budget blend (the same mixture at two granularities);
+    * a single source so an edit here changes BOTH gates together,
+    * never one. Suffix semantics are the oracle's substr(source, 4):
+    * unbounded length, so Scala and DuckDB cannot diverge on source
+    * names with long numeric suffixes. */
+  def sourceWeight(source: Column): Column =
+    source.substr(lit(4), length(source)).cast("long") % 4 + 1
+
   def t14MixSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.table(spark, dir, "documents")
-      .select(col("source"), col("doc_id"),
-        (substring(col("source"), 4, 10).cast("long") % 4 + 1).as("w"))
+      .select(col("source"), col("doc_id"), sourceWeight(col("source")).as("w"))
     val counts = docs.groupBy("source").agg(
       first(col("w")).as("w"), count(lit(1)).as("n_docs"))
     // the binding constraint is a global min over the |sources|-row count

@@ -292,13 +292,17 @@ object FullFunnel {
     } finally { flagged.unpersist(); sh.unpersist(); () }
   }
 
-  /** Store read pruned to batches BEFORE the current one (retry safety). */
+  /** Store read pruned to batches BEFORE the current one (retry safety).
+    * Heals the mid-swap crash state first — a missing swap-target store
+    * must never read as empty (see IncrementalDedup.readStore). */
   private def readStore(spark: SparkSession, path: String, batchId: Long,
-                        schema: StructType): DataFrame =
+                        schema: StructType): DataFrame = {
+    graft.streaming.StreamSketch.healRetiredStore(spark, path)
     if (new java.io.File(path).exists())
       spark.read.parquet(path).filter(col("batch_id") < batchId).drop("batch_id")
     else
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+  }
 
   /** The batch replay of p3's first-arrival semantics — the definition
     * the stream must reproduce (StreamEquivSpec runs both over planted

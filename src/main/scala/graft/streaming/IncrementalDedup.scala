@@ -134,11 +134,18 @@ object IncrementalDedup {
     * its re-run (double-counted shingles would corrupt the Jaccard).
     * Empty before the first batch commits. */
   private def readStore(spark: SparkSession, path: String, batchId: Long,
-                        schema: StructType): DataFrame =
+                        schema: StructType): DataFrame = {
+    // every per-batch open of a swap-target store heals the mid-swap
+    // crash state first: without this, a missing store reads as EMPTY
+    // (silently re-admitting every prior duplicate), the batch write
+    // recreates the dir, and the next swap's cleanup would destroy the
+    // only full-history copy at _retired
+    StreamSketch.healRetiredStore(spark, path)
     if (new java.io.File(path).exists())
       spark.read.parquet(path).filter(col("batch_id") < batchId).drop("batch_id")
     else
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+  }
 
   // ---- d19: compaction for the full-history band/shingle stores ------
 

@@ -189,6 +189,9 @@ object IncrementalExport {
     val flagged = PipelineOps.headFlags(batch)
     val elig = flagged.filter(!col("is_eval") && col("q"))
     val keySchema = StructType(elig.select("norm_key").schema.fields)
+    // heal a mid-swap crash before the open — a missing digest store
+    // must never read as empty (first-arrival would re-admit history)
+    StreamSketch.healRetiredStore(spark, keys)
     val priorKeys =
       if (new java.io.File(keys).exists())
         spark.read.parquet(keys).filter(col("batch_id") < batchId).drop("batch_id")

@@ -95,6 +95,10 @@ object LateLedger {
     // the watermark at batch START: max event time of PRIOR batches
     // minus the allowed lateness (Spark's update rule — data seen
     // through batch b-1 gates batch b); batch 0 has none
+    // heal a mid-swap crash before the open: a missing stats store
+    // would silently read wm = None and classify every late event
+    // on-time — the exact failure the swap contract exists to prevent
+    StreamSketch.healRetiredStore(session, stats)
     val wm: Option[Long] =
       if (!new java.io.File(stats).exists()) None
       else {
