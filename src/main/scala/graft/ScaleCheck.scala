@@ -153,7 +153,11 @@ object ScaleCheck {
     // r14: the weighted mixture — p8's machinery plus sources-sized
     // broadcast attaches (weight table + per-source budgets); expected
     // p8's band exactly
-    "p9_weighted_mixture")
+    "p9_weighted_mixture",
+    // the composed export chain: p4's funnel (its band dominates) + the
+    // narrow keep rule + p4's pack over the sampled subset; expected
+    // p4's band
+    "p10_sampled_export")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

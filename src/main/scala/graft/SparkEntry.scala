@@ -151,6 +151,7 @@ object SparkEntry {
       (graft.streaming.IncrementalExport.p6IncrementalExport _),
     "p8_mixture_sample" -> (graft.ops.PipelineOps.p8MixtureSample _),
     "p9_weighted_mixture" -> (graft.ops.PipelineOps.p9WeightedMixture _),
+    "p10_sampled_export" -> (graft.ops.PipelineOps.p10SampledExport _),
     "p7_export_compact" ->
       (graft.streaming.IncrementalExport.p7ExportCompact _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
@@ -1284,6 +1285,34 @@ object SparkEntry {
          |CAST((sum(n_tok) + ${TextOps.SeqTokens - 1}) // ${TextOps.SeqTokens} AS BIGINT) AS n_seqs,
          |md5(string_agg(s, ' ' ORDER BY doc_id)) AS pack_md5
          |FROM kt GROUP BY source, shard ORDER BY source, shard""".stripMargin,
+    // p10 composes the full export chain in one closed-form statement:
+    // p4's funnel CTEs produce the kept set (kt), p9's weight/budget/
+    // prefix CTEs pick the sampled blend over it (the oracle may pay
+    // the single per-source window; the engine's two-level prefix sum
+    // is exact-equivalent), and p4's pack aggregation digests the
+    // survivors in the same (source, shard) geometry
+    "p10_sampled_export" -> {
+      val (mod, mul) = (TextOps.MixHashMod, TextOps.MixHashMul)
+      s"""WITH RECURSIVE $dupClusterCte,
+         |$funnelHeadCtes,
+         |gg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))) AS g FROM tok WHERE len(ts) >= 5),
+         |ctd AS (SELECT DISTINCT t2.doc_id FROM gg t2 JOIN (SELECT DISTINCT g FROM gg WHERE doc_id % ${DedupOps.EvalMod} = 0) e2 ON e2.g = t2.g WHERE t2.doc_id % ${DedupOps.EvalMod} <> 0),
+         |kd AS (SELECT e.doc_id, e.source FROM elig e LEFT JOIN lab ON lab.doc_id = e.doc_id LEFT JOIN ctd ON ctd.doc_id = e.doc_id
+         |  WHERE e.doc_id = e.min_id AND (lab.cluster_id IS NULL OR lab.cluster_id = e.doc_id) AND ctd.doc_id IS NULL),
+         |kt AS (SELECT kd.doc_id, kd.source, kd.doc_id // ${TextOps.ShardDocs} AS shard, array_to_string(t.ts, ' ') AS s, len(t.ts) AS n_tok,
+         |  kd.doc_id % $mod * $mul % $mod AS u
+         |  FROM kd JOIN tok t ON t.doc_id = kd.doc_id WHERE len(t.ts) > 0),
+         |wt AS (SELECT source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w, sum(n_tok) AS tot FROM kt GROUP BY source),
+         |mrow AS (SELECT tot AS tot_m, w AS w_m FROM wt ORDER BY tot * 1.0 / w, source LIMIT 1),
+         |bdg AS (SELECT source, (w * tot_m) // w_m AS budget FROM wt, mrow),
+         |c AS (SELECT kt.*, sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum FROM kt),
+         |smp AS (SELECT c.* FROM c JOIN bdg b ON b.source = c.source WHERE cum - n_tok < b.budget)
+         |SELECT source, CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |CAST((sum(n_tok) + ${TextOps.SeqTokens - 1}) // ${TextOps.SeqTokens} AS BIGINT) AS n_seqs,
+         |md5(string_agg(s, ' ' ORDER BY doc_id)) AS pack_md5
+         |FROM smp GROUP BY source, shard ORDER BY source, shard""".stripMargin
+    },
     // p5 replays the same funnel, then the training-order reshuffle:
     // t14's deterministic multiplicative hash orders and shards the kept
     // docs, and each output shard's packed stream is digested in hash

@@ -218,12 +218,64 @@ object PipelineOps {
     * broadcast equi-join of a sources-sized frame, everything else is
     * the same two-level prefix sum and bucket-folded digest. */
   def p9WeightedMixture(spark: SparkSession, dir: String): DataFrame =
-    mixtureSample(spark, dir,
-      substring(col("source"), 4, 10).cast("long") % 4 + 1)
+    mixtureSample(spark, dir, TextOps.sourceWeight(col("source")))
       .select(col("source"), col("w"), col("budget"),
         col("n_docs"), col("n_tok"),
         col("n_docs_sampled"), col("n_tok_sampled"), col("sample_md5"))
       .orderBy("source")
+
+  /** p10 sampled-export: the full production export chain in one gate —
+    * CURATE (p1/p4's funnel: eval holdout, quality, exact/near dedup,
+    * decontamination), REBALANCE (p9's weighted token budgets over the
+    * KEPT corpus — where a real pipeline samples: budgeting the raw
+    * table would count tokens the funnel is about to drop), then PACK
+    * (p4's (source, shard) geometry and content digest over the sampled
+    * blend). Every stage reuses the exact code its standalone gate
+    * verifies ([[stagedEligible]], [[sampleKeepFrame]], p4's pack
+    * aggregation), so the composition is correct-by-construction
+    * relative to the already-checked parts — and the oracle replays the
+    * WHOLE chain in one statement (p4's funnel CTEs + p9's weight/
+    * budget/prefix CTEs + p4's pack aggregation over the survivors).
+    * Output schema is p4's exactly: a trainer-facing manifest of the
+    * blended corpus.
+    *
+    * Scale shape: the funnel runs once (p4's proven non-corpus-sized
+    * joins); the keep rule sees only the narrow (doc_id, source, n_tok)
+    * stats of the kept set (text never enters the prefix-sum exchange);
+    * the pack side re-reads token text by a doc_id equi-join of the
+    * budget-sized sampled-id frame — tokenizing twice is the documented
+    * price of never shuffling text through the sampler. One new
+    * exchange vs p4: none — same (source, shard) packing partition,
+    * ShardDocs-bounded buffers. */
+  def p10SampledExport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    val kept = stagedEligible(spark, dir, headFlags(docs))
+      .filter(col("stage") === "kept")
+      .select("doc_id", "source")
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), concat_ws(" ", col("ts")).as("s"),
+        size(col("ts")).cast("long").as("n_tok"))
+    val stats = kept.join(toks.select("doc_id", "n_tok"), Seq("doc_id"))
+    val sampled = sampleKeepFrame(stats, TextOps.sourceWeight(col("source")))
+      .filter(col("keep"))
+      .select("doc_id", "source")
+    sampled.join(toks, Seq("doc_id"))
+      .withColumn("shard", floor(col("doc_id") / lit(TextOps.ShardDocs)).cast("long"))
+      .groupBy("source", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tok"),
+        array_sort(collect_list(struct(col("doc_id"), col("s")))).as("a"))
+      .withColumn("n_seqs",
+        floor((col("n_tok") + lit(TextOps.SeqTokens - 1)) / lit(TextOps.SeqTokens)).cast("long"))
+      .withColumn("pack_md5",
+        md5(concat_ws(" ", transform(col("a"), x => x.getField("s")))))
+      .select(col("source"), col("shard"), col("n_docs"), col("n_tok"),
+        col("n_seqs"), col("pack_md5"))
+      .orderBy("source", "shard")
+  }
 
   /** The shared mixture-sample machinery (p8 = uniform `weightOf` 1,
     * p9 = t14's weight table): two-level prefix sum, largest-feasible
@@ -232,7 +284,6 @@ object PipelineOps {
   private def mixtureSample(spark: SparkSession, dir: String,
                             weightOf: Column): DataFrame = {
     val docs = Sources.table(spark, dir, "documents")
-    val bucketWidth = TextOps.MixHashMod / MixBuckets
     // the stats frame is the ONLY thing read more than once, so it is
     // cached: 4 narrow columns (no text) — at 100 TB the corpus scan +
     // tokenize runs ONCE and everything downstream reads tens of GB
@@ -240,44 +291,7 @@ object PipelineOps {
       .select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
-      .withColumn("u", TextOps.mixHash(col("doc_id")))
-      .withColumn("bucket", floor(col("u") / bucketWidth).cast("long"))
-      .cache()
-    // level 1: per-(source, bucket) totals — a sources × MixBuckets
-    // frame, tiny; weights, the binding source, and every budget derive
-    // from IT, not from another corpus scan
-    val bucketTotals = stats.groupBy("source", "bucket")
-      .agg(sum("n_tok").as("btok"))
-    val totals = bucketTotals.groupBy("source").agg(sum("btok").as("tot"))
-      .withColumn("w", weightOf)
-    // largest feasible blend: the BINDING source m minimizes tot/w
-    // (ties to the smallest source name — both engines sort the same
-    // way); budget_s = ⌊w_s · tot_m / w_m⌋ in INTEGER arithmetic, so
-    // budget_m = tot_m exactly (binding source kept whole) and
-    // budget_s ≤ tot_s for every s (feasibility). The m-row attach is
-    // the sanctioned single-row broadcast over the sources-sized
-    // totals frame, never the corpus.
-    val m = totals
-      .orderBy((col("tot").cast("double") / col("w")).asc, col("source").asc)
-      .limit(1).select(col("tot").as("tot_m"), col("w").as("w_m"))
-    val budgets = totals.crossJoin(broadcast(m))
-      .withColumn("budget", expr("(w * tot_m) div w_m"))
-      .select("source", "w", "budget")
-    // offset = cumsum of PRIOR buckets within the source
-    val wBuckets = Window.partitionBy("source").orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketTotals
-      .withColumn("off", coalesce(sum("btok").over(wBuckets), lit(0L)))
-      .select("source", "bucket", "off")
-    // level 2: within-(source, bucket) running total in (u, doc_id)
-    // order — bucket ranges refine u order, so off + within ≡ the
-    // single-window prefix the oracle computes; the per-source budget
-    // rides in on a broadcast equi-join of the sources-sized frame
-    val wWithin = Window.partitionBy("source", "bucket").orderBy("u", "doc_id")
-    val cum = stats.join(offsets, Seq("source", "bucket"))
-      .withColumn("cum", col("off") + sum("n_tok").over(wWithin))
-      .join(broadcast(budgets), Seq("source"))
-      .withColumn("keep", col("cum") - col("n_tok") < col("budget"))
+    val cum = sampleKeepFrame(stats, weightOf)
     // the ledger digest folds through the SAME buckets as the prefix
     // sum: per-(source, bucket) kept-id sub-digests first (each buffer
     // ≈ kept/(sources·[[MixBuckets]]) ids, the 64-way-parallel bounded
@@ -312,6 +326,60 @@ object PipelineOps {
           array_sort(collect_list(when(col("b_docs_sampled") > 0,
             struct(col("bucket"), col("sub_md5"))))),
           x => x.getField("sub_md5")))).as("sample_md5"))
+  }
+
+  /** The keep-rule half of the mixture sampler, over an ARBITRARY
+    * narrow stats frame `(doc_id, source, n_tok)` — the seam p10 feeds
+    * the CURATED corpus through (p8/p9 feed the raw table). Attaches
+    * t14's preference hash + range bucket, derives the weight table and
+    * largest-feasible budgets from the stats frame itself, runs the
+    * two-level prefix sum, and returns every row with its `keep`
+    * verdict (plus u/bucket/w/budget/cum for the callers' ledgers).
+    * The input is cached here: every downstream read (bucket totals,
+    * offsets, the cum join) re-reads it, and it is narrow by contract —
+    * text must never enter this frame. */
+  private[graft] def sampleKeepFrame(stats0: DataFrame,
+                                     weightOf: Column): DataFrame = {
+    val bucketWidth = TextOps.MixHashMod / MixBuckets
+    val stats = stats0
+      .withColumn("u", TextOps.mixHash(col("doc_id")))
+      .withColumn("bucket", floor(col("u") / bucketWidth).cast("long"))
+      .cache()
+    // level 1: per-(source, bucket) totals — a sources × MixBuckets
+    // frame, tiny; weights, the binding source, and every budget derive
+    // from IT, not from another corpus scan
+    val bucketTotals = stats.groupBy("source", "bucket")
+      .agg(sum("n_tok").as("btok"))
+    val totals = bucketTotals.groupBy("source").agg(sum("btok").as("tot"))
+      .withColumn("w", weightOf)
+    // largest feasible blend: the BINDING source m minimizes tot/w
+    // (ties to the smallest source name — both engines sort the same
+    // way); budget_s = ⌊w_s · tot_m / w_m⌋ in INTEGER arithmetic, so
+    // budget_m = tot_m exactly (binding source kept whole) and
+    // budget_s ≤ tot_s for every s (feasibility). The m-row attach is
+    // the sanctioned single-row broadcast over the sources-sized
+    // totals frame, never the corpus.
+    val m = totals
+      .orderBy((col("tot").cast("double") / col("w")).asc, col("source").asc)
+      .limit(1).select(col("tot").as("tot_m"), col("w").as("w_m"))
+    val budgets = totals.crossJoin(broadcast(m))
+      .withColumn("budget", expr("(w * tot_m) div w_m"))
+      .select("source", "w", "budget")
+    // offset = cumsum of PRIOR buckets within the source
+    val wBuckets = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("off", coalesce(sum("btok").over(wBuckets), lit(0L)))
+      .select("source", "bucket", "off")
+    // level 2: within-(source, bucket) running total in (u, doc_id)
+    // order — bucket ranges refine u order, so off + within ≡ the
+    // single-window prefix the oracle computes; the per-source budget
+    // rides in on a broadcast equi-join of the sources-sized frame
+    val wWithin = Window.partitionBy("source", "bucket").orderBy("u", "doc_id")
+    stats.join(offsets, Seq("source", "bucket"))
+      .withColumn("cum", col("off") + sum("n_tok").over(wWithin))
+      .join(broadcast(budgets), Seq("source"))
+      .withColumn("keep", col("cum") - col("n_tok") < col("budget"))
   }
 
   /** p5 shuffle-shard: the TRAINING-ORDER export — p4 packs the kept

@@ -912,6 +912,54 @@ class InvariantSpec extends AnyFunSuite {
       "no source was down-sampled — the fixture makes this test vacuous")
   }
 
+  test("p10 sampled export: funnel × weighted budgets × pack compose exactly") {
+    // p10 rows: (source, shard, n_docs, n_tok, n_seqs, pack_md5) — p4's
+    // schema over the p9-sampled blend of the kept corpus. The laws tie
+    // all three composed stages to their standalone gates.
+    val p4 = PipelineOps.p4CuratePack(spark, sf).collect()
+    val p10 = PipelineOps.p10SampledExport(spark, sf).collect()
+    assert(p10.nonEmpty)
+    val p4ByKey = p4.map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // containment + geometry: every sampled shard exists in p4's export
+    // with no more docs/tokens, and n_seqs follows t13's rule
+    p10.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val full = p4ByKey.get(key)
+      assert(full.isDefined, s"shard $key not in p4's full export")
+      assert(r.getLong(2) <= full.get.getLong(2) && r.getLong(3) <= full.get.getLong(3),
+        s"shard $key packs more than the full export")
+      assert(r.getLong(4) == (r.getLong(3) + TextOps.SeqTokens - 1) / TextOps.SeqTokens,
+        s"shard $key broke the sequence geometry")
+    }
+    // budget laws, recomputed from p4's per-source totals + the declared
+    // weight rule: every source fills its largest-feasible budget and
+    // overshoots by less than one document
+    val tot = p4.groupBy(_.getString(0)).map { case (s, rs) => s -> rs.map(_.getLong(3)).sum }
+    val w = tot.keys.map(s => s -> (s.drop(3).toLong % 4 + 1)).toMap
+    val mSrc = tot.keys.minBy(s => (tot(s).toDouble / w(s), s))
+    val sampledTok = p10.groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(3)).sum }
+    val maxDocTok = Sources.table(spark, sf, "documents")
+      .select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .agg(max("n")).collect()(0).getLong(0)
+    tot.keys.foreach { s =>
+      val budget = w(s) * tot(mSrc) / w(mSrc)
+      val st = sampledTok.getOrElse(s, 0L)
+      assert(st >= math.min(budget, tot(s)), s"$s under-filled its budget: $st < $budget")
+      assert(st < budget + maxDocTok, s"$s overshot its budget by more than one document")
+    }
+    // the binding source is kept WHOLE, so its packed shards — content
+    // digests included — must be byte-identical to p4's: the strongest
+    // composition pin (any drift in funnel, sampler, or pack breaks it)
+    val p4m = p4.filter(_.getString(0) == mSrc).map(_.toString).toSeq
+    val p10m = p10.filter(_.getString(0) == mSrc).map(_.toString).toSeq
+    assert(p4m == p10m,
+      s"binding source $mSrc's packed shards differ from p4's full export")
+    // and the blend genuinely drops documents somewhere
+    assert(p10.map(_.getLong(2)).sum < p4.map(_.getLong(2)).sum,
+      "no document was dropped — the fixture makes this test vacuous")
+  }
+
   test("s22's recall cost is bounded: hier recall@3 within 0.1 of flat on the fixture") {
     // the hierarchical quantizer buys its 2√k assignment with a recall
     // trade (a vector near a group boundary can land in the wrong

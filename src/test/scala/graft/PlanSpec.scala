@@ -612,6 +612,19 @@ class PlanSpec extends AnyFunSuite {
         s"p9 collects kept doc_ids at a non-bucket grain — corpus-proportional buffer is back: $l"))
   }
 
+  test("p10 sampled export: the composed chain adds no blowup join and keeps the sampler's exchange") {
+    // the composition must inherit its parts' shapes: the funnel's
+    // digest-keyed joins (no all-pairs anywhere), the sampler's
+    // (source, bucket) prefix-sum exchange, and p4's ShardDocs-bounded
+    // pack — with no corpus-wide range sort sneaking in between
+    val plan = finalPlan(graft.ops.PipelineOps.p10SampledExport(spark, sf))
+    assert(!plan.contains("CartesianProduct"), "p10 plan contains CartesianProduct")
+    assert("hashpartitioning\\(source#\\d+, bucket#".r.findFirstIn(plan).nonEmpty,
+      "p10 lost the sampler's (source, bucket) exchange")
+    assert(!plan.contains("rangepartitioning(u"),
+      "p10 plan globally range-sorts the corpus by the preference hash")
+  }
+
   test("AQE splits a skewed join partition at runtime (the second skew lever)") {
     // q35's salting is the PLANNED answer to skew; this locks the RUNTIME
     // one — on a hot key the engine's AQE config must actually rewrite
