@@ -157,7 +157,10 @@ object ScaleCheck {
     // the composed export chain: p4's funnel (its band dominates) + the
     // narrow keep rule + p4's pack over the sampled subset; expected
     // p4's band
-    "p10_sampled_export")
+    "p10_sampled_export",
+    // the streaming blend monitor: per-batch narrow aggregates with
+    // sources-sized outputs; expected the stream-replay band
+    "p11_stream_blend")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+import graft.ops.TextOps
+
+/** p11: the STREAMING member of the mixture family (p8 uniform, p9
+  * weighted, p10 composed export — all batch) — the blend MONITOR a
+  * continuously-fed corpus runs between crawls: as document batches
+  * arrive, per-source token totals accrete in a tiny stats store, and
+  * after every batch the gate re-derives the largest-feasible blend
+  * (p9's rule: the binding source minimizes tot/w under t14's declared
+  * weight table; budget_s = ⌊w_s · tot_m / w_m⌋) and appends one ledger
+  * row per arrived source. The ledger answers the question a data-
+  * acquisition team actually asks while a crawl is running: "how big a
+  * blend can we train TODAY, which source binds it, and what did the
+  * last batch buy us?"
+  *
+  * Semantics are closed-form end to end: batch membership is the wave
+  * replay's DATA rule (doc_id mod [[StreamSketch.SplitFiles]]), so the
+  * arrived corpus after batch b is exactly {doc_id mod m ≤ b}, and the
+  * DuckDB oracle re-derives EVERY (batch, source) ledger row — totals,
+  * weights, binding source, integer budgets — in one statement. The
+  * final batch's rows equal the batch gate's view of the same corpus
+  * (p9's (source, w, n_tok, budget) columns), the composition pin
+  * StreamEquivSpec asserts alongside per-source monotone totals.
+  *
+  * Scale design: per-batch work is ONE narrow batch aggregate with a
+  * sources-sized output (the corpus text is scanned once per batch,
+  * batch-sized, never rescanned), one read of the sources × batches
+  * stats store (tiny rows, pruned to arrived batches), and a
+  * sources-sized budget computation — the blend of a 100 TB corpus is
+  * re-derived per batch for the cost of a few thousand-row aggregates.
+  * Both stores grow by ≤ sources rows per batch; both writes are
+  * idempotent per-batch-directory overwrites (a retried batch rewrites
+  * the same rows), and the stats read prunes to `batch_id <= current`,
+  * so replay converges to the same ledger.
+  */
+object BlendMonitor {
+
+  def p11StreamBlend(spark: SparkSession, dir: String): DataFrame =
+    p11WithBatchCount(spark, dir)._1
+
+  /** Test seam: result + the number of micro-batches actually replayed
+    * (StreamEquivSpec asserts it matches [[StreamSketch.SplitFiles]] —
+    * the ledger genuinely accreted, not one vacuous batch). */
+  private[graft] def p11WithBatchCount(spark: SparkSession, dir: String)
+      : (DataFrame, Int) = {
+    val work = Files.createTempDirectory("graft_blendmon_").toString
+    val stats = s"$work/stats"
+    val ledger = s"$work/ledger"
+    val docs = Sources.table(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+    val nBatches = StreamSketch.runWaveReplay(spark, docs, "doc_id", work, ledger) {
+      (batch, batchId) => blendBatch(batch, batchId, stats, ledger)
+    }
+    val result = spark.read.parquet(ledger)
+      .select(col("batch_id").cast("long").as("batch_id"), col("source"),
+        col("w"), col("tot"), col("budget"))
+      .orderBy("batch_id", "source")
+    (result, nBatches)
+  }
+
+  private def blendBatch(batch: DataFrame, batchId: Long,
+                         stats: String, ledger: String): Unit = {
+    val session = batch.sparkSession
+    // the batch's per-source token totals — a sources-sized partial,
+    // the only thing that ever reads the batch's text
+    batch
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .groupBy("source").agg(sum("n_tok").as("btok"))
+      .write.mode("overwrite").parquet(s"$stats/batch_id=$batchId")
+    // arrived totals THROUGH this batch (<= includes the partial just
+    // written — overwrite makes the retry read the same rows), then
+    // p9's blend rule over the sources-sized frame: binding source by
+    // (tot/w, source), integer budgets, one ledger row per source
+    val tot = session.read.parquet(stats)
+      .filter(col("batch_id") <= batchId).drop("batch_id")
+      .groupBy("source").agg(sum("btok").as("tot"))
+      .withColumn("w", TextOps.sourceWeight(col("source")))
+    val m = tot
+      .orderBy((col("tot").cast("double") / col("w")).asc, col("source").asc)
+      .limit(1).select(col("tot").as("tot_m"), col("w").as("w_m"))
+    tot.crossJoin(broadcast(m))
+      .withColumn("budget", expr("(w * tot_m) div w_m"))
+      .select("source", "w", "tot", "budget")
+      .write.mode("overwrite").parquet(s"$ledger/batch_id=$batchId")
+  }
+}

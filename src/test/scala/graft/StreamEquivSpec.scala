@@ -559,6 +559,38 @@ class StreamEquivSpec extends AnyFunSuite {
     } finally { liveC.unpersist(); () }
   }
 
+  test("p11 stream blend: ledger accretes per batch, final batch ≡ p9's batch view, totals monotone") {
+    val (df, nBatches) = graft.streaming.BlendMonitor.p11WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val ledger = df.collect()
+    // the composition pin: after the final batch the arrived corpus IS
+    // the whole table, so the last ledger rows must equal the batch
+    // gate's (source, w, n_tok, budget) view exactly — the streaming
+    // monitor and batch p9 read the same blend
+    val streamFinal = ledger.filter(_.getLong(0) == nBatches - 1L)
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val batchView = graft.ops.PipelineOps.p9WeightedMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(2))).toSet
+    assert(streamFinal == batchView,
+      "final-batch blend differs from p9's batch view of the same corpus")
+    // totals accrete monotonically per source (a batch can only add)
+    ledger.groupBy(_.getString(1)).foreach { case (s, rs) =>
+      rs.sortBy(_.getLong(0)).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) <= b.getLong(3), s"$s totals shrank between batches")
+        case _ =>
+      }
+    }
+    // every batch names a binding source (budget == tot — kept whole)
+    (0L until nBatches).foreach { b =>
+      val br = ledger.filter(_.getLong(0) == b)
+      assert(br.nonEmpty, s"batch $b emitted no ledger rows")
+      assert(br.exists(r => r.getLong(4) == r.getLong(3)),
+        s"batch $b has no binding source — the blend rule broke mid-stream")
+    }
+  }
+
   test("s16 compaction after upserts: version-tombstones retire like delete-tombstones, one row per vec_id") {
     import org.apache.spark.sql.functions._
     val ops = graft.ops.SimilarityOps
