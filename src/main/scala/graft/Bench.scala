@@ -117,7 +117,8 @@ object Bench {
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(minPath)), java.nio.charset.StandardCharsets.UTF_8)
-          if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+          val priorSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
+          if (!priorSf.map(_.stripSuffix("/")).contains(sfDir.stripSuffix("/"))) Map.empty
           else "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(
             txt.substring(txt.indexOf("\"min\":")))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap

@@ -124,12 +124,26 @@ object PipelineOps {
     val kept = stagedEligible(spark, dir, headFlags(docs))
       .filter(col("stage") === "kept")
       .select("doc_id", "source")
-    val toks = docs
+    packShards(kept.join(tokenized(docs), Seq("doc_id")))
+  }
+
+  /** The packed-token view every export gate joins against:
+    * `(doc_id, s, n_tok)` — the doc's space-joined token stream and its
+    * length, empty docs dropped. One source, shared by p4/p5/p10. */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) > 0)
       .select(col("doc_id"), concat_ws(" ", col("ts")).as("s"),
         size(col("ts")).cast("long").as("n_tok"))
-    kept.join(toks, Seq("doc_id"))
+
+  /** p4's pack aggregation over a `(doc_id, source, s, n_tok)` frame:
+    * ShardDocs geometry, t13 sequence counts, doc_id-ordered content
+    * digest. One source, shared by p4 and p10 so an edit to the pack
+    * (delimiter, sort key, rounding) can never reach one gate and miss
+    * the other — the correct-by-construction composition claim. */
+  private def packShards(docs: DataFrame): DataFrame =
+    docs
       .withColumn("shard", floor(col("doc_id") / lit(TextOps.ShardDocs)).cast("long"))
       .groupBy("source", "shard")
       .agg(
@@ -143,7 +157,6 @@ object PipelineOps {
       .select(col("source"), col("shard"), col("n_docs"), col("n_tok"),
         col("n_seqs"), col("pack_md5"))
       .orderBy("source", "shard")
-  }
 
   /** Output shard count for p5's training-order reshuffle. At 100 TB this
     * constant scales with the corpus (shards ≈ corpus / target-shard-size)
@@ -252,29 +265,12 @@ object PipelineOps {
     val kept = stagedEligible(spark, dir, headFlags(docs))
       .filter(col("stage") === "kept")
       .select("doc_id", "source")
-    val toks = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) > 0)
-      .select(col("doc_id"), concat_ws(" ", col("ts")).as("s"),
-        size(col("ts")).cast("long").as("n_tok"))
+    val toks = tokenized(docs)
     val stats = kept.join(toks.select("doc_id", "n_tok"), Seq("doc_id"))
     val sampled = sampleKeepFrame(stats, TextOps.sourceWeight(col("source")))
       .filter(col("keep"))
       .select("doc_id", "source")
-    sampled.join(toks, Seq("doc_id"))
-      .withColumn("shard", floor(col("doc_id") / lit(TextOps.ShardDocs)).cast("long"))
-      .groupBy("source", "shard")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tok").as("n_tok"),
-        array_sort(collect_list(struct(col("doc_id"), col("s")))).as("a"))
-      .withColumn("n_seqs",
-        floor((col("n_tok") + lit(TextOps.SeqTokens - 1)) / lit(TextOps.SeqTokens)).cast("long"))
-      .withColumn("pack_md5",
-        md5(concat_ws(" ", transform(col("a"), x => x.getField("s")))))
-      .select(col("source"), col("shard"), col("n_docs"), col("n_tok"),
-        col("n_seqs"), col("pack_md5"))
-      .orderBy("source", "shard")
+    packShards(sampled.join(toks, Seq("doc_id")))
   }
 
   /** The shared mixture-sample machinery (p8 = uniform `weightOf` 1,
@@ -412,11 +408,7 @@ object PipelineOps {
     val kept = stagedEligible(spark, dir, headFlags(docs))
       .filter(col("stage") === "kept")
       .select("doc_id", "source")
-    val toks = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) > 0)
-      .select(col("doc_id"), concat_ws(" ", col("ts")).as("s"),
-        size(col("ts")).cast("long").as("n_tok"))
+    val toks = tokenized(docs)
     // pack_md5 folds through u-range sub-buckets exactly like p8's
     // sample digest: per-(oshard, sbucket) the packed text digests in
     // (u, doc_id) order (each buffer ≈ corpus/(OutShards·[[MixBuckets]])

@@ -83,12 +83,15 @@ object BlendMonitor {
       .filter(col("batch_id") <= batchId).drop("batch_id")
       .groupBy("source").agg(sum("btok").as("tot"))
       .withColumn("w", TextOps.sourceWeight(col("source")))
-    val m = tot
-      .orderBy((col("tot").cast("double") / col("w")).asc, col("source").asc)
-      .limit(1).select(col("tot").as("tot_m"), col("w").as("w_m"))
-    tot.crossJoin(broadcast(m))
-      .withColumn("budget", expr("(w * tot_m) div w_m"))
-      .select("source", "w", "tot", "budget")
-      .write.mode("overwrite").parquet(s"$ledger/batch_id=$batchId")
+      .persist()
+    try {
+      val m = tot
+        .orderBy((col("tot").cast("double") / col("w")).asc, col("source").asc)
+        .limit(1).select(col("tot").as("tot_m"), col("w").as("w_m"))
+      tot.crossJoin(broadcast(m))
+        .withColumn("budget", expr("(w * tot_m) div w_m"))
+        .select("source", "w", "tot", "budget")
+        .write.mode("overwrite").parquet(s"$ledger/batch_id=$batchId")
+    } finally { tot.unpersist(); () }
   }
 }

@@ -110,7 +110,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val (m, mul) = (graft.ops.TextOps.MixHashMod, graft.ops.TextOps.MixHashMul)
     val viaSql = sql.sql(
       s"""WITH d AS (SELECT source, doc_id,
-         |  CAST(substring(source, 4, 10) AS BIGINT) % 4 + 1 AS w FROM documents),
+         |  CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS w FROM documents),
          |cnt AS (SELECT source, first(w) AS w, count(*) AS n_docs FROM d GROUP BY source),
          |r AS (SELECT source, w, n_docs, least(1.0, w * c / n_docs) AS rate
          |  FROM (SELECT *, min(n_docs / w) OVER () AS c FROM cnt)),
