@@ -159,8 +159,9 @@ object ScaleCheck {
     // p4's band
     "p10_sampled_export",
     // the streaming blend monitor: per-batch narrow aggregates with
-    // sources-sized outputs; expected the stream-replay band
-    "p11_stream_blend")
+    // sources-sized outputs; expected the stream-replay band — and its
+    // mid-stream stats fold, the cheapest compaction verb (sources rows)
+    "p11_stream_blend", "p12_blend_compact")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

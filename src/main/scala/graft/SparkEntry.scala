@@ -153,6 +153,7 @@ object SparkEntry {
     "p9_weighted_mixture" -> (graft.ops.PipelineOps.p9WeightedMixture _),
     "p10_sampled_export" -> (graft.ops.PipelineOps.p10SampledExport _),
     "p11_stream_blend" -> (graft.streaming.BlendMonitor.p11StreamBlend _),
+    "p12_blend_compact" -> (graft.streaming.BlendMonitor.p12BlendCompact _),
     "p7_export_compact" ->
       (graft.streaming.IncrementalExport.p7ExportCompact _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
@@ -666,6 +667,27 @@ object SparkEntry {
 
   /** p6's oracle — also p7's verbatim (the compaction gate's whole
     * claim is that the manifest is unchanged by the mid-stream swap). */
+  // p11's closed-form blend-monitor replay, shared verbatim by p12 (the
+  // mid-stream stats compaction must be ledger-invisible): batch
+  // membership is the wave rule, so the arrived corpus after batch b is
+  // {wave <= b}; per (batch, source): totals, t14's weight, the binding
+  // source by (tot/w, source), the integer largest-feasible budget
+  private lazy val p11BlendSql: String = {
+    val m = graft.streaming.StreamSketch.SplitFiles
+    s"""WITH tok AS (SELECT doc_id, source, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tok FROM documents),
+       |t AS (SELECT doc_id % $m AS wave, source, n_tok FROM tok WHERE n_tok > 0),
+       |b AS (SELECT unnest(range($m)) AS batch_id),
+       |ct AS (SELECT b.batch_id, t.source, sum(n_tok) AS tot FROM b JOIN t ON t.wave <= b.batch_id GROUP BY 1, 2),
+       |wt AS (SELECT batch_id, source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w, tot FROM ct),
+       |mr AS (SELECT batch_id, tot AS tot_m, w AS w_m FROM (SELECT wt.*, row_number() OVER (PARTITION BY batch_id ORDER BY tot * 1.0 / w, source) AS rn FROM wt) WHERE rn = 1)
+       |SELECT CAST(wt.batch_id AS BIGINT) AS batch_id, wt.source,
+       |CAST(w AS BIGINT) AS w,
+       |CAST(tot AS BIGINT) AS tot,
+       |CAST((w * tot_m) // w_m AS BIGINT) AS budget
+       |FROM wt JOIN mr ON mr.batch_id = wt.batch_id
+       |ORDER BY batch_id, source""".stripMargin
+  }
+
   private lazy val p6ExportSql: String = {
     val m = graft.streaming.StreamSketch.SplitFiles
     s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents),
@@ -1319,21 +1341,13 @@ object SparkEntry {
     // arrived corpus after batch b is {wave <= b}; per (batch, source):
     // totals, t14's weight, the binding source by (tot/w, source), and
     // the integer largest-feasible budget — every ledger row re-derived
-    "p11_stream_blend" -> {
-      val m = graft.streaming.StreamSketch.SplitFiles
-      s"""WITH tok AS (SELECT doc_id, source, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tok FROM documents),
-         |t AS (SELECT doc_id % $m AS wave, source, n_tok FROM tok WHERE n_tok > 0),
-         |b AS (SELECT unnest(range($m)) AS batch_id),
-         |ct AS (SELECT b.batch_id, t.source, sum(n_tok) AS tot FROM b JOIN t ON t.wave <= b.batch_id GROUP BY 1, 2),
-         |wt AS (SELECT batch_id, source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w, tot FROM ct),
-         |mr AS (SELECT batch_id, tot AS tot_m, w AS w_m FROM (SELECT wt.*, row_number() OVER (PARTITION BY batch_id ORDER BY tot * 1.0 / w, source) AS rn FROM wt) WHERE rn = 1)
-         |SELECT CAST(wt.batch_id AS BIGINT) AS batch_id, wt.source,
-         |CAST(w AS BIGINT) AS w,
-         |CAST(tot AS BIGINT) AS tot,
-         |CAST((w * tot_m) // w_m AS BIGINT) AS budget
-         |FROM wt JOIN mr ON mr.batch_id = wt.batch_id
-         |ORDER BY batch_id, source""".stripMargin
-    },
+    "p11_stream_blend" -> p11BlendSql,
+    // p12 is p11 with the stats store compacted MID-STREAM (x20's fold
+    // move with sum for max): the ledger must be byte-identical, so the
+    // oracle is p11's SQL verbatim — the fold itself is spec-pinned
+    // (StreamEquivSpec asserts the partition-count bounds and ledger
+    // equality row-for-row)
+    "p12_blend_compact" -> p11BlendSql,
     // p5 replays the same funnel, then the training-order reshuffle:
     // t14's deterministic multiplicative hash orders and shards the kept
     // docs, and each output shard's packed stream is digested in hash

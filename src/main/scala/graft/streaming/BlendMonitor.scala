@@ -38,7 +38,11 @@ import graft.ops.TextOps
   * Both stores grow by ≤ sources rows per batch; both writes are
   * idempotent per-batch-directory overwrites (a retried batch rewrites
   * the same rows), and the stats read prunes to `batch_id <= current`,
-  * so replay converges to the same ledger.
+  * so replay converges to the same ledger. On a long-lived deployment
+  * the stats listing is bounded by FOLDING shipped partitions into one
+  * consolidated row per source — per-source sums are their own
+  * sufficient statistic — proven mid-stream as p12
+  * ([[p12WithStoreInfo]] / [[compactBlendStats]]).
   */
 object BlendMonitor {
 
@@ -63,6 +67,65 @@ object BlendMonitor {
         col("w"), col("tot"), col("budget"))
       .orderBy("batch_id", "source")
     (result, nBatches)
+  }
+
+  def p12BlendCompact(spark: SparkSession, dir: String): DataFrame =
+    p12WithStoreInfo(spark, dir)._1
+
+  /** p12: p11 with its stats store compacted MID-STREAM — the lifecycle
+    * motion the accreting sources × batches store needs on a long-lived
+    * deployment (x20's move on the blend family): per-source token sums
+    * are their own sufficient statistic, so shipped `batch_id=N` rows
+    * FOLD into one consolidated `batch_id=-1` row per source (where
+    * d19/p7 must rewrite rows and x20 folds a max, p12 folds a sum).
+    * -1 sorts below every real batch id, so the consolidated rows stay
+    * inside every later `batch_id <= current` prune, and the ledger —
+    * every (batch, source) blend row, before AND after the fold — must
+    * be byte-identical to p11's: the oracle is p11's SQL verbatim,
+    * because compaction must be query-invisible. The swap rides
+    * [[StreamSketch.swapStore]]'s crash-recoverable retire+promote with
+    * the reader-side heal. StreamEquivSpec pins the partition-count
+    * bounds (half the replay's dirs collapse to one; the listing stays
+    * 1 + batches-since afterwards) and ledger ≡ p11 row-for-row. */
+  private[graft] def p12WithStoreInfo(spark: SparkSession, dir: String)
+      : (DataFrame, Int, Int, Int, Int) = {
+    val work = Files.createTempDirectory("graft_blendmon12_").toString
+    val stats = s"$work/stats"
+    val ledger = s"$work/ledger"
+    val docs = Sources.table(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+    var partsBefore = 0
+    var partsAfter = 0
+    val nBatches = StreamSketch.runWaveReplayPhased(spark, docs, "doc_id",
+      work, ledger, StreamSketch.SplitFiles / 2) {
+      (batch, batchId) => blendBatch(batch, batchId, stats, ledger)
+    } { () =>
+      partsBefore = StreamSketch.countBatchDirs(stats)
+      compactBlendStats(spark, stats)
+      partsAfter = StreamSketch.countBatchDirs(stats)
+    }
+    val result = spark.read.parquet(ledger)
+      .select(col("batch_id").cast("long").as("batch_id"), col("source"),
+        col("w"), col("tot"), col("budget"))
+      .orderBy("batch_id", "source")
+    (result, nBatches, partsBefore, partsAfter,
+      StreamSketch.countBatchDirs(stats))
+  }
+
+  /** Fold the shipped stats partitions into ONE consolidated
+    * `batch_id=-1` row per source — x20's compactStats with sum in
+    * place of max (both are their own sufficient statistic, so the
+    * fold IS the store's content, no row rewrite). Same store-open
+    * heal + dead-tmp clear + crash-recoverable swap as every other
+    * compaction verb. */
+  private[graft] def compactBlendStats(spark: SparkSession, stats: String): Unit = {
+    val tmp = stats + "_compacting"
+    StreamSketch.healRetiredStore(spark, stats)
+    StreamSketch.clearPath(spark, tmp)
+    spark.read.parquet(stats).drop("batch_id")
+      .groupBy("source").agg(sum("btok").as("btok"))
+      .coalesce(1).write.parquet(s"$tmp/batch_id=-1")
+    StreamSketch.swapStore(spark, tmp, stats)
   }
 
   private def blendBatch(batch: DataFrame, batchId: Long,

@@ -591,6 +591,24 @@ class StreamEquivSpec extends AnyFunSuite {
     }
   }
 
+  test("p12 blend-stats compaction: mid-stream sum fold invisible to the ledger, partitions bounded") {
+    val half = graft.streaming.StreamSketch.SplitFiles / 2
+    val (df, nBatches, before, after, end) =
+      graft.streaming.BlendMonitor.p12WithStoreInfo(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"phased replay ran $nBatches micro-batches")
+    // the fold genuinely consolidated: half the replay's stats dirs
+    // collapse to ONE batch_id=-1 partition, then the listing stays
+    // bounded at 1 + batches-since-compaction
+    assert(before == half, s"pre-compaction stats store has $before partitions, expected $half")
+    assert(after == 1, s"compacted stats store has $after partitions, expected 1")
+    assert(end == 1 + half, s"post-stream stats store has $end partitions, expected ${1 + half}")
+    // compaction is LEDGER-INVISIBLE: every (batch, source) blend row —
+    // before and after the mid-stream fold — equals uncompacted p11's
+    assert(rows(df) == rows(graft.streaming.BlendMonitor.p11StreamBlend(spark, sf)),
+      "the blend ledger diverged after the mid-stream stats fold")
+  }
+
   test("s16 compaction after upserts: version-tombstones retire like delete-tombstones, one row per vec_id") {
     import org.apache.spark.sql.functions._
     val ops = graft.ops.SimilarityOps
