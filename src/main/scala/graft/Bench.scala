@@ -123,10 +123,21 @@ object Bench {
             txt.substring(txt.indexOf("\"min\":")))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         } catch { case _: Exception => Map.empty }
-      val merged = ok.map { q =>
-        val mine = samples(q).min
-        q -> prior.get(q).map(math.min(_, mine)).getOrElse(mine)
+      // Merge keyed on the REGISTERED suite, not this sitting's `ok`
+      // set: a prior minimum survives even if its gate were somehow
+      // absent from this sitting's passes (the failed.isEmpty guard
+      // above makes ok == registered today, but the merge must not
+      // depend on that), and any prior key actually discarded (a
+      // renamed/removed gate) is logged rather than silently dropped.
+      val registered = SparkEntry.queries.keySet
+      val merged = (ok.toSet ++ prior.keySet.filter(registered)).toSeq.map { q =>
+        val mine = samples.get(q).filter(_ => ok.contains(q)).map(_.min)
+        q -> (mine.toList ++ prior.get(q).toList).min
       }.toMap
+      val discarded = prior.keySet.diff(registered)
+      if (discarded.nonEmpty)
+        System.err.println(
+          s"[bench] dropping prior min keys not in the registered suite: ${discarded.toSeq.sorted.mkString(",")}")
       val mergedTotal = merged.values.sum
       val mergedJson = merged.toSeq.sortBy(_._1)
         .map { case (q, v) => f""""$q":$v%.3f""" }.mkString("{", ",", "}")

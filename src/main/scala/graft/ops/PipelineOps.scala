@@ -287,18 +287,25 @@ object PipelineOps {
       .select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
-    val cum = sampleKeepFrame(stats, weightOf)
-    // the ledger digest folds through the SAME buckets as the prefix
-    // sum: per-(source, bucket) kept-id sub-digests first (each buffer
-    // ≈ kept/(sources·[[MixBuckets]]) ids, the 64-way-parallel bounded
-    // aggregation), then one md5 over the bucket-ordered sub-digest
-    // list per source (≤ [[MixBuckets]] fixed-width strings — the only
-    // per-source buffer). A single per-source collect_list of kept ids
-    // would be the one corpus-proportional aggregation buffer in the
-    // repo: billions of ids in one executor's state at 100 TB. Bucket
-    // ranges refine u order, so the two-level digest is as
-    // deterministic and oracle-replayable as the flat one — the oracle
-    // folds the identical shape in closed form.
+    sampleLedger(sampleKeepFrame(stats, weightOf))
+  }
+
+  /** The per-source ledger over a keep-verdict frame
+    * ([[sampleKeepFrame]]'s output) — shared by the batch gates
+    * (p8/p9 via [[mixtureSample]]) and the streaming sampler's
+    * per-batch re-derivation (p13), so the digest fold has exactly one
+    * source. The digest folds through the SAME buckets as the prefix
+    * sum: per-(source, bucket) kept-id sub-digests first (each buffer
+    * ≈ kept/(sources·[[MixBuckets]]) ids, the 64-way-parallel bounded
+    * aggregation), then one md5 over the bucket-ordered sub-digest
+    * list per source (≤ [[MixBuckets]] fixed-width strings — the only
+    * per-source buffer). A single per-source collect_list of kept ids
+    * would be the one corpus-proportional aggregation buffer in the
+    * repo: billions of ids in one executor's state at 100 TB. Bucket
+    * ranges refine u order, so the two-level digest is as
+    * deterministic and oracle-replayable as the flat one — the oracle
+    * folds the identical shape in closed form. */
+  private[graft] def sampleLedger(cum: DataFrame): DataFrame = {
     val perBucket = cum.groupBy("source", "bucket")
       .agg(
         first(col("w")).as("w"),
@@ -318,10 +325,15 @@ object PipelineOps {
         sum("b_tok").as("n_tok"),
         sum("b_docs_sampled").as("n_docs_sampled"),
         sum("b_tok_sampled").as("n_tok_sampled"),
-        md5(concat_ws(",", transform(
-          array_sort(collect_list(when(col("b_docs_sampled") > 0,
-            struct(col("bucket"), col("sub_md5"))))),
-          x => x.getField("sub_md5")))).as("sample_md5"))
+        // null, not md5(""), when a source samples ZERO docs (possible
+        // when the binding source's tot_m < w_m floors every budget to
+        // 0): the oracle's string_agg over all-NULL yields NULL, and
+        // concat_ws over the empty collect_list would diverge to "".
+        when(sum(col("b_docs_sampled")) > 0,
+          md5(concat_ws(",", transform(
+            array_sort(collect_list(when(col("b_docs_sampled") > 0,
+              struct(col("bucket"), col("sub_md5"))))),
+            x => x.getField("sub_md5"))))).as("sample_md5"))
   }
 
   /** The keep-rule half of the mixture sampler, over an ARBITRARY
@@ -335,7 +347,15 @@ object PipelineOps {
     * offsets, the cum join) re-reads it, and it is narrow by contract —
     * text must never enter this frame. */
   private[graft] def sampleKeepFrame(stats0: DataFrame,
-                                     weightOf: Column): DataFrame = {
+                                     weightOf: Column): DataFrame =
+    sampleKeepFrameCached(stats0, weightOf)._1
+
+  /** [[sampleKeepFrame]] plus the internally-cached stats handle, so a
+    * caller that re-derives the keep rule REPEATEDLY (p13's per-batch
+    * loop) can unpersist each iteration's cache instead of accreting
+    * one cached narrow corpus per batch in executor memory. */
+  private[graft] def sampleKeepFrameCached(stats0: DataFrame,
+                                           weightOf: Column): (DataFrame, DataFrame) = {
     val bucketWidth = TextOps.MixHashMod / MixBuckets
     val stats = stats0
       .withColumn("u", TextOps.mixHash(col("doc_id")))
@@ -372,10 +392,11 @@ object PipelineOps {
     // single-window prefix the oracle computes; the per-source budget
     // rides in on a broadcast equi-join of the sources-sized frame
     val wWithin = Window.partitionBy("source", "bucket").orderBy("u", "doc_id")
-    stats.join(offsets, Seq("source", "bucket"))
+    val cum = stats.join(offsets, Seq("source", "bucket"))
       .withColumn("cum", col("off") + sum("n_tok").over(wWithin))
       .join(broadcast(budgets), Seq("source"))
       .withColumn("keep", col("cum") - col("n_tok") < col("budget"))
+    (cum, stats)
   }
 
   /** p5 shuffle-shard: the TRAINING-ORDER export — p4 packs the kept

@@ -442,6 +442,16 @@ object TextOps {
     * edit here is an edit to every preference order at once. */
   def mixHash(c: Column): Column = c % MixHashMod * MixHashMul % MixHashMod
 
+  /** The declared per-source weight table, w = (srcN mod 4) + 1 — the
+    * ONE weight config in the repo, read by t14's doc-count blend and
+    * p9's token-budget blend (the same mixture at two granularities);
+    * a single source so an edit here changes BOTH gates together,
+    * never one. Suffix semantics are the oracle's substr(source, 4):
+    * unbounded length, so Scala and DuckDB cannot diverge on source
+    * names with long numeric suffixes. */
+  def sourceWeight(source: Column): Column =
+    source.substr(lit(4), length(source)).cast("long") % 4 + 1
+
   /** t14 mixture sampling: the data-mixing step of a training pipeline —
     * downsample each source so the blended corpus approaches target
     * mixture weights, keeping as much data as possible without
@@ -456,16 +466,6 @@ object TextOps {
     * rows, broadcast back by AQE), one narrow hash-filter map over the
     * corpus, one ledger aggregation. The corpus is read once and never
     * shuffled on a wide key. */
-  /** The declared per-source weight table, w = (srcN mod 4) + 1 — the
-    * ONE weight config in the repo, read by t14's doc-count blend and
-    * p9's token-budget blend (the same mixture at two granularities);
-    * a single source so an edit here changes BOTH gates together,
-    * never one. Suffix semantics are the oracle's substr(source, 4):
-    * unbounded length, so Scala and DuckDB cannot diverge on source
-    * names with long numeric suffixes. */
-  def sourceWeight(source: Column): Column =
-    source.substr(lit(4), length(source)).cast("long") % 4 + 1
-
   def t14MixSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Sources.table(spark, dir, "documents")
       .select(col("source"), col("doc_id"), sourceWeight(col("source")).as("w"))

@@ -128,9 +128,17 @@ object BlendMonitor {
     StreamSketch.swapStore(spark, tmp, stats)
   }
 
-  private def blendBatch(batch: DataFrame, batchId: Long,
-                         stats: String, ledger: String): Unit = {
+  private[graft] def blendBatch(batch: DataFrame, batchId: Long,
+                                stats: String, ledger: String): Unit = {
     val session = batch.sparkSession
+    // Store-open heal FIRST, before the per-batch write: a crash
+    // between swapStore's renames leaves the full history only at
+    // `_retired`, and writing `batch_id=N` first would recreate the
+    // store as a single-batch partial — turning the heal into a no-op
+    // and letting the next compaction's delete destroy the only full
+    // copy. Same contract as every other store open (IncrementalDedup/
+    // FullFunnel/IncrementalExport/LateLedger readStore).
+    StreamSketch.healRetiredStore(session, stats)
     // the batch's per-source token totals — a sources-sized partial,
     // the only thing that ever reads the batch's text
     batch
