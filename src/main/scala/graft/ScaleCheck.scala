@@ -161,7 +161,17 @@ object ScaleCheck {
     // the streaming blend monitor: per-batch narrow aggregates with
     // sources-sized outputs; expected the stream-replay band — and its
     // mid-stream stats fold, the cheapest compaction verb (sources rows)
-    "p11_stream_blend", "p12_blend_compact")
+    "p11_stream_blend", "p12_blend_compact",
+    // r15 additions: the probe-matrix completions (s18/s19's classes
+    // at the hier 2√k assignment — the query set is fixed under the
+    // scaled fixture's zeroed replica labels, so probe pairs grow with
+    // cell membership: linear at fixed k, unlike the all-corpus bulk
+    // gates), the image near-dup (m8's ranged decode + a df-capped
+    // band equi-join — d2's bounded-bucket class), and the streaming
+    // sampler (per-batch re-derivation over the accreting NARROW stats
+    // store — the stream-replay band)
+    "s28_hier_filtered", "s29_hier_radius", "m13_bmp_near_dup",
+    "p13_stream_sample")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

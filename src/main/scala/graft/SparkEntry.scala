@@ -100,6 +100,8 @@ object SparkEntry {
     "s21_ann_bulk_probe" -> (SimilarityOps.s21AnnBulkProbe _),
     "s21_bulk_topk" -> (SimilarityOps.s21AnnBulkTopK _),
     "s22_ann_hier" -> (SimilarityOps.s22AnnHier _),
+    "s28_hier_filtered" -> (SimilarityOps.s28HierFiltered _),
+    "s29_hier_radius" -> (SimilarityOps.s29HierRadius _),
     "s25_hier_delete_compact" ->
       (graft.streaming.StreamAnnIngest.s25HierDeleteCompact _),
     "s26_hier_retrain" -> (SimilarityOps.s26HierRetrain _),
@@ -142,6 +144,7 @@ object SparkEntry {
     "m10_wav_thumbnail" -> (MultimodalOps.m10WavThumbnail _),
     "m11_wav_audit" -> (MultimodalOps.m11WavAudit _),
     "m12_bmp_audit" -> (MultimodalOps.m12BmpAudit _),
+    "m13_bmp_near_dup" -> (MultimodalOps.m13BmpNearDup _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -154,6 +157,7 @@ object SparkEntry {
     "p10_sampled_export" -> (graft.ops.PipelineOps.p10SampledExport _),
     "p11_stream_blend" -> (graft.streaming.BlendMonitor.p11StreamBlend _),
     "p12_blend_compact" -> (graft.streaming.BlendMonitor.p12BlendCompact _),
+    "p13_stream_sample" -> (graft.streaming.StreamSampler.p13StreamSample _),
     "p7_export_compact" ->
       (graft.streaming.IncrementalExport.p7ExportCompact _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
@@ -574,12 +578,17 @@ object SparkEntry {
   private def hierIvfSqlWhere(corpusFilter: String): String =
     hierIvfSqlFromNf(s"nf AS (SELECT * FROM n $corpusFilter)")
 
-  /** The hier chain over an arbitrary corpus CTE `nf` (filtered for the
-    * survivor gates, REWRITTEN for the upsert gate) — the codebook
-    * always derives from the original full set `n`. */
-  private def hierIvfSqlFromNf(nfCte: String): String = {
+  /** The hier chain's CTE prefix through `asn` (the per-vector cell
+    * assignment) over an arbitrary corpus CTE `nf` — the codebook
+    * always derives from the original full set `n`. `extra` columns
+    * present on `nf` ride through every CTE untouched (s28's tenant),
+    * mirroring the engine's `extra` seam on hierAssignWithCodebook. */
+  private def hierAsnCtes(nfCte: String, extra: Seq[String] = Nil): String = {
     val dim = SimilarityOps.SignBands * SimilarityOps.BandBits
     val sub = SimilarityOps.HierSub
+    val xNf = extra.map(c => s", nf.$c").mkString
+    val xG1 = extra.map(c => s", g1.$c").mkString
+    val x = extra.map(c => s", $c").mkString
     s"""WITH $embCte,
        |$nfCte,
        |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
@@ -588,17 +597,42 @@ object SparkEntry {
        |  FROM gseed CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY g, i),
        |sup AS (SELECT g, sv, sqrt(list_inner_product(sv, sv)) AS sn
        |  FROM (SELECT g, list(sval ORDER BY i) AS sv FROM sm GROUP BY g)),
-       |a1 AS (SELECT nf.vec_id, nf.v, nf.nrm, nf.label, s.g, list_inner_product(nf.v, s.sv) / (nf.nrm * s.sn) AS gcos FROM nf CROSS JOIN sup s),
-       |r1 AS (SELECT vec_id, v, nrm, label, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, g) AS grn FROM a1),
-       |g1 AS (SELECT vec_id, v, nrm, label, g FROM r1 WHERE grn = 1),
-       |a2 AS (SELECT g1.vec_id, g1.v, g1.nrm, g1.label, s.c_id, list_inner_product(g1.v, s.cv) / (g1.nrm * s.cn) AS ccos FROM g1 JOIN gseed s ON s.g = g1.g),
-       |r2 AS (SELECT vec_id, v, nrm, label, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM a2),
-       |asn AS (SELECT vec_id, v, nrm, label, cell FROM r2 WHERE arn = 1),
+       |a1 AS (SELECT nf.vec_id, nf.v, nf.nrm, nf.label$xNf, s.g, list_inner_product(nf.v, s.sv) / (nf.nrm * s.sn) AS gcos FROM nf CROSS JOIN sup s),
+       |r1 AS (SELECT vec_id, v, nrm, label$x, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, g) AS grn FROM a1),
+       |g1 AS (SELECT vec_id, v, nrm, label$x, g FROM r1 WHERE grn = 1),
+       |a2 AS (SELECT g1.vec_id, g1.v, g1.nrm, g1.label$xG1, s.c_id, list_inner_product(g1.v, s.cv) / (g1.nrm * s.cn) AS ccos FROM g1 JOIN gseed s ON s.g = g1.g),
+       |r2 AS (SELECT vec_id, v, nrm, label$x, c_id AS cell, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM a2),
+       |asn AS (SELECT vec_id, v, nrm, label$x, cell FROM r2 WHERE arn = 1)""".stripMargin
+  }
+
+  /** The hier chain over an arbitrary corpus CTE `nf` (filtered for the
+    * survivor gates, REWRITTEN for the upsert gate) with s3's top-3
+    * probe tail. */
+  private def hierIvfSqlFromNf(nfCte: String): String =
+    s"""${hierAsnCtes(nfCte)},
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
        |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id),
        |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
        |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
-  }
+
+  /** s28's oracle: the hier chain with s18's tenant threaded through
+    * the assignment and into the probe's join key. */
+  private def s28HierFilteredSql: String =
+    s"""${hierAsnCtes(
+        s"nf AS (SELECT n.*, vec_id % ${SimilarityOps.TenantMod} AS tenant FROM n)",
+        Seq("tenant"))},
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell, tenant FROM asn WHERE label = 1),
+       |p AS (SELECT q.q_id, a.vec_id AS n_id, q.tenant, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a ON a.cell = q.cell AND a.tenant = q.tenant WHERE a.vec_id <> q.q_id),
+       |r AS (SELECT q_id, n_id, tenant, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM p)
+       |SELECT q_id, n_id, round(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk, CAST(tenant AS BIGINT) AS tenant
+       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  /** s29's oracle: the hier chain with s19's radius tail. */
+  private def s29HierRadiusSql: String =
+    s"""${hierAsnCtes("nf AS (SELECT * FROM n)")},
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asn WHERE label = 1),
+       |p AS (SELECT q.q_id, a.vec_id AS n_id, list_inner_product(q.qv, a.v) / (q.qn * a.nrm) AS c FROM q JOIN asn a USING (cell) WHERE a.vec_id <> q.q_id)
+       |SELECT q_id, n_id, round(c, 4) AS cos_sim FROM p WHERE c >= ${SimilarityOps.RadiusTau} ORDER BY q_id, n_id""".stripMargin
 
   private val s22HierSql: String = hierIvfSqlWhere("")
 
@@ -686,6 +720,42 @@ object SparkEntry {
        |CAST((w * tot_m) // w_m AS BIGINT) AS budget
        |FROM wt JOIN mr ON mr.batch_id = wt.batch_id
        |ORDER BY batch_id, source""".stripMargin
+  }
+
+  /** p13's oracle: p9's full closed-form chain — weight table, binding
+    * source, integer budgets, u-ordered prefix keep, bucket-folded
+    * kept-id digest — re-derived PER BATCH over the wave rule's arrived
+    * corpus (`doc_id mod SplitFiles ≤ b`, p11's membership CTE). Every
+    * (batch, source) ledger row, digest included, is replayed exactly;
+    * the final batch's rows are p9's by construction. */
+  private lazy val p13StreamSampleSql: String = {
+    val m = graft.streaming.StreamSketch.SplitFiles
+    val (mod, mul) = (TextOps.MixHashMod, TextOps.MixHashMul)
+    val width = TextOps.MixHashMod / PipelineOps.MixBuckets
+    s"""WITH tok AS (SELECT doc_id, source, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tok FROM documents),
+       |t AS (SELECT doc_id, source, n_tok, doc_id % $mod * $mul % $mod AS u, doc_id % $m AS wave FROM tok WHERE n_tok > 0),
+       |b AS (SELECT unnest(range($m)) AS batch_id),
+       |tb AS (SELECT b.batch_id, t.doc_id, t.source, t.n_tok, t.u, t.u // $width AS bucket FROM b JOIN t ON t.wave <= b.batch_id),
+       |wt AS (SELECT batch_id, source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w, sum(n_tok) AS tot FROM tb GROUP BY 1, 2),
+       |mr AS (SELECT batch_id, tot AS tot_m, w AS w_m FROM (SELECT wt.*, row_number() OVER (PARTITION BY batch_id ORDER BY tot * 1.0 / w, source) AS rn FROM wt) WHERE rn = 1),
+       |bdg AS (SELECT wt.batch_id, wt.source, wt.w, (wt.w * mr.tot_m) // mr.w_m AS budget FROM wt JOIN mr ON mr.batch_id = wt.batch_id),
+       |c AS (SELECT tb.*, sum(n_tok) OVER (PARTITION BY batch_id, source ORDER BY u, doc_id) AS cum FROM tb),
+       |s AS (SELECT c.*, g.w, g.budget, CASE WHEN cum - n_tok < g.budget THEN 1 ELSE 0 END AS keep FROM c JOIN bdg g ON g.batch_id = c.batch_id AND g.source = c.source),
+       |sb AS (SELECT batch_id, source, bucket, min(w) AS w, min(budget) AS budget,
+       |  count(*) AS b_docs, sum(n_tok) AS b_tok,
+       |  sum(keep) AS b_docs_sampled,
+       |  sum(CASE WHEN keep = 1 THEN n_tok ELSE 0 END) AS b_tok_sampled,
+       |  md5(string_agg(CASE WHEN keep = 1 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY u, doc_id)) AS sub_md5
+       |  FROM s GROUP BY 1, 2, 3)
+       |SELECT CAST(batch_id AS BIGINT) AS batch_id, source,
+       |CAST(min(w) AS BIGINT) AS w,
+       |CAST(min(budget) AS BIGINT) AS budget,
+       |CAST(sum(b_docs) AS BIGINT) AS n_docs,
+       |CAST(sum(b_tok) AS BIGINT) AS n_tok,
+       |CAST(sum(b_docs_sampled) AS BIGINT) AS n_docs_sampled,
+       |CAST(sum(b_tok_sampled) AS BIGINT) AS n_tok_sampled,
+       |md5(string_agg(CASE WHEN b_docs_sampled > 0 THEN sub_md5 END, ',' ORDER BY bucket)) AS sample_md5
+       |FROM sb GROUP BY 1, 2 ORDER BY batch_id, source""".stripMargin
   }
 
   private lazy val p6ExportSql: String = {
@@ -1342,6 +1412,7 @@ object SparkEntry {
     // totals, t14's weight, the binding source by (tot/w, source), and
     // the integer largest-feasible budget — every ledger row re-derived
     "p11_stream_blend" -> p11BlendSql,
+    "p13_stream_sample" -> p13StreamSampleSql,
     // p12 is p11 with the stats store compacted MID-STREAM (x20's fold
     // move with sum for max): the ledger must be byte-identical, so the
     // oracle is p11's SQL verbatim — the fold itself is spec-pinned
@@ -1647,6 +1718,8 @@ object SparkEntry {
     // level-1 argmax over the G super-centroids, level-2 argmax within
     // the chosen group, then s3's probe chain verbatim
     "s22_ann_hier" -> s22HierSql,
+    "s28_hier_filtered" -> s28HierFilteredSql,
+    "s29_hier_radius" -> s29HierRadiusSql,
     // s23 serves batch s22's answer from a STREAM-BUILT hier index
     // store, so the oracle is s22's SQL verbatim (shared string):
     // stream-built ≡ batch-built under the two-level quantizer, the
@@ -1961,6 +2034,32 @@ object SparkEntry {
          |  + strpos('0123456789abcdef', substr(bh, 2, 1)) - 1)) AS BIGINT) AS lum_sum,
          |md5(array_to_string(bhs, '')) AS thumb_md5
          |FROM t ORDER BY media_id""".stripMargin
+    },
+    // m13 replays the WHOLE near-dup chain in closed form: m8's
+    // thumbnail pixel math (same idxs/zero-fill CTEs), the integer
+    // mean, the bit rule, the band packing, the df cap, the banded
+    // candidate join, and the Hamming verify — a codec, stride, mean,
+    // bit-order, or banding bug lands on different pairs
+    "m13_bmp_near_dup" -> {
+      val tw = MultimodalOps.ThumbW; val th = MultimodalOps.ThumbH
+      val nb = MultimodalOps.AHashBands; val bb = MultimodalOps.AHashBandBits
+      s"""WITH g AS (SELECT doc_id, 16 + doc_id % 17 AS w, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h FROM documents),
+         |d AS (SELECT doc_id, w, n, h, greatest((n + w - 1) // w, 1) AS hgt FROM g),
+         |b AS (SELECT doc_id, list_transform(range(0, ${tw * th}),
+         |        p -> ((p // $tw) * hgt // $th) * w + ((p % $tw) * w // $tw)) AS idxs, n, h FROM d),
+         |px AS (SELECT doc_id, list_transform(idxs, i -> CASE WHEN i < n THEN (strpos('0123456789abcdef', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, CAST(2*i+2 AS INT), 1)) - 1 ELSE 0 END) AS pxs FROM b),
+         |ah AS (SELECT doc_id, pxs, list_sum(pxs) // ${tw * th} AS mean FROM px),
+         |bits AS (SELECT doc_id, list_transform(range(0, ${tw * th}), p -> CASE WHEN pxs[CAST(p+1 AS INT)] > mean THEN 1 ELSE 0 END) AS bs FROM ah),
+         |bands AS (SELECT doc_id, k AS bi, CAST(list_sum(list_transform(range(0, $bb), j -> bs[CAST($bb*k + j + 1 AS INT)] * (1 << CAST(j AS INT)))) AS BIGINT) AS bv
+         |  FROM bits CROSS JOIN (SELECT unnest(range($nb)) AS k)),
+         |okb AS (SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) <= ${MultimodalOps.AHashDfMax}),
+         |cb AS (SELECT bands.* FROM bands JOIN okb USING (bi, bv)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM cb x JOIN cb y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |bw AS (SELECT doc_id, list(bv ORDER BY bi) AS bvs FROM bands GROUP BY doc_id),
+         |ver AS (SELECT a_id, b_id,
+         |  CAST(list_sum(list_transform(range($nb), k -> bit_count(xor(x.bvs[CAST(k+1 AS INT)], y.bvs[CAST(k+1 AS INT)])))) AS BIGINT) AS hamming
+         |  FROM cand JOIN bw x ON x.doc_id = a_id JOIN bw y ON y.doc_id = b_id)
+         |SELECT a_id, b_id, hamming FROM ver WHERE hamming <= ${MultimodalOps.AHashHamMax} ORDER BY a_id, b_id""".stripMargin
     },
     // every sampled frame from closed form: frame fi's payload is the
     // byte slice [fi·fp, fi·fp+flen), its BMP pads to w·fh with zero

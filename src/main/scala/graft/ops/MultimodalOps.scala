@@ -990,6 +990,105 @@ object MultimodalOps {
       .orderBy("outcome")
   }
 
+  // ---- m13: image near-dup via average-hash --------------------------
+
+  /** m13 banding geometry: the 64-bit aHash splits into [[AHashBands]]
+    * bands of [[AHashBandBits]] bits; pairs sharing any band value are
+    * candidates (pigeonhole: every pair within Hamming 3 is guaranteed
+    * to share a band — pairs beyond that are found when the banding
+    * collides, d5's declared approximate-with-replayed-banding
+    * semantics). [[AHashDfMax]] is d2's df discipline on the band key:
+    * a band value hotter than this (the all-ones band every saturated
+    * thumbnail shares — the one value whose bucket grows WITH the
+    * corpus) is dropped from candidate generation, oracle-mirrored, so
+    * candidate cost stays Σ bounded-bucket² instead of going quadratic
+    * on the hot value. [[AHashHamMax]] is the verify threshold. */
+  val AHashBands = 4
+  val AHashBandBits = 16
+  val AHashDfMax = 100L
+  val AHashHamMax = 10L
+
+  /** The per-image aHash bands through the REAL codec path: m8's
+    * seek-decoded 8×8 thumbnail → integer mean → bit p set iff
+    * pixel p > mean → [[AHashBands]] × [[AHashBandBits]]-bit band
+    * values. One narrow map, one row per image. */
+  private def ahashBands(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(
+      StructField("media_id", LongType) +:
+        (0 until AHashBands).map(k => StructField(s"b$k", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val thumb = decodeBmpThumb(buildBmp(id, r.getAs[Array[Byte]](1)))
+          var lum = 0L
+          thumb.foreach(b => lum += (b & 0xff))
+          val mean = lum / (ThumbW * ThumbH)
+          val vals = (0 until AHashBands).map { k =>
+            var bv = 0L
+            var j = 0
+            while (j < AHashBandBits) {
+              if ((thumb(k * AHashBandBits + j) & 0xff) > mean) bv |= 1L << j
+              j += 1
+            }
+            bv
+          }
+          Row.fromSeq(id +: vals)
+        }
+      }(enc)
+  }
+
+  /** m13 image near-dup: the d-family's dedup discipline applied to the
+    * MULTIMODAL column — perceptual average-hash (aHash) fingerprints
+    * through m8's real BMP codec, banded LSH candidates, exact Hamming
+    * verify at ≤ [[AHashHamMax]]. This is the image-corpus twin of d3
+    * (MinHash bands → verify) and d5 (sign-LSH bands → verify): the
+    * fingerprint is perceptual (a thumbnail bit flips only when a
+    * pixel crosses the image's own mean), candidates meet on a bounded
+    * equi-join key, and the oracle replays the identical pixel math,
+    * banding, df cap, and verify in closed form — any codec, stride,
+    * mean, or bit-order bug lands on different pairs.
+    *
+    * Scale shape: one narrow codec map per image (O(thumb) ranged
+    * reads, the m8 law), a 4-rows-per-image band explode, the df-
+    * capped (band, value) equi-join (never all-pairs), and a verify
+    * join that moves only 5-column fingerprint rows — never pixels.
+    * The one growing-bucket hazard (the saturated all-ones band) is
+    * exactly what [[AHashDfMax]] drops. */
+  def m13BmpNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = ahashBands(spark, dir)
+    val bandCols = (0 until AHashBands).map { k =>
+      struct(lit(k.toLong).as("bi"), col(s"b$k").as("bv"))
+    }
+    val bands = fp
+      .select(col("media_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("media_id"), col("band.bi"), col("band.bv"))
+    val okBands = bands.groupBy("bi", "bv")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= AHashDfMax)
+      .select("bi", "bv")
+    val capped = bands.join(okBands, Seq("bi", "bv"))
+    val cand = capped.as("x").join(capped.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"))
+      .distinct()
+    val a = fp.select(col("media_id").as("a_id") +:
+      (0 until AHashBands).map(k => col(s"b$k").as(s"a$k")): _*)
+    val b = fp.select(col("media_id").as("b_id") +:
+      (0 until AHashBands).map(k => col(s"b$k").as(s"bb$k")): _*)
+    val ham = (0 until AHashBands)
+      .map(k => bit_count(col(s"a$k").bitwiseXOR(col(s"bb$k"))).cast("long"))
+      .reduce(_ + _)
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= AHashHamMax)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** m1: metadata + content-hash projection over the media table —
     * the oracle-checkable slice of the multimodal path. */
   def m1MultimodalMeta(spark: SparkSession, dir: String): DataFrame =

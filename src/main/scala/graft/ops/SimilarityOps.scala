@@ -1387,14 +1387,16 @@ object SimilarityOps {
     * The chosen group's subs are fetched by the WINNING FOLD POSITION
     * ([[bestGroupIdx]]) — O(1), and correct under the sparse group ids
     * a retrained codebook (s26) has. */
-  private[graft] def hierAssignWithCodebook(frame: DataFrame, arr: DataFrame): DataFrame = {
+  private[graft] def hierAssignWithCodebook(frame: DataFrame, arr: DataFrame,
+                                            extra: Seq[String] = Nil): DataFrame = {
     frame.crossJoin(broadcast(arr))
       .withColumn("gidx", bestGroupIdx(col("groups"), col("v"), col("nrm")))
       .withColumn("subs",
         element_at(col("groups"), col("gidx") + 1).getField("subs"))
       .withColumn("best", bestCellStruct(col("subs"), col("v"), col("nrm")))
-      .select(col("vec_id"), col("v"), col("nrm"), col("label"),
-        col("best.c_id").as("cell"), col("best.ccos").as("ccos"))
+      .select(Seq(col("vec_id"), col("v"), col("nrm"), col("label"),
+        col("best.c_id").as("cell"), col("best.ccos").as("ccos")) ++
+        extra.map(col): _*)
   }
 
   /** Probed cell ids for one QUERY under the hierarchical quantizer at
@@ -1472,6 +1474,55 @@ object SimilarityOps {
   def s22AnnHier(spark: SparkSession, dir: String): DataFrame = {
     val all = normed(spark, dir)
     probeAssigned(hierAssignCells(all, ivfSeedCentroids(all), HierSub))
+  }
+
+  /** s28: s18's tenant-partitioned (filtered) probe under the HIER
+    * quantizer — the "metadata predicate pushed INTO the index read"
+    * probe mode proven on the two-level codebook, completing the
+    * probe-mode × quantizer matrix (top-k / multiprobe / filtered /
+    * radius, each on flat AND hier). The tenant column rides through
+    * the assignment untouched ([[hierAssignWithCodebook]]'s `extra`
+    * seam — the quantizer never reads it) and lands in the join key,
+    * so the candidate set shrinks to (cell, tenant) buckets: the
+    * filter CUTS probe work rather than post-filtering it, exactly
+    * s18's scale argument, at the hier assignment's N·2√k cost. */
+  def s28HierFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+      .withColumn("tenant", (col("vec_id") % TenantMod).cast("long"))
+    val arr = hierCentArr(ivfSeedCentroids(all.drop("tenant")), HierSub)
+    val assigned = hierAssignWithCodebook(all, arr, extra = Seq("tenant"))
+    val q = assigned.filter(col("label") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"), col("tenant"))
+    val pairs = assigned.join(broadcast(q), Seq("cell", "tenant"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("cos_sim"),
+        col("rnk"), col("tenant"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** s29: s19's radius probe under the HIER quantizer — "everything
+    * with cosine ≥ [[RadiusTau]]" answered from the two-level cells.
+    * Same scale shape as s19 (the rank window disappears; the whole
+    * probe is one broadcast hash join with a fused threshold filter),
+    * with the assignment cost dropped from N·k to N·2√k. The oracle
+    * replays the hier chain with the threshold tail. */
+  def s29HierRadius(spark: SparkSession, dir: String): DataFrame = {
+    val all = normed(spark, dir)
+    val assigned = hierAssignCells(all, ivfSeedCentroids(all), HierSub)
+    val q = assigned.filter(col("label") === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .filter(col("c") >= RadiusTau)
+      .select(col("q_id"), col("vec_id").as("n_id"), r4(col("c")).as("cos_sim"))
+      .orderBy("q_id", "n_id")
   }
 
   /** The k-cell hierarchical assignment at an explicit (k, sub) — the

@@ -609,6 +609,69 @@ class StreamEquivSpec extends AnyFunSuite {
       "the blend ledger diverged after the mid-stream stats fold")
   }
 
+  test("p13 stream sampler: ledger accretes per batch, final batch ≡ p9's sample, binding source whole") {
+    val (df, nBatches) = graft.streaming.StreamSampler.p13WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val ledger = df.collect()
+    // the composition pin: after the final batch the arrived corpus IS
+    // the whole table, so the last batch's rows — kept counts AND the
+    // kept-set digest — must equal p9's batch answer column for column
+    val streamFinal = ledger.filter(_.getLong(0) == nBatches - 1L)
+      .map(r => r.toSeq.drop(1)).toSet
+    val batchView = graft.ops.PipelineOps.p9WeightedMixture(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(streamFinal == batchView,
+      "final-batch sample ledger differs from p9's batch view of the same corpus")
+    // every batch keeps its binding source whole (n_tok_sampled == tot
+    // for at least one source) and never samples past any budget
+    (0L until nBatches).foreach { b =>
+      val br = ledger.filter(_.getLong(0) == b)
+      assert(br.nonEmpty, s"batch $b emitted no ledger rows")
+      assert(br.exists(r => r.getLong(3) == r.getLong(5)),
+        s"batch $b has no binding source kept whole")
+      // budgets are floors with the crossing doc kept, so sampled
+      // tokens may exceed the budget only by the crossing doc — and
+      // sampled docs never exceed arrived docs
+      br.foreach { r =>
+        assert(r.getLong(6) <= r.getLong(4), s"batch $b sampled more docs than arrived")
+      }
+    }
+  }
+
+  test("p11 blendBatch heals a crashed swap BEFORE its per-batch write: totals stay full-history") {
+    import org.apache.spark.sql.functions._
+    val sm = graft.streaming.StreamSketch.SplitFiles
+    val work = java.nio.file.Files.createTempDirectory("graft_blendheal_").toString
+    val stats = s"$work/stats"
+    val ledger = s"$work/ledger"
+    val docs = Sources.table(spark, sf, "documents").select("doc_id", "source", "text")
+    def wave(b: Int) = docs.filter(col("doc_id") % sm === b)
+    graft.streaming.BlendMonitor.blendBatch(wave(0), 0L, stats, ledger)
+    graft.streaming.BlendMonitor.blendBatch(wave(1), 1L, stats, ledger)
+    // simulate the crash window between swapStore's renames: the live
+    // stats store is absent, the only full-history copy sits at _retired
+    val fs = new org.apache.hadoop.fs.Path(stats)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(stats),
+      new org.apache.hadoop.fs.Path(stats + "_retired")))
+    // the NEXT batch must heal first — writing batch_id=2 into a fresh
+    // store before the heal would collapse totals to one batch's partial
+    graft.streaming.BlendMonitor.blendBatch(wave(2), 2L, stats, ledger)
+    val expected = docs.filter(col("doc_id") % sm <= 2)
+      .select(col("source"), size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .groupBy("source").agg(sum("n_tok").as("tot"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = spark.read.parquet(s"$ledger/batch_id=2")
+      .select("source", "tot")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected,
+      "batch-2 totals are not full-history — the heal did not run before the per-batch write")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stats + "_retired")),
+      "heal left _retired debris alongside a live store")
+  }
+
   test("s16 compaction after upserts: version-tombstones retire like delete-tombstones, one row per vec_id") {
     import org.apache.spark.sql.functions._
     val ops = graft.ops.SimilarityOps
