@@ -171,7 +171,17 @@ object ScaleCheck {
     // sampler (per-batch re-derivation over the accreting NARROW stats
     // store — the stream-replay band)
     "s28_hier_filtered", "s29_hier_radius", "m13_bmp_near_dup",
-    "p13_stream_sample")
+    "p13_stream_sample",
+    // r15 second wave: the streaming semantic dedup (d12's replay class
+    // with the batch × store join on the cell key — the per-batch cost
+    // grows with the arrived store at fixture batch sizes, the
+    // stream-replay band), the audio near-dup (m13's class: O(64)-byte
+    // ranged decode + the df-capped band join), and the delta feed
+    // (p13's class, twice per batch — expected ~2× p13's band)
+    "d20_stream_semdedup", "m14_wav_near_dup", "p14_sample_delta",
+    // the hier alert stream: s20's class (batch-sized assignment +
+    // broadcast watchlist probe per batch) at the 2√k fold
+    "s30_hier_radius_alert")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -76,6 +76,7 @@ object SparkEntry {
     "d11_dedup_impact" -> (DedupOps.d11DedupImpact _),
     "d12_stream_minhash" -> (graft.streaming.IncrementalDedup.d12StreamMinhash _),
     "d19_band_compact" -> (graft.streaming.IncrementalDedup.d19BandCompact _),
+    "d20_stream_semdedup" -> (graft.streaming.StreamSemDedup.d20StreamSemDedup _),
     "d13_consensus_near_dup" -> (DedupOps.d13ConsensusNearDup _),
     "d14_bloom_decontam" -> (DedupOps.d14BloomDecontamination _),
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
@@ -102,6 +103,8 @@ object SparkEntry {
     "s22_ann_hier" -> (SimilarityOps.s22AnnHier _),
     "s28_hier_filtered" -> (SimilarityOps.s28HierFiltered _),
     "s29_hier_radius" -> (SimilarityOps.s29HierRadius _),
+    "s30_hier_radius_alert" ->
+      (graft.streaming.StreamAnnIngest.s30HierRadiusAlert _),
     "s25_hier_delete_compact" ->
       (graft.streaming.StreamAnnIngest.s25HierDeleteCompact _),
     "s26_hier_retrain" -> (SimilarityOps.s26HierRetrain _),
@@ -145,6 +148,7 @@ object SparkEntry {
     "m11_wav_audit" -> (MultimodalOps.m11WavAudit _),
     "m12_bmp_audit" -> (MultimodalOps.m12BmpAudit _),
     "m13_bmp_near_dup" -> (MultimodalOps.m13BmpNearDup _),
+    "m14_wav_near_dup" -> (MultimodalOps.m14WavNearDup _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -158,6 +162,7 @@ object SparkEntry {
     "p11_stream_blend" -> (graft.streaming.BlendMonitor.p11StreamBlend _),
     "p12_blend_compact" -> (graft.streaming.BlendMonitor.p12BlendCompact _),
     "p13_stream_sample" -> (graft.streaming.StreamSampler.p13StreamSample _),
+    "p14_sample_delta" -> (graft.streaming.StreamSampler.p14SampleDelta _),
     "p7_export_compact" ->
       (graft.streaming.IncrementalExport.p7ExportCompact _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
@@ -636,6 +641,37 @@ object SparkEntry {
 
   private val s22HierSql: String = hierIvfSqlWhere("")
 
+  /** The hier SemDeDup pair chain through `pp` (the two-level codebook,
+    * both argmax levels, within-cell exact-cosine pairs at
+    * [[SimilarityOps.SemThreshold]] with the pairwise victim) — shared
+    * by d18's per-cell ledger tail and d20's pair-level tail, so the
+    * STREAM gate's oracle is the batch gate's chain verbatim (the
+    * stream ≡ batch claim as a shared string, the d12 ≡ d3 move lifted
+    * to the semantic family). */
+  private lazy val hierSemPairCtes: String = {
+    val dim = SimilarityOps.SignBands * SimilarityOps.BandBits
+    val sub = SimilarityOps.HierSub
+    s"""$embCte,
+       |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
+       |gseed AS (SELECT c_id, cv, cn, c_id // $sub AS g FROM seeds),
+       |sm AS (SELECT g, i, round(avg(cv[i]), ${SimilarityOps.CentroidScale}) AS sval
+       |  FROM gseed CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY g, i),
+       |sup AS (SELECT g, sv, sqrt(list_inner_product(sv, sv)) AS sn
+       |  FROM (SELECT g, list(sval ORDER BY i) AS sv FROM sm GROUP BY g)),
+       |a1 AS (SELECT n.vec_id, n.v, n.nrm, s.g, list_inner_product(n.v, s.sv) / (n.nrm * s.sn) AS gcos FROM n CROSS JOIN sup s),
+       |r1 AS (SELECT vec_id, v, nrm, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, g) AS grn FROM a1),
+       |g1 AS (SELECT vec_id, v, nrm, g FROM r1 WHERE grn = 1),
+       |a2 AS (SELECT g1.vec_id, g1.v, g1.nrm, s.c_id, list_inner_product(g1.v, s.cv) / (g1.nrm * s.cn) AS ccos FROM g1 JOIN gseed s ON s.g = g1.g),
+       |r2 AS (SELECT vec_id, v, nrm, c_id AS cell, ccos, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM a2),
+       |asn AS (SELECT vec_id, v, nrm, cell, ccos FROM r2 WHERE arn = 1),
+       |p AS (SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id, a.ccos AS acc, b.ccos AS bcc,
+       |  list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
+       |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |pp AS (SELECT cell, a_id, b_id, cs,
+       |  CASE WHEN acc > bcc THEN a_id WHEN acc < bcc THEN b_id ELSE greatest(a_id, b_id) END AS victim
+       |  FROM p WHERE cs >= ${SimilarityOps.SemThreshold})""".stripMargin
+  }
+
   /** s25's oracle: the hier chain over the surviving corpus with the
     * ORIGINAL full-set codebook — s12/s13's [[survivorIvfSql]] move on
     * the two-level quantizer (same tombstone rule, and compaction must
@@ -722,17 +758,18 @@ object SparkEntry {
        |ORDER BY batch_id, source""".stripMargin
   }
 
-  /** p13's oracle: p9's full closed-form chain — weight table, binding
-    * source, integer budgets, u-ordered prefix keep, bucket-folded
-    * kept-id digest — re-derived PER BATCH over the wave rule's arrived
-    * corpus (`doc_id mod SplitFiles ≤ b`, p11's membership CTE). Every
-    * (batch, source) ledger row, digest included, is replayed exactly;
-    * the final batch's rows are p9's by construction. */
-  private lazy val p13StreamSampleSql: String = {
+  /** The streaming sampler's closed-form keep chain through `s` (every
+    * doc's keep verdict per batch): p9's full derivation — weight
+    * table, binding source, integer budgets, u-ordered prefix keep —
+    * re-derived PER BATCH over the wave rule's arrived corpus
+    * (`doc_id mod SplitFiles ≤ b`, p11's membership CTE). Shared by
+    * p13's ledger tail and p14's delta tail, so the two streaming
+    * sampler oracles cannot drift on the keep rule. */
+  private lazy val streamSampleKeepCtes: String = {
     val m = graft.streaming.StreamSketch.SplitFiles
     val (mod, mul) = (TextOps.MixHashMod, TextOps.MixHashMul)
     val width = TextOps.MixHashMod / PipelineOps.MixBuckets
-    s"""WITH tok AS (SELECT doc_id, source, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tok FROM documents),
+    s"""tok AS (SELECT doc_id, source, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tok FROM documents),
        |t AS (SELECT doc_id, source, n_tok, doc_id % $mod * $mul % $mod AS u, doc_id % $m AS wave FROM tok WHERE n_tok > 0),
        |b AS (SELECT unnest(range($m)) AS batch_id),
        |tb AS (SELECT b.batch_id, t.doc_id, t.source, t.n_tok, t.u, t.u // $width AS bucket FROM b JOIN t ON t.wave <= b.batch_id),
@@ -740,7 +777,15 @@ object SparkEntry {
        |mr AS (SELECT batch_id, tot AS tot_m, w AS w_m FROM (SELECT wt.*, row_number() OVER (PARTITION BY batch_id ORDER BY tot * 1.0 / w, source) AS rn FROM wt) WHERE rn = 1),
        |bdg AS (SELECT wt.batch_id, wt.source, wt.w, (wt.w * mr.tot_m) // mr.w_m AS budget FROM wt JOIN mr ON mr.batch_id = wt.batch_id),
        |c AS (SELECT tb.*, sum(n_tok) OVER (PARTITION BY batch_id, source ORDER BY u, doc_id) AS cum FROM tb),
-       |s AS (SELECT c.*, g.w, g.budget, CASE WHEN cum - n_tok < g.budget THEN 1 ELSE 0 END AS keep FROM c JOIN bdg g ON g.batch_id = c.batch_id AND g.source = c.source),
+       |s AS (SELECT c.*, g.w, g.budget, CASE WHEN cum - n_tok < g.budget THEN 1 ELSE 0 END AS keep FROM c JOIN bdg g ON g.batch_id = c.batch_id AND g.source = c.source)""".stripMargin
+  }
+
+  /** p13's oracle: the shared keep chain + the per-(batch, source)
+    * ledger with the bucket-folded kept-id digest. Every ledger row,
+    * digest included, is replayed exactly; the final batch's rows are
+    * p9's by construction. */
+  private lazy val p13StreamSampleSql: String =
+    s"""WITH $streamSampleKeepCtes,
        |sb AS (SELECT batch_id, source, bucket, min(w) AS w, min(budget) AS budget,
        |  count(*) AS b_docs, sum(n_tok) AS b_tok,
        |  sum(keep) AS b_docs_sampled,
@@ -755,6 +800,38 @@ object SparkEntry {
        |CAST(sum(b_docs_sampled) AS BIGINT) AS n_docs_sampled,
        |CAST(sum(b_tok_sampled) AS BIGINT) AS n_tok_sampled,
        |md5(string_agg(CASE WHEN b_docs_sampled > 0 THEN sub_md5 END, ',' ORDER BY bucket)) AS sample_md5
+       |FROM sb GROUP BY 1, 2 ORDER BY batch_id, source""".stripMargin
+
+  /** p14's oracle: the shared keep chain, a one-batch-shifted self-join
+    * of the kept sets on (batch, doc), and the identical two-level
+    * digest fold over each difference set — every (batch, source) delta
+    * row, both digests included, replayed in closed form. Batch 0
+    * joins against the empty blend (kp is shifted OUT of range), so its
+    * rows are all-additions exactly as the engine's. */
+  private lazy val p14SampleDeltaSql: String = {
+    val m = graft.streaming.StreamSketch.SplitFiles
+    s"""WITH $streamSampleKeepCtes,
+       |k AS (SELECT batch_id, doc_id, source, u, bucket FROM s WHERE keep = 1),
+       |kp AS (SELECT batch_id + 1 AS batch_id, doc_id, source, u, bucket FROM k WHERE batch_id + 1 < $m),
+       |fo AS (SELECT coalesce(kb.batch_id, kp.batch_id) AS batch_id,
+       |  coalesce(kb.doc_id, kp.doc_id) AS doc_id,
+       |  coalesce(kb.source, kp.source) AS source,
+       |  coalesce(kb.u, kp.u) AS u, coalesce(kb.bucket, kp.bucket) AS bucket,
+       |  kb.doc_id IS NOT NULL AS now_in, kp.doc_id IS NOT NULL AS was_in
+       |  FROM k kb FULL OUTER JOIN kp ON kb.batch_id = kp.batch_id AND kb.doc_id = kp.doc_id),
+       |sb AS (SELECT batch_id, source, bucket,
+       |  sum(CASE WHEN now_in THEN 1 ELSE 0 END) AS b_kept,
+       |  sum(CASE WHEN now_in AND NOT was_in THEN 1 ELSE 0 END) AS b_added,
+       |  sum(CASE WHEN was_in AND NOT now_in THEN 1 ELSE 0 END) AS b_evicted,
+       |  md5(string_agg(CASE WHEN now_in AND NOT was_in THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY u, doc_id)) AS add_sub,
+       |  md5(string_agg(CASE WHEN was_in AND NOT now_in THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY u, doc_id)) AS ev_sub
+       |  FROM fo GROUP BY 1, 2, 3)
+       |SELECT CAST(batch_id AS BIGINT) AS batch_id, source,
+       |CAST(sum(b_kept) AS BIGINT) AS n_kept,
+       |CAST(sum(b_added) AS BIGINT) AS n_added,
+       |CAST(sum(b_evicted) AS BIGINT) AS n_evicted,
+       |CASE WHEN sum(b_added) > 0 THEN md5(string_agg(CASE WHEN b_added > 0 THEN add_sub END, ',' ORDER BY bucket)) END AS added_md5,
+       |CASE WHEN sum(b_evicted) > 0 THEN md5(string_agg(CASE WHEN b_evicted > 0 THEN ev_sub END, ',' ORDER BY bucket)) END AS evicted_md5
        |FROM sb GROUP BY 1, 2 ORDER BY batch_id, source""".stripMargin
   }
 
@@ -1413,6 +1490,9 @@ object SparkEntry {
     // the integer largest-feasible budget — every ledger row re-derived
     "p11_stream_blend" -> p11BlendSql,
     "p13_stream_sample" -> p13StreamSampleSql,
+    // p14 is the keep chain's one-batch-shifted self-diff: adds and
+    // evictions per (batch, source) with bucket-folded set digests
+    "p14_sample_delta" -> p14SampleDeltaSql,
     // p12 is p11 with the stats store compacted MID-STREAM (x20's fold
     // move with sum for max): the ledger must be byte-identical, so the
     // oracle is p11's SQL verbatim — the fold itself is spec-pinned
@@ -1599,27 +1679,7 @@ object SparkEntry {
     // argmax levels, then the identical SemDeDup accounting — the cells
     // are the two-level quantizer's own, replayed exactly
     "d18_semdedup_hier" -> {
-      val dim = SimilarityOps.SignBands * SimilarityOps.BandBits
-      val sub = SimilarityOps.HierSub
-      s"""WITH $embCte,
-         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < ${SimilarityOps.IvfCells}),
-         |gseed AS (SELECT c_id, cv, cn, c_id // $sub AS g FROM seeds),
-         |sm AS (SELECT g, i, round(avg(cv[i]), ${SimilarityOps.CentroidScale}) AS sval
-         |  FROM gseed CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY g, i),
-         |sup AS (SELECT g, sv, sqrt(list_inner_product(sv, sv)) AS sn
-         |  FROM (SELECT g, list(sval ORDER BY i) AS sv FROM sm GROUP BY g)),
-         |a1 AS (SELECT n.vec_id, n.v, n.nrm, s.g, list_inner_product(n.v, s.sv) / (n.nrm * s.sn) AS gcos FROM n CROSS JOIN sup s),
-         |r1 AS (SELECT vec_id, v, nrm, g, row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, g) AS grn FROM a1),
-         |g1 AS (SELECT vec_id, v, nrm, g FROM r1 WHERE grn = 1),
-         |a2 AS (SELECT g1.vec_id, g1.v, g1.nrm, s.c_id, list_inner_product(g1.v, s.cv) / (g1.nrm * s.cn) AS ccos FROM g1 JOIN gseed s ON s.g = g1.g),
-         |r2 AS (SELECT vec_id, v, nrm, c_id AS cell, ccos, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS arn FROM a2),
-         |asn AS (SELECT vec_id, v, nrm, cell, ccos FROM r2 WHERE arn = 1),
-         |p AS (SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id, a.ccos AS acc, b.ccos AS bcc,
-         |  list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
-         |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-         |pp AS (SELECT cell, a_id, b_id,
-         |  CASE WHEN acc > bcc THEN a_id WHEN acc < bcc THEN b_id ELSE greatest(a_id, b_id) END AS victim
-         |  FROM p WHERE cs >= ${SimilarityOps.SemThreshold}),
+      s"""WITH $hierSemPairCtes,
          |vict AS (SELECT cell, victim FROM pp GROUP BY cell, victim),
          |nd AS (SELECT cell, count(*) AS n_dropped FROM vict GROUP BY cell),
          |np AS (SELECT cell, count(*) AS n_pairs FROM pp GROUP BY cell),
@@ -1631,6 +1691,13 @@ object SparkEntry {
          |FROM nv LEFT JOIN np ON np.cell = nv.cell LEFT JOIN nd ON nd.cell = nv.cell
          |ORDER BY cell""".stripMargin
     },
+    // d20 = the SAME chain at pair granularity: the stream's per-batch
+    // pair union must equal the batch hier SemDeDup pair set exactly
+    // (stream ≡ batch, the d12 ≡ d3 move on the semantic family)
+    "d20_stream_semdedup" ->
+      s"""WITH $hierSemPairCtes
+         |SELECT a_id, b_id, round(cs, 4) AS cos_sim, victim
+         |FROM pp ORDER BY a_id, b_id""".stripMargin,
     // d16 = d10's transitive-closure recursion over d15's pair CTEs; the
     // component keeps its min-(ccos, vec_id) member — SemDeDup's rule at
     // group granularity
@@ -1720,6 +1787,9 @@ object SparkEntry {
     "s22_ann_hier" -> s22HierSql,
     "s28_hier_filtered" -> s28HierFilteredSql,
     "s29_hier_radius" -> s29HierRadiusSql,
+    // s30 must union to batch s29 exactly — the shared-string move s20
+    // makes with s19, lifted to the hier chain
+    "s30_hier_radius_alert" -> s29HierRadiusSql,
     // s23 serves batch s22's answer from a STREAM-BUILT hier index
     // store, so the oracle is s22's SQL verbatim (shared string):
     // stream-built ≡ batch-built under the two-level quantizer, the
@@ -2050,6 +2120,38 @@ object SparkEntry {
          |px AS (SELECT doc_id, list_transform(idxs, i -> CASE WHEN i < n THEN (strpos('0123456789abcdef', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, CAST(2*i+2 AS INT), 1)) - 1 ELSE 0 END) AS pxs FROM b),
          |ah AS (SELECT doc_id, pxs, list_sum(pxs) // ${tw * th} AS mean FROM px),
          |bits AS (SELECT doc_id, list_transform(range(0, ${tw * th}), p -> CASE WHEN pxs[CAST(p+1 AS INT)] > mean THEN 1 ELSE 0 END) AS bs FROM ah),
+         |bands AS (SELECT doc_id, k AS bi, CAST(list_sum(list_transform(range(0, $bb), j -> bs[CAST($bb*k + j + 1 AS INT)] * (1 << CAST(j AS INT)))) AS BIGINT) AS bv
+         |  FROM bits CROSS JOIN (SELECT unnest(range($nb)) AS k)),
+         |okb AS (SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) <= ${MultimodalOps.AHashDfMax}),
+         |cb AS (SELECT bands.* FROM bands JOIN okb USING (bi, bv)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM cb x JOIN cb y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |bw AS (SELECT doc_id, list(bv ORDER BY bi) AS bvs FROM bands GROUP BY doc_id),
+         |ver AS (SELECT a_id, b_id,
+         |  CAST(list_sum(list_transform(range($nb), k -> bit_count(xor(x.bvs[CAST(k+1 AS INT)], y.bvs[CAST(k+1 AS INT)])))) AS BIGINT) AS hamming
+         |  FROM cand JOIN bw x ON x.doc_id = a_id JOIN bw y ON y.doc_id = b_id)
+         |SELECT a_id, b_id, hamming FROM ver WHERE hamming <= ${MultimodalOps.AHashHamMax} ORDER BY a_id, b_id""".stripMargin
+    },
+    // m14 replays the audio near-dup chain in closed form: m10's slot
+    // seek math at WavHashSamples slots (fi·blockAlign, hex-nibble LE
+    // recovery, two's-complement fold), the TRUNCATING integer mean
+    // (DuckDB's integer `//` truncates toward zero — measured, matching
+    // the JVM's `/`), the bit rule, and m13's banding/df/Hamming tail
+    "m14_wav_near_dup" -> {
+      val t = MultimodalOps.WavHashSamples
+      val nb = MultimodalOps.AHashBands; val bb = MultimodalOps.AHashBandBits
+      s"""WITH g AS (SELECT doc_id, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h, (1 + doc_id % 2) AS ch FROM documents),
+         |d AS (SELECT doc_id, n, h, ch, 2 * ch AS ba, n // (2 * ch) AS nf FROM g),
+         |s AS (SELECT doc_id, h, ba, nf, unnest(range($t)) AS k FROM d WHERE nf >= 1),
+         |v AS (SELECT doc_id, k,
+         |  (strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba)+1 AS INT), 1)) - 1) * 16
+         |  + strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba)+2 AS INT), 1)) - 1
+         |  + 256 * ((strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba+1)+1 AS INT), 1)) - 1) * 16
+         |           + strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba+1)+2 AS INT), 1)) - 1) AS u
+         |  FROM s),
+         |sv AS (SELECT doc_id, k, CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS BIGINT) AS smp FROM v),
+         |lst AS (SELECT doc_id, list(smp ORDER BY k) AS ss FROM sv GROUP BY doc_id),
+         |mh AS (SELECT doc_id, ss, CAST(list_sum(ss) AS BIGINT) // $t AS mean FROM lst),
+         |bits AS (SELECT doc_id, list_transform(range(0, $t), p -> CASE WHEN ss[CAST(p+1 AS INT)] > mean THEN 1 ELSE 0 END) AS bs FROM mh),
          |bands AS (SELECT doc_id, k AS bi, CAST(list_sum(list_transform(range(0, $bb), j -> bs[CAST($bb*k + j + 1 AS INT)] * (1 << CAST(j AS INT)))) AS BIGINT) AS bv
          |  FROM bits CROSS JOIN (SELECT unnest(range($nb)) AS k)),
          |okb AS (SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) <= ${MultimodalOps.AHashDfMax}),

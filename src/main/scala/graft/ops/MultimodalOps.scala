@@ -758,7 +758,13 @@ object MultimodalOps {
     * bytes per object, never O(audio)). Returns (n_frames, signed
     * sample values in slot order). Offset math in Long first (the
     * m6/m7 rule). */
-  private[graft] def decodeWavThumb(bytes: Array[Byte]): (Long, Array[Int]) = {
+  private[graft] def decodeWavThumb(bytes: Array[Byte]): (Long, Array[Int]) =
+    decodeWavThumbN(bytes, AudioThumb)
+
+  /** [[decodeWavThumb]] at an explicit slot count — m14's fingerprint
+    * reads [[WavHashSamples]] slots through the identical frame-map and
+    * ranged-read law, so the two gates cannot drift on seek math. */
+  private[graft] def decodeWavThumbN(bytes: Array[Byte], slots: Int): (Long, Array[Int]) = {
     val (meta, dataOff) = walkWav(bytes)
     val ba = (meta.nChannels * (meta.bitDepth / 8)).toInt
     val nf = meta.dataBytes / ba
@@ -767,11 +773,11 @@ object MultimodalOps {
     // m11 philosophy — classify the degenerate container, never abort
     // the whole gate over one object
     if (nf < 1) return (0L, Array.emptyIntArray)
-    val out = new Array[Int](AudioThumb)
+    val out = new Array[Int](slots)
     var k = 0
-    while (k < AudioThumb) {
-      // nearest-neighbor frame map: floor(k·nf/AudioThumb) < nf
-      val fi = k.toLong * nf / AudioThumb
+    while (k < slots) {
+      // nearest-neighbor frame map: floor(k·nf/slots) < nf
+      val fi = k.toLong * nf / slots
       val boff = dataOff.toLong + fi * ba
       require(boff >= 0 && boff + 2 <= bytes.length,
         s"slot $k byte range [$boff, ${boff + 2}) outside ${bytes.length}-byte file")
@@ -1057,8 +1063,17 @@ object MultimodalOps {
     * join that moves only 5-column fingerprint rows — never pixels.
     * The one growing-bucket hazard (the saturated all-ones band) is
     * exactly what [[AHashDfMax]] drops. */
-  def m13BmpNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val fp = ahashBands(spark, dir)
+  def m13BmpNearDup(spark: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(ahashBands(spark, dir))
+
+  /** The banded near-dup chain over ANY [[AHashBands]]-band fingerprint
+    * frame (media_id, b0..b{n-1}) — the ONE source for the discipline
+    * both perceptual-hash gates share (m13 image aHash, m14 audio
+    * sample-hash): band explode, df cap on the (band, value) key, the
+    * capped equi-join candidate generation, and the exact
+    * `bit_count(xor)` Hamming verify at ≤ [[AHashHamMax]]. An edit to
+    * the banding discipline changes both gates together, never one. */
+  private def bandedHammingPairs(fp: DataFrame): DataFrame = {
     val bandCols = (0 until AHashBands).map { k =>
       struct(lit(k.toLong).as("bi"), col(s"b$k").as("bv"))
     }
@@ -1088,6 +1103,77 @@ object MultimodalOps {
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy("a_id", "b_id")
   }
+
+  // ---- m14: audio near-dup via sample-hash ---------------------------
+
+  /** Fingerprint width for m14 — [[AHashBands]] × [[AHashBandBits]]
+    * sample slots, so the audio hash packs into the same 4 × 16-bit
+    * band geometry as m13's image aHash and rides [[bandedHammingPairs]]
+    * unchanged. */
+  val WavHashSamples: Int = AHashBands * AHashBandBits
+
+  /** The per-payload audio-hash bands through the REAL codec path:
+    * [[decodeWavThumbN]]'s seek-decoded [[WavHashSamples]]-slot
+    * first-channel thumbnail (header-arithmetic ranged reads — never
+    * the full data chunk) → TRUNCATING integer mean over the signed
+    * samples (JVM `/`, matching DuckDB's integer `//` which truncates
+    * toward zero on negatives — measured, not assumed: -7 // 2 = -3;
+    * a floorDiv here would diverge on negative sums) → bit j set
+    * iff sample j > mean → [[AHashBands]] × [[AHashBandBits]]-bit band
+    * values. Payloads with no complete frame (nf = 0) carry no
+    * fingerprint — the m11 philosophy, classify-don't-abort. */
+  private def whashBands(spark: SparkSession, dir: String): DataFrame = {
+    val out = StructType(
+      StructField("media_id", LongType) +:
+        (0 until AHashBands).map(k => StructField(s"b$k", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text").cast("binary").as("data"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val wav = buildWav(id, r.getString(1), r.getAs[Array[Byte]](2))
+          val (nf, samples) = decodeWavThumbN(wav, WavHashSamples)
+          if (nf < 1) None
+          else {
+            var sum = 0L
+            samples.foreach(sum += _)
+            val mean = sum / WavHashSamples
+            val vals = (0 until AHashBands).map { k =>
+              var bv = 0L
+              var j = 0
+              while (j < AHashBandBits) {
+                if (samples(k * AHashBandBits + j) > mean) bv |= 1L << j
+                j += 1
+              }
+              bv
+            }
+            Some(Row.fromSeq(id +: vals))
+          }
+        }
+      }(enc)
+  }
+
+  /** m14 audio near-dup: m13's perceptual-hash dedup discipline applied
+    * to the SECOND codec family — completing the near-dup verb across
+    * both containers exactly as m11/m12 completed the audit verb: the
+    * fingerprint is perceptual over decoded SIGNED samples (a bit flips
+    * only when a sample crosses the payload's own mean), reads
+    * O([[WavHashSamples]]) bytes per object through the RIFF chunk walk
+    * + frame-map ranged reads (the m7/m10 law — never the full data
+    * chunk), and the candidate/verify chain is [[bandedHammingPairs]]
+    * verbatim. The oracle replays the whole chain in closed form —
+    * slot seeks at fi·blockAlign, hex-nibble LE recovery,
+    * two's-complement sign fold, floor-division mean, bit rule,
+    * banding, df cap, Hamming — so an endianness, block-align, sign,
+    * or rounding bug lands on different pairs.
+    *
+    * Scale shape: one narrow codec map per object, then m13's bounded
+    * chain — the df cap drops the one corpus-growing band value (the
+    * all-zeros band of near-silent payloads, the audio twin of m13's
+    * saturated band). */
+  def m14WavNearDup(spark: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(whashBands(spark, dir))
 
   /** m1: metadata + content-hash projection over the media table —
     * the oracle-checkable slice of the multimodal path. */

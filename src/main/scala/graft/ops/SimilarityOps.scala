@@ -1612,6 +1612,16 @@ object SimilarityOps {
   def d18SemDedupHier(spark: SparkSession, dir: String): DataFrame =
     d18SemDedupHierK(spark, dir, IvfCells, HierSub)
 
+  /** d18's duplicate pairs at PAIR granularity (a_id, b_id, cos_sim,
+    * victim) — the batch twin d20's streaming emission must union to
+    * exactly (StreamEquivSpec's stream ≡ batch pin for the semantic
+    * family). */
+  private[graft] def d20BatchPairs(spark: SparkSession, dir: String): DataFrame =
+    semPairs(s22HierAssignedK(spark, dir, IvfCells, HierSub))
+      .select(col("a_id"), col("b_id"),
+        graft.out.Canonical.r4(col("cs")).as("cos_sim"), col("victim"))
+      .orderBy("a_id", "b_id")
+
   private[graft] def d18SemDedupHierK(spark: SparkSession, dir: String,
                                       k: Int, sub: Int): DataFrame =
     d15Ledger(s22HierAssignedK(spark, dir, k, sub))

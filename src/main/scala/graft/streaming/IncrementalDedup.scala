@@ -133,8 +133,8 @@ object IncrementalDedup {
     * current one — a retried batch's own partial write must not feed
     * its re-run (double-counted shingles would corrupt the Jaccard).
     * Empty before the first batch commits. */
-  private def readStore(spark: SparkSession, path: String, batchId: Long,
-                        schema: StructType): DataFrame = {
+  private[streaming] def readStore(spark: SparkSession, path: String, batchId: Long,
+                                   schema: StructType): DataFrame = {
     // every per-batch open of a swap-target store heals the mid-swap
     // crash state first: without this, a missing store reads as EMPTY
     // (silently re-admitting every prior duplicate), the batch write

@@ -964,19 +964,59 @@ object StreamAnnIngest {
     * No ordering precondition: each arrival is checked independently
     * against the static watchlist, so the alert SET is replay-order
     * invariant (same class as s11's set-union index). */
-  private[graft] def s20WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int, Array[Long]) = {
+  private[graft] def s20WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int, Array[Long]) =
+    runRadiusAlertStream(spark, dir,
+      (all, path) =>
+        SimilarityOps.ivfSeedCentroids(all).coalesce(1).write.parquet(path),
+      (frame, art) => SimilarityOps.assignCells(frame, art))
+
+  // ---- s30: the alert stream under the hier quantizer -----------------
+
+  def s30HierRadiusAlert(spark: SparkSession, dir: String): DataFrame =
+    s30WithBatchCount(spark, dir)._1
+
+  /** s30: s20's alert-on-ingest with the quantizer artifact swapped to
+    * the TWO-LEVEL codebook — the streaming alert verb proven on the
+    * hier store exactly as s23 proved ingest and s25–s27 proved the
+    * lifecycle verbs: both assignment sites (the offline watchlist and
+    * the per-batch arrivals) run the G + sub ≈ 2√k fold instead of the
+    * flat k-sweep, and NOTHING else changes — [[runRadiusAlertStream]]
+    * is shared verbatim, because everything downstream of the cell
+    * column is quantizer-agnostic (s23's law, re-proven on the alert
+    * verb). The union of alert batches must equal batch s29, so the
+    * oracle is s29's SQL string verbatim (the shared-string move s20
+    * makes with s19, lifted to the hier chain). */
+  private[graft] def s30WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int, Array[Long]) =
+    runRadiusAlertStream(spark, dir,
+      (all, path) => {
+        val seeds = all.filter(col("vec_id") < SimilarityOps.IvfCells)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+        SimilarityOps.hierCentArr(seeds, SimilarityOps.HierSub)
+          .coalesce(1).write.parquet(path)
+      },
+      (frame, art) => SimilarityOps.hierAssignWithCodebook(frame, art)
+        .select("vec_id", "v", "nrm", "label", "cell"))
+
+  /** The alert-on-ingest scaffold with the quantizer as a SEAM: s20
+    * plugs the flat seed argmax, s30 the two-level fold. `writeQuantizer`
+    * writes the offline artifact; `assign` maps (frame, artifact) to
+    * assigned rows (vec_id, v, nrm, label, cell) — used for BOTH the
+    * one-time watchlist build and every per-batch arrival, so the two
+    * sides can never assign under different quantizers. */
+  private def runRadiusAlertStream(spark: SparkSession, dir: String,
+      writeQuantizer: (DataFrame, String) => Unit,
+      assign: (DataFrame, DataFrame) => DataFrame): (DataFrame, Int, Array[Long]) = {
     val work = Files.createTempDirectory("graft_annstream_radius_").toString
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
     all.select("vec_id", "v", "nrm", "label")
       .repartitionByRange(SplitFiles, col("vec_id"))
       .write.parquet(splitDir)
-    val seedsPath = s"$work/quantizer"
-    SimilarityOps.ivfSeedCentroids(all).coalesce(1).write.parquet(seedsPath)
+    val artPath = s"$work/quantizer"
+    writeQuantizer(all, artPath)
     // the offline watchlist artifact: queries with their cells, once
     val watchPath = s"$work/watchlist"
-    SimilarityOps.assignCells(all.filter(col("label") === 1),
-        SimilarityOps.ivfSeedCentroids(all))
+    assign(all.filter(col("label") === 1), spark.read.parquet(artPath))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell"))
       .coalesce(1).write.parquet(watchPath)
@@ -988,7 +1028,7 @@ object StreamAnnIngest {
       .parquet(splitDir)
       .writeStream
       .foreachBatch((batch: DataFrame, batchId: Long) =>
-        processAlertBatch(batch, batchId, seedsPath, watchPath, alerts))
+        processAlertBatch(batch, batchId, artPath, watchPath, alerts, assign))
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -1006,12 +1046,13 @@ object StreamAnnIngest {
   }
 
   private def processAlertBatch(batch: DataFrame, batchId: Long,
-                                seedsPath: String, watchPath: String,
-                                alerts: String): Unit = {
+                                artPath: String, watchPath: String,
+                                alerts: String,
+                                assign: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = batch.sparkSession
-    val seeds = spark.read.parquet(seedsPath)
+    val art = spark.read.parquet(artPath)
     val watch = spark.read.parquet(watchPath)
-    SimilarityOps.assignCells(batch, seeds)
+    assign(batch, art)
       .join(broadcast(watch), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("c",

@@ -71,6 +71,136 @@ object StreamSampler {
     (result, nBatches)
   }
 
+  // ---- p14: the kept-set CHANGE feed ---------------------------------
+
+  def p14SampleDelta(spark: SparkSession, dir: String): DataFrame =
+    p14WithBatchCount(spark, dir)._1
+
+  /** p14 sample-delta: the kept-set CHANGE feed — p13 answers "which
+    * documents are in the blend as of batch b"; p14 answers the question
+    * every downstream consumer of that blend (a tokenizer cache, an
+    * incremental trainer, a billing ledger) actually asks: "what
+    * CHANGED since the last crawl batch". Because the keep set is not
+    * monotone (p13's eviction note: a late small-u doc inserts into its
+    * source's preference prefix and pushes the previous tail doc out
+    * even as budgets grow), the delta has BOTH directions — per
+    * (batch, source) the ledger carries n_kept / n_added / n_evicted
+    * plus bucket-folded digests of the exact added and evicted id sets
+    * (null when empty, the p8/p9 zero-sample rule). Batch 0 compares
+    * against the empty blend, so its row is all-additions by
+    * construction.
+    *
+    * Correctness: both kept sets are re-derived per batch from p9's
+    * machinery verbatim ([[graft.ops.PipelineOps.sampleKeepFrameCached]]
+    * over the arrived stats at b and b−1), and the oracle replays the
+    * whole feed in closed form — the keep CTE per wave, a shifted
+    * self-join on (batch, doc), and the identical two-level digest
+    * fold over each difference set.
+    *
+    * Scale: two keep-rule derivations per batch over the accreting
+    * NARROW store (p13's band, twice), one doc_id-keyed full-outer join
+    * of two kept sets (4-column rows, never text), and the bounded
+    * bucket-folded digests — per-batch state in any single aggregation
+    * buffer stays ≤ set/(sources·buckets) ids. Both per-batch caches
+    * are dropped before the next batch. */
+  private[graft] def p14WithBatchCount(spark: SparkSession, dir: String)
+      : (DataFrame, Int) = {
+    val work = Files.createTempDirectory("graft_sampledelta_").toString
+    val stats = s"$work/stats"
+    val ledger = s"$work/ledger"
+    val docs = Sources.table(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+    val nBatches = StreamSketch.runWaveReplay(spark, docs, "doc_id", work, ledger) {
+      (batch, batchId) => deltaBatch(batch, batchId, stats, ledger)
+    }
+    val result = spark.read.parquet(ledger)
+      .select(col("batch_id").cast("long").as("batch_id"), col("source"),
+        col("n_kept"), col("n_added"), col("n_evicted"),
+        col("added_md5"), col("evicted_md5"))
+      .orderBy("batch_id", "source")
+    (result, nBatches)
+  }
+
+  /** The kept rows (doc_id, source, u, bucket) of the blend over the
+    * arrived corpus through batch `upTo`, plus the cached stats handle
+    * to drop after use; None when `upTo` precedes the stream. */
+  private def keptAt(session: SparkSession, stats: String, upTo: Long)
+      : Option[(DataFrame, DataFrame)] =
+    if (upTo < 0) None
+    else {
+      val arrived = session.read.parquet(stats)
+        .filter(col("batch_id") <= upTo)
+        .select("doc_id", "source", "n_tok")
+      val (cum, cached) = PipelineOps.sampleKeepFrameCached(
+        arrived, TextOps.sourceWeight(col("source")))
+      Some((cum.filter(col("keep")).select("doc_id", "source", "u", "bucket"),
+        cached))
+    }
+
+  private def deltaBatch(batch: DataFrame, batchId: Long,
+                         stats: String, ledger: String): Unit = {
+    val session = batch.sparkSession
+    StreamSketch.healRetiredStore(session, stats)
+    batch
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .write.mode("overwrite").parquet(s"$stats/batch_id=$batchId")
+    val nowPair = keptAt(session, stats, batchId).get
+    val prevPair = keptAt(session, stats, batchId - 1)
+    try {
+      val now = nowPair._1.select(col("doc_id"), col("source").as("n_src"),
+        col("u").as("n_u"), col("bucket").as("n_b"))
+      val prev = prevPair.map(_._1).getOrElse(
+          session.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            nowPair._1.schema))
+        .select(col("doc_id"), col("source").as("p_src"),
+          col("u").as("p_u"), col("bucket").as("p_b"))
+      // a doc's (source, u, bucket) are functions of doc_id, invariant
+      // across waves — the doc_id-keyed full outer is the whole diff
+      val fo = now.join(prev, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_src"), col("p_src")).as("source"),
+          coalesce(col("n_u"), col("p_u")).as("u"),
+          coalesce(col("n_b"), col("p_b")).as("bucket"),
+          col("n_src").isNotNull.as("now_in"),
+          col("p_src").isNotNull.as("was_in"))
+      val added = col("now_in") && !col("was_in")
+      val evicted = !col("now_in") && col("was_in")
+      // the same two-level digest fold as sampleLedger, once per
+      // direction: bucket sub-digests (bounded buffers), then the
+      // bucket-ordered fold per source
+      val perBucket = fo.groupBy("source", "bucket").agg(
+        sum(when(col("now_in"), 1L).otherwise(0L)).as("b_kept"),
+        sum(when(added, 1L).otherwise(0L)).as("b_added"),
+        sum(when(evicted, 1L).otherwise(0L)).as("b_evicted"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(when(added, struct(col("u"), col("doc_id"))))),
+          x => x.getField("doc_id").cast("string")))).as("add_sub"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(when(evicted, struct(col("u"), col("doc_id"))))),
+          x => x.getField("doc_id").cast("string")))).as("ev_sub"))
+      perBucket.groupBy("source").agg(
+          sum("b_kept").as("n_kept"),
+          sum("b_added").as("n_added"),
+          sum("b_evicted").as("n_evicted"),
+          when(sum(col("b_added")) > 0,
+            md5(concat_ws(",", transform(
+              array_sort(collect_list(when(col("b_added") > 0,
+                struct(col("bucket"), col("add_sub"))))),
+              x => x.getField("add_sub"))))).as("added_md5"),
+          when(sum(col("b_evicted")) > 0,
+            md5(concat_ws(",", transform(
+              array_sort(collect_list(when(col("b_evicted") > 0,
+                struct(col("bucket"), col("ev_sub"))))),
+              x => x.getField("ev_sub"))))).as("evicted_md5"))
+        .write.mode("overwrite").parquet(s"$ledger/batch_id=$batchId")
+    } finally {
+      nowPair._2.unpersist()
+      prevPair.foreach(_._2.unpersist()): Unit
+    }
+  }
+
   private def sampleBatch(batch: DataFrame, batchId: Long,
                           stats: String, ledger: String): Unit = {
     val session = batch.sparkSession

@@ -705,6 +705,43 @@ class InvariantSpec extends AnyFunSuite {
     assert(s1.distinct.length == 1, "all slots of a 1-frame payload must read frame 0")
   }
 
+  test("m14 planted audio twins: identical payloads land the hamming-0 pair through the real codec") {
+    // two docs with byte-identical text at matching channel parity
+    // (doc_id 0 and 2 → 1 channel each; sample rate differs but only
+    // lives in the header) must fingerprint identically end-to-end —
+    // build, chunk walk, 64-slot seek decode, mean, banding — and a
+    // different-payload doc must not join them at hamming 0
+    val work = java.nio.file.Files.createTempDirectory("graft_m14_").toString
+    import org.apache.spark.sql.functions.lit
+    val twinText = "the quick brown fox jumps over the lazy dog again and again"
+    val spark0 = spark
+    import spark0.implicits._
+    Seq(
+      (0L, twinText, "en", "src0"),
+      (2L, twinText, "fr", "src1"), // lang differs: note chunk only
+      (4L, "a completely different payload with other bytes inside it", "en", "src0"),
+      (6L, "yet another unrelated document body for candidate noise", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", lit(60L))
+      .write.parquet(s"$work/documents.parquet")
+    val pairs = MultimodalOps.m14WavNearDup(spark, work).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 2L && p._3 == 0L),
+      s"identical payloads did not land a hamming-0 pair: ${pairs.mkString(",")}")
+    assert(pairs.forall(p => p._3 == 0L || !(p._1 == 0L && p._2 == 2L)))
+    assert(!pairs.exists(p => p._3 == 0L && !(p._1 == 0L && p._2 == 2L)),
+      "a non-twin pair fingerprinted as identical")
+  }
+
+  test("m14 gate invariants: ordered pairs, hamming within the verify bound") {
+    val pairs = MultimodalOps.m14WavNearDup(spark, sf).collect()
+    assert(pairs.nonEmpty, "no audio near-dups on the fixture")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not normalized a_id < b_id")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= MultimodalOps.AHashHamMax)
+    }
+  }
+
   test("m12 BMP audit outcomes partition the corpus and every reject branch fires") {
     val audit = MultimodalOps.m12BmpAudit(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -282,6 +282,28 @@ class StreamEquivSpec extends AnyFunSuite {
       "per-batch alert counts do not sum to the answer size — a pair fired twice or never")
   }
 
+  test("s30 hier radius alerts: per-arrival alert union ≡ batch s29, raised incrementally") {
+    // s20's alert verb under the two-level quantizer: the shared
+    // scaffold swaps ONLY the assignment fold, so the per-arrival union
+    // must land exactly on the batch hier radius answer — and the hier
+    // cells must genuinely differ from the flat ones somewhere (else
+    // the quantizer seam is vacuous on this fixture)
+    val batch = rows(graft.ops.SimilarityOps.s29HierRadius(spark, sf))
+    val (streamDf, nBatches, perBatch) =
+      graft.streaming.StreamAnnIngest.s30WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    assert(batch.nonEmpty)
+    assert(rows(streamDf) == batch,
+      "streamed hier alerts diverged from the batch hier radius answer")
+    assert(perBatch.count(_ > 0) >= 2,
+      s"alerts concentrated in one batch (${perBatch.mkString(",")}) — nothing incremental happened")
+    assert(perBatch.sum == batch.size.toLong,
+      "per-batch alert counts do not sum to the answer size — a pair fired twice or never")
+    assert(batch != rows(graft.ops.SimilarityOps.s19AnnRadius(spark, sf)),
+      "hier and flat radius answers coincide on this fixture — the seam swap proved nothing")
+  }
+
   test("s15 store-served multi-probe: stream-built index ≡ batch s3 at nprobe=2, fan-out touches only query rows") {
     val np = graft.streaming.StreamAnnIngest.MultiNprobe
     val batch = rows(graft.ops.SimilarityOps.s3AnnIvfProbe(spark, sf, np))
@@ -637,6 +659,68 @@ class StreamEquivSpec extends AnyFunSuite {
         assert(r.getLong(6) <= r.getLong(4), s"batch $b sampled more docs than arrived")
       }
     }
+  }
+
+  test("d20 streaming semdedup: multi-batch replay ≡ batch d18 pairs, reversed arrival too") {
+    // the semantic family's stream ≡ batch claim at pair granularity:
+    // the per-batch emissions union to exactly the batch hier SemDeDup
+    // pair set (cosine + victim included), each pair exactly once —
+    // and the victim rule reads only stored centroid cosines, so the
+    // claim survives REVERSED arrival (order-free, like d12/s11 and
+    // unlike the first-arrival funnels)
+    import org.apache.spark.sql.functions._
+    val batch = rows(graft.ops.SimilarityOps.d20BatchPairs(spark, sf))
+    assert(batch.nonEmpty)
+    val (streamDf, nBatches) =
+      graft.streaming.StreamSemDedup.d20WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    assert(rows(streamDf) == batch)
+    val (revDf, nRev) = graft.streaming.StreamSemDedup
+      .d20WithBatchCount(spark, sf, negate(col("vec_id")))
+    assert(nRev == graft.streaming.StreamAnnIngest.SplitFiles)
+    assert(rows(revDf) == batch,
+      "reversed-arrival d20 diverged from batch d18 pairs — emission is order-dependent")
+  }
+
+  test("p14 sample delta: conservation per source, batch 0 all-additions, both directions occur, final blend ≡ p9") {
+    val (df, nBatches) = graft.streaming.StreamSampler.p14WithBatchCount(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    val ledger = df.collect()
+    assert(ledger.nonEmpty)
+    // batch 0 compares against the empty blend: every kept doc is an
+    // addition, nothing can be evicted
+    ledger.filter(_.getLong(0) == 0L).foreach { r =>
+      assert(r.getLong(3) == r.getLong(2), "batch 0 has non-added kept docs")
+      assert(r.getLong(4) == 0L && r.isNullAt(6), "batch 0 evicted from an empty blend")
+    }
+    // digests are null exactly when their direction is empty
+    ledger.foreach { r =>
+      assert((r.getLong(3) > 0) != r.isNullAt(5), "added_md5 null-ness diverged from n_added")
+      assert((r.getLong(4) > 0) != r.isNullAt(6), "evicted_md5 null-ness diverged from n_evicted")
+    }
+    // the delta is a real two-direction feed on this corpus: additions
+    // after batch 0 and at least one eviction (the non-monotone keep
+    // set p13's scaladoc warns about, observed not assumed)
+    assert(ledger.exists(r => r.getLong(0) > 0 && r.getLong(3) > 0), "no additions after batch 0")
+    assert(ledger.exists(_.getLong(4) > 0), "no evictions anywhere — the feed is vacuously monotone")
+    // conservation: n_kept(b) = n_kept(b-1) + n_added(b) - n_evicted(b)
+    // per source (a missing earlier row is an empty blend)
+    val keptAt = ledger.map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    ledger.foreach { r =>
+      val prev = keptAt.getOrElse((r.getLong(0) - 1, r.getString(1)), 0L)
+      assert(r.getLong(2) == prev + r.getLong(3) - r.getLong(4),
+        s"conservation broke for (${r.getLong(0)}, ${r.getString(1)})")
+    }
+    // the composition pin: after the final batch the blend is p9's —
+    // per-source kept counts must match p9's n_docs_sampled
+    val finalKept = ledger.filter(_.getLong(0) == nBatches - 1L)
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val p9 = graft.ops.PipelineOps.p9WeightedMixture(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(finalKept == p9,
+      "final-batch kept counts diverged from p9's batch blend")
   }
 
   test("p11 blendBatch heals a crashed swap BEFORE its per-batch write: totals stay full-history") {
