@@ -420,6 +420,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "s18 plan contains CartesianProduct")
   }
 
+  test("s28 hier filtered probe keeps the (cell, tenant) equi-join shape under the two-level codebook") {
+    // the hier twin of the s18 lock: the tenant predicate must ride the
+    // candidate join key (cutting probe work), never become a
+    // post-filter on a wider join; the 1-row codebook attach plans as a
+    // constant-size BNLJ (s3's centroid-attach class), so only a
+    // CartesianProduct is a blowup here
+    val plan = finalPlan(SimilarityOps.s28HierFiltered(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "s28 probe is not a broadcast hash join")
+    assert(plan.contains("cell") && plan.contains("tenant"),
+      "probe join keys lost cell/tenant")
+    assert(!plan.contains("CartesianProduct"), "s28 plan contains CartesianProduct")
+  }
+
+  test("s29 hier radius probe: hash join with a fused threshold, NO rank exchange") {
+    // s19's structural saving must survive the quantizer swap: the
+    // threshold fuses into the join output, so no Window — and with it
+    // no q_id exchange + sort — appears anywhere in the plan
+    val plan = finalPlan(SimilarityOps.s29HierRadius(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "s29 probe is not a broadcast hash join")
+    assert(!plan.contains("CartesianProduct"), "s29 plan contains CartesianProduct")
+    assert(!plan.contains("Window"),
+      "s29 plan contains a Window — the radius read must not pay the top-k rank machinery")
+  }
+
+  test("m13/m14 perceptual near-dup chains: every join an equi-join, never all-pairs") {
+    // both codec families' fingerprint dedups are the d3/d5 discipline
+    // on binary columns: band explode → df-capped (band, value)
+    // equi-join → fingerprint fetch by id — a blowup join anywhere
+    // means candidate generation degraded to all-pairs over the corpus
+    assertNoBlowupJoin(
+      finalPlan(graft.ops.MultimodalOps.m13BmpNearDup(spark, sf)), "m13")
+    assertNoBlowupJoin(
+      finalPlan(graft.ops.MultimodalOps.m14WavNearDup(spark, sf)), "m14")
+  }
+
   test("s19 radius probe is s3's hash join with NO rank exchange after it") {
     // the radius read's scale advantage over top-k is structural: the
     // threshold is a filter fused into the join output, so the per-query
