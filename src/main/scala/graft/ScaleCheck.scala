@@ -181,7 +181,10 @@ object ScaleCheck {
     "d20_stream_semdedup", "m14_wav_near_dup", "p14_sample_delta",
     // the hier alert stream: s20's class (batch-sized assignment +
     // broadcast watchlist probe per batch) at the 2√k fold
-    "s30_hier_radius_alert")
+    "s30_hier_radius_alert",
+    // the semantic-store compaction: d20's replay band + one
+    // key-clustered rewrite of the assigned store (d19's I/O class)
+    "d21_sem_compact")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -77,6 +77,7 @@ object SparkEntry {
     "d12_stream_minhash" -> (graft.streaming.IncrementalDedup.d12StreamMinhash _),
     "d19_band_compact" -> (graft.streaming.IncrementalDedup.d19BandCompact _),
     "d20_stream_semdedup" -> (graft.streaming.StreamSemDedup.d20StreamSemDedup _),
+    "d21_sem_compact" -> (graft.streaming.StreamSemDedup.d21SemCompact _),
     "d13_consensus_near_dup" -> (DedupOps.d13ConsensusNearDup _),
     "d14_bloom_decontam" -> (DedupOps.d14BloomDecontamination _),
     "d5_embed_near_dup" -> (SimilarityOps.d5EmbedNearDup _),
@@ -1695,6 +1696,13 @@ object SparkEntry {
     // pair union must equal the batch hier SemDeDup pair set exactly
     // (stream ≡ batch, the d12 ≡ d3 move on the semantic family)
     "d20_stream_semdedup" ->
+      s"""WITH $hierSemPairCtes
+         |SELECT a_id, b_id, round(cs, 4) AS cos_sim, victim
+         |FROM pp ORDER BY a_id, b_id""".stripMargin,
+    // d21 is d20 with the assigned store compacted MID-STREAM — the
+    // ledger must be byte-identical (compaction is query-invisible, the
+    // d19/p7/x20/p12 shared-string convention)
+    "d21_sem_compact" ->
       s"""WITH $hierSemPairCtes
          |SELECT a_id, b_id, round(cs, 4) AS cos_sim, victim
          |FROM pp ORDER BY a_id, b_id""".stripMargin,

@@ -259,7 +259,7 @@ object IncrementalDedup {
     StreamSketch.swapStore(spark, tmp, store)
   }
 
-  private def countBatchDirs(store: String): Int =
+  private[streaming] def countBatchDirs(store: String): Int =
     Option(new java.io.File(store).listFiles())
       .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
 }

@@ -54,39 +54,121 @@ object StreamSemDedup {
   private[graft] def d20WithBatchCount(spark: SparkSession, dir: String,
       orderExpr: org.apache.spark.sql.Column = col("vec_id")): (DataFrame, Int) = {
     val work = Files.createTempDirectory("graft_semstream_").toString
+    val (splitDir, cbPath) = prepare(spark, dir, work, orderExpr)
+    val store = s"$work/assigned"
+    val pairStore = s"$work/pairs"
+    runStream(spark, splitDir, s"$work/ckpt", cbPath, store, pairStore, 0L)
+    val nBatches = IncrementalDedup.countBatchDirs(pairStore)
+    (readPairs(spark, pairStore), nBatches)
+  }
+
+  def d21SemCompact(spark: SparkSession, dir: String): DataFrame =
+    d21WithStoreInfo(spark, dir)._1
+
+  /** d21: d19's mid-stream store compaction proven on the SEMANTIC
+    * family's store — d20's assigned-vector store accretes one
+    * `batch_id=N` directory per crawl batch forever (first-arrival
+    * pair emission reads ALL prior batches, so the x18 window vacuum
+    * must never touch it), and the maintenance it needs is d19's move
+    * verbatim: rewrite the shipped partitions into ONE consolidated
+    * `batch_id=-1` partition repartitioned on the store's join key
+    * (cell — the candidate join's scan stays key-clustered) and swap
+    * it in via the crash-recoverable retire+promote. -1 sorts below
+    * every real batch id, so consolidated rows stay inside every later
+    * `batch_id < current` prune and a replayed batch still excludes
+    * its own partial write. The gate compacts at the adversarial
+    * moment — half the arrivals shipped, half still to come — and the
+    * emitted pair union must be byte-identical to batch d18's pair
+    * set, so the oracle is d20's SQL VERBATIM (the shared-string
+    * convention of d19/p7/x20/p12: compaction must be query-invisible).
+    *
+    * Scale: the compaction reads each shipped partition once and
+    * writes it back key-clustered (s13/d19's I/O class, schedulable
+    * per key range); between compactions the store listing is bounded
+    * by 1 + batches-since-fold. Cross-phase duplicate pairs — one side
+    * shipped before the fold, one after — are exactly the rows that
+    * prove the consolidated partition feeds the candidate join
+    * unchanged. */
+  private[graft] def d21WithStoreInfo(spark: SparkSession, dir: String)
+      : (DataFrame, Int, Int, Int, Long) = {
+    val half = StreamAnnIngest.SplitFiles / 2
+    val work = Files.createTempDirectory("graft_semcompact_").toString
+    val (splitAll, cbPath) = prepare(spark, dir, work, col("vec_id"))
+    // deal the replay files into two arrival phases: the stream must
+    // CONTINUE over a compacted store, not restart (d19's shape)
+    val files = new java.io.File(splitAll).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val (aDir, bDir) = (s"$work/inA", s"$work/inB")
+    new java.io.File(aDir).mkdirs(); new java.io.File(bDir).mkdirs()
+    files.zipWithIndex.foreach { case (f, i) =>
+      val tgt = if (i < half) aDir else bDir
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(tgt, f.getName)): Unit
+    }
+    val store = s"$work/assigned"
+    val pairStore = s"$work/pairs"
+    runStream(spark, aDir, s"$work/ckptA", cbPath, store, pairStore, 0L)
+    val partsBefore = IncrementalDedup.countBatchDirs(store)
+    IncrementalDedup.compactStore(spark, store, "cell")
+    val partsAfter = IncrementalDedup.countBatchDirs(store)
+    runStream(spark, bDir, s"$work/ckptB", cbPath, store, pairStore, half.toLong)
+    val partsEnd = IncrementalDedup.countBatchDirs(store)
+    // CROSS-PHASE pairs — emitted in a phase-B batch with the earlier
+    // side living ONLY in the consolidated `batch_id=-1` partition:
+    // the rows that prove the swapped store feeds the candidate join
+    // unchanged (phase-A membership is recoverable from the store
+    // itself — exactly the consolidated partition's rows; a phase-B
+    // pair's LATER side arrived in phase B, so an a_id found there
+    // could only have matched through the swap). Two tiny counts over
+    // the output-sized pair store + a semi-join against the narrow
+    // consolidated ids.
+    val phaseA = spark.read.parquet(store)
+      .filter(col("batch_id") === -1).select(col("vec_id").as("a_id"))
+    val crossPhase = spark.read.parquet(pairStore)
+      .filter(col("batch_id") >= half)
+      .join(phaseA, Seq("a_id"), "left_semi").count()
+    (readPairs(spark, pairStore), partsBefore, partsAfter, partsEnd, crossPhase)
+  }
+
+  /** Split the normed corpus into replay waves and write the offline
+    * two-level codebook (s23's quantizer-file motion) — shared by the
+    * single-replay gate (d20) and the phased compaction gate (d21). */
+  private def prepare(spark: SparkSession, dir: String, work: String,
+                      orderExpr: org.apache.spark.sql.Column): (String, String) = {
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
     all.select("vec_id", "v", "nrm", "label")
       .repartitionByRange(StreamAnnIngest.SplitFiles, orderExpr)
       .write.parquet(splitDir)
-    // the offline artifact: the TWO-LEVEL codebook (one nested row),
-    // written before the stream starts — s23's quantizer-file motion
     val cbPath = s"$work/codebook"
     val seeds = all.filter(col("vec_id") < SimilarityOps.IvfCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     SimilarityOps.hierCentArr(seeds, SimilarityOps.HierSub)
       .coalesce(1).write.parquet(cbPath)
-    val store = s"$work/assigned"
-    val pairStore = s"$work/pairs"
+    (splitDir, cbPath)
+  }
+
+  private def runStream(spark: SparkSession, inDir: String, ckpt: String,
+                        cbPath: String, store: String, pairStore: String,
+                        offset: Long): Unit = {
     val session = spark.newSession()
     val q = session.readStream
-      .schema(session.read.parquet(splitDir).schema)
+      .schema(session.read.parquet(inDir).schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(splitDir)
+      .parquet(inDir)
       .writeStream
       .foreachBatch((batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, cbPath, store, pairStore))
-      .option("checkpointLocation", s"$work/ckpt")
+        processBatch(batch, offset + batchId, cbPath, store, pairStore))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val nBatches = Option(new java.io.File(pairStore).listFiles())
-      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
-    val result = spark.read.parquet(pairStore)
+  }
+
+  private def readPairs(spark: SparkSession, pairStore: String): DataFrame =
+    spark.read.parquet(pairStore)
       .select(col("a_id"), col("b_id"), col("cos_sim"), col("victim"))
       .orderBy("a_id", "b_id")
-    (result, nBatches)
-  }
 
   private def processBatch(batch: DataFrame, batchId: Long,
                            cbPath: String, store: String,

@@ -683,6 +683,30 @@ class StreamEquivSpec extends AnyFunSuite {
       "reversed-arrival d20 diverged from batch d18 pairs — emission is order-dependent")
   }
 
+  test("d21 semantic-store compaction: mid-stream swap invisible to pair emission, partitions bounded") {
+    // compact d20's assigned store at the adversarial moment — half the
+    // arrivals shipped, half to come — and the pair union must still be
+    // the batch hier SemDeDup answer exactly; the store listing must
+    // genuinely consolidate (half the waves → 1) and stay bounded at
+    // 1 + batches-since after
+    val half = graft.streaming.StreamAnnIngest.SplitFiles / 2
+    val (result, before, after, end, crossPhase) =
+      graft.streaming.StreamSemDedup.d21WithStoreInfo(spark, sf)
+    assert(before == half, s"phase A shipped $before store partitions, expected $half")
+    assert(after == 1, s"compaction left $after partitions, expected 1")
+    assert(end == 1 + half, s"post-phase listing $end, expected ${1 + half}")
+    val batch = rows(graft.ops.SimilarityOps.d20BatchPairs(spark, sf))
+    assert(batch.nonEmpty)
+    assert(rows(result) == batch,
+      "pair union diverged after the mid-stream store compaction")
+    // the swap is proven LOAD-BEARING, not just harmless: at least one
+    // phase-B pair's earlier side lives only in the consolidated
+    // batch_id=-1 partition — that match could only have come through
+    // the swapped store
+    assert(crossPhase > 0,
+      "no cross-phase pair matched through the consolidated partition — the swap was never exercised")
+  }
+
   test("p14 sample delta: conservation per source, batch 0 all-additions, both directions occur, final blend ≡ p9") {
     val (df, nBatches) = graft.streaming.StreamSampler.p14WithBatchCount(spark, sf)
     assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
