@@ -184,7 +184,16 @@ object ScaleCheck {
     "s30_hier_radius_alert",
     // the semantic-store compaction: d20's replay band + one
     // key-clustered rewrite of the assigned store (d19's I/O class)
-    "d21_sem_compact")
+    "d21_sem_compact",
+    // the streaming perceptual near-dup + its change feed: per-batch
+    // re-derivation of the df-capped band chain over the accreting
+    // NARROW fingerprint store (p13's stream-replay band on m13's
+    // bounded-bucket candidate class; the codec map runs once per
+    // arriving object)
+    "m15_stream_near_dup", "m16_near_dup_delta",
+    // the blend in training order: p10's funnel+sampler class feeding
+    // p5's one-exchange reshuffle — expected in p10's band
+    "p15_sampled_shuffle")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

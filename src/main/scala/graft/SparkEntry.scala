@@ -150,6 +150,8 @@ object SparkEntry {
     "m12_bmp_audit" -> (MultimodalOps.m12BmpAudit _),
     "m13_bmp_near_dup" -> (MultimodalOps.m13BmpNearDup _),
     "m14_wav_near_dup" -> (MultimodalOps.m14WavNearDup _),
+    "m15_stream_near_dup" -> (graft.streaming.StreamMediaDedup.m15StreamNearDup _),
+    "m16_near_dup_delta" -> (graft.streaming.StreamMediaDedup.m16NearDupDelta _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -164,6 +166,7 @@ object SparkEntry {
     "p12_blend_compact" -> (graft.streaming.BlendMonitor.p12BlendCompact _),
     "p13_stream_sample" -> (graft.streaming.StreamSampler.p13StreamSample _),
     "p14_sample_delta" -> (graft.streaming.StreamSampler.p14SampleDelta _),
+    "p15_sampled_shuffle" -> (graft.ops.PipelineOps.p15SampledShuffle _),
     "p7_export_compact" ->
       (graft.streaming.IncrementalExport.p7ExportCompact _),
     "x2_ml_score" -> (ScoringPipeline.x2MlScore _),
@@ -871,6 +874,83 @@ object SparkEntry {
        |FROM c GROUP BY 1, 2 ORDER BY batch_id, event_type""".stripMargin
   }
 
+  /** m13's thumbnail → aHash-band CTE prefix (`g` … `bands`): m8's
+    * pixel math, the integer mean, the bit rule, and the band packing.
+    * One string shared by the batch near-dup oracle ([[m13NearDupSql]],
+    * also m15's verbatim) and m16's per-wave replay — the fingerprint
+    * math cannot drift between the batch and streaming oracles. */
+  private lazy val ahashBandsCtes: String = {
+    val tw = MultimodalOps.ThumbW; val th = MultimodalOps.ThumbH
+    val nb = MultimodalOps.AHashBands; val bb = MultimodalOps.AHashBandBits
+    s"""g AS (SELECT doc_id, 16 + doc_id % 17 AS w, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h FROM documents),
+       |d AS (SELECT doc_id, w, n, h, greatest((n + w - 1) // w, 1) AS hgt FROM g),
+       |b AS (SELECT doc_id, list_transform(range(0, ${tw * th}),
+       |        p -> ((p // $tw) * hgt // $th) * w + ((p % $tw) * w // $tw)) AS idxs, n, h FROM d),
+       |px AS (SELECT doc_id, list_transform(idxs, i -> CASE WHEN i < n THEN (strpos('0123456789abcdef', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, CAST(2*i+2 AS INT), 1)) - 1 ELSE 0 END) AS pxs FROM b),
+       |ah AS (SELECT doc_id, pxs, list_sum(pxs) // ${tw * th} AS mean FROM px),
+       |bits AS (SELECT doc_id, list_transform(range(0, ${tw * th}), p -> CASE WHEN pxs[CAST(p+1 AS INT)] > mean THEN 1 ELSE 0 END) AS bs FROM ah),
+       |bands AS (SELECT doc_id, k AS bi, CAST(list_sum(list_transform(range(0, $bb), j -> bs[CAST($bb*k + j + 1 AS INT)] * (1 << CAST(j AS INT)))) AS BIGINT) AS bv
+       |  FROM bits CROSS JOIN (SELECT unnest(range($nb)) AS k))""".stripMargin
+  }
+
+  /** m13's oracle (m15's verbatim — the stream's final materialized
+    * set must equal batch m13): [[ahashBandsCtes]] + df cap, banded
+    * candidates, Hamming verify. */
+  private lazy val m13NearDupSql: String = {
+    val nb = MultimodalOps.AHashBands
+    s"""WITH $ahashBandsCtes,
+       |okb AS (SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) <= ${MultimodalOps.AHashDfMax}),
+       |cb AS (SELECT bands.* FROM bands JOIN okb USING (bi, bv)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM cb x JOIN cb y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |bw AS (SELECT doc_id, list(bv ORDER BY bi) AS bvs FROM bands GROUP BY doc_id),
+       |ver AS (SELECT a_id, b_id,
+       |  CAST(list_sum(list_transform(range($nb), k -> bit_count(xor(x.bvs[CAST(k+1 AS INT)], y.bvs[CAST(k+1 AS INT)])))) AS BIGINT) AS hamming
+       |  FROM cand JOIN bw x ON x.doc_id = a_id JOIN bw y ON y.doc_id = b_id)
+       |SELECT a_id, b_id, hamming FROM ver WHERE hamming <= ${MultimodalOps.AHashHamMax} ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** m16's oracle: the m13 chain re-run per wave `wb` over the arrived
+    * corpus (`doc_id mod SplitFiles ≤ wb` — [[graft.streaming
+    * .StreamSketch.runWaveReplay]]'s membership rule), with the df cap
+    * re-evaluated per wave (band document-frequency is a property of
+    * the ARRIVED corpus — the non-monotone rule m15 re-derives for),
+    * then per-direction deltas from a one-batch-shifted self-join and
+    * the engine's exact two-level digest fold (sub-bucket = a_id mod
+    * DigestBuckets, 'a:b' pair strings, ',' separators, null on
+    * empty). */
+  private lazy val m16NearDupDeltaSql: String = {
+    val nb = MultimodalOps.AHashBands
+    val m = graft.streaming.StreamSketch.SplitFiles
+    val dbk = graft.streaming.StreamMediaDedup.DigestBuckets
+    s"""WITH $ahashBandsCtes,
+       |waves AS (SELECT unnest(range($m)) AS wb),
+       |ab AS (SELECT w.wb AS wb, bands.doc_id, bi, bv FROM bands CROSS JOIN waves w WHERE bands.doc_id % $m <= w.wb),
+       |okb AS (SELECT wb, bi, bv FROM ab GROUP BY wb, bi, bv HAVING count(*) <= ${MultimodalOps.AHashDfMax}),
+       |cb AS (SELECT ab.* FROM ab JOIN okb USING (wb, bi, bv)),
+       |cand AS (SELECT DISTINCT x.wb, x.doc_id AS a_id, y.doc_id AS b_id FROM cb x JOIN cb y ON x.wb = y.wb AND x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |bw AS (SELECT doc_id, list(bv ORDER BY bi) AS bvs FROM bands GROUP BY doc_id),
+       |cur AS (SELECT wb, a_id, b_id FROM (SELECT cand.wb, a_id, b_id,
+       |    CAST(list_sum(list_transform(range($nb), k -> bit_count(xor(x.bvs[CAST(k+1 AS INT)], y.bvs[CAST(k+1 AS INT)])))) AS BIGINT) AS hamming
+       |    FROM cand JOIN bw x ON x.doc_id = a_id JOIN bw y ON y.doc_id = b_id)
+       |  WHERE hamming <= ${MultimodalOps.AHashHamMax}),
+       |adds AS (SELECT c.wb, c.a_id, c.b_id FROM cur c LEFT JOIN cur p ON p.wb = c.wb - 1 AND p.a_id = c.a_id AND p.b_id = c.b_id WHERE p.a_id IS NULL),
+       |rms AS (SELECT p.wb + 1 AS wb, p.a_id, p.b_id FROM cur p LEFT JOIN cur c ON c.wb = p.wb + 1 AND c.a_id = p.a_id AND c.b_id = p.b_id WHERE c.a_id IS NULL AND p.wb + 1 < $m),
+       |asub AS (SELECT wb, a_id % $dbk AS sb, md5(string_agg(a_id || ':' || b_id, ',' ORDER BY a_id, b_id)) AS sub FROM adds GROUP BY wb, a_id % $dbk),
+       |adg AS (SELECT wb, md5(string_agg(sub, ',' ORDER BY sb)) AS add_md5 FROM asub GROUP BY wb),
+       |rsub AS (SELECT wb, a_id % $dbk AS sb, md5(string_agg(a_id || ':' || b_id, ',' ORDER BY a_id, b_id)) AS sub FROM rms GROUP BY wb, a_id % $dbk),
+       |rdg AS (SELECT wb, md5(string_agg(sub, ',' ORDER BY sb)) AS rm_md5 FROM rsub GROUP BY wb),
+       |np AS (SELECT wb, count(*) AS n_pairs FROM cur GROUP BY wb),
+       |na AS (SELECT wb, count(*) AS n_added FROM adds GROUP BY wb),
+       |nr AS (SELECT wb, count(*) AS n_retracted FROM rms GROUP BY wb)
+       |SELECT CAST(w.wb AS BIGINT) AS batch_id,
+       |CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |CAST(coalesce(na.n_added, 0) AS BIGINT) AS n_added,
+       |CAST(coalesce(nr.n_retracted, 0) AS BIGINT) AS n_retracted,
+       |adg.add_md5, rdg.rm_md5
+       |FROM waves w LEFT JOIN np USING (wb) LEFT JOIN na USING (wb) LEFT JOIN nr USING (wb)
+       |LEFT JOIN adg USING (wb) LEFT JOIN rdg USING (wb) ORDER BY batch_id""".stripMargin
+  }
+
   /** s24's oracle: the hier chain ([[s22HierSql]]'s CTEs) with the QUERY
     * side widened to its top-gprobe GROUPS — `gq` keeps grn ≤ gprobe
     * for label=1 rows, each probed group contributes its level-2 argmax
@@ -1483,6 +1563,44 @@ object SparkEntry {
          |CAST((sum(n_tok) + ${TextOps.SeqTokens - 1}) // ${TextOps.SeqTokens} AS BIGINT) AS n_seqs,
          |md5(string_agg(s, ' ' ORDER BY doc_id)) AS pack_md5
          |FROM smp GROUP BY source, shard ORDER BY source, shard""".stripMargin
+    },
+    // p15 composes the chain a trainer actually consumes: p10's funnel
+    // + weight/budget/prefix CTEs (the sampled blend, `smp`, u already
+    // derived) feeding p5's shard/fold tail — the same u-range
+    // sub-bucket digest fold, over the blend instead of the kept corpus
+    "p15_sampled_shuffle" -> {
+      val (mod, mul) = (TextOps.MixHashMod, TextOps.MixHashMul)
+      s"""WITH RECURSIVE $dupClusterCte,
+         |$funnelHeadCtes,
+         |gg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))) AS g FROM tok WHERE len(ts) >= 5),
+         |ctd AS (SELECT DISTINCT t2.doc_id FROM gg t2 JOIN (SELECT DISTINCT g FROM gg WHERE doc_id % ${DedupOps.EvalMod} = 0) e2 ON e2.g = t2.g WHERE t2.doc_id % ${DedupOps.EvalMod} <> 0),
+         |kd AS (SELECT e.doc_id, e.source FROM elig e LEFT JOIN lab ON lab.doc_id = e.doc_id LEFT JOIN ctd ON ctd.doc_id = e.doc_id
+         |  WHERE e.doc_id = e.min_id AND (lab.cluster_id IS NULL OR lab.cluster_id = e.doc_id) AND ctd.doc_id IS NULL),
+         |kt AS (SELECT kd.doc_id, kd.source, array_to_string(t.ts, ' ') AS s, len(t.ts) AS n_tok,
+         |  kd.doc_id % $mod * $mul % $mod AS u
+         |  FROM kd JOIN tok t ON t.doc_id = kd.doc_id WHERE len(t.ts) > 0),
+         |wt AS (SELECT source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w, sum(n_tok) AS tot FROM kt GROUP BY source),
+         |mrow AS (SELECT tot AS tot_m, w AS w_m FROM wt ORDER BY tot * 1.0 / w, source LIMIT 1),
+         |bdg AS (SELECT source, (w * tot_m) // w_m AS budget FROM wt, mrow),
+         |c AS (SELECT kt.*, sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum FROM kt),
+         |smp AS (SELECT c.* FROM c JOIN bdg b ON b.source = c.source WHERE cum - n_tok < b.budget),
+         |sb AS (SELECT u % ${PipelineOps.OutShards} AS oshard,
+         |  u // ${TextOps.MixHashMod / PipelineOps.MixBuckets} AS sbucket,
+         |  count(*) AS b_docs, sum(n_tok) AS b_tok,
+         |  md5(string_agg(s, ' ' ORDER BY u, doc_id)) AS sub_md5
+         |  FROM smp GROUP BY 1, 2),
+         |shg AS (SELECT oshard, sum(b_docs) AS n_docs, sum(b_tok) AS n_tok,
+         |  md5(string_agg(sub_md5, ' ' ORDER BY sbucket)) AS pack_md5
+         |  FROM sb GROUP BY 1),
+         |src AS (SELECT u % ${PipelineOps.OutShards} AS oshard,
+         |  count(DISTINCT source) AS n_sources FROM smp GROUP BY 1)
+         |SELECT CAST(shg.oshard AS BIGINT) AS oshard,
+         |CAST(n_docs AS BIGINT) AS n_docs,
+         |CAST(n_sources AS BIGINT) AS n_sources,
+         |CAST(n_tok AS BIGINT) AS n_tok,
+         |CAST((n_tok + ${TextOps.SeqTokens - 1}) // ${TextOps.SeqTokens} AS BIGINT) AS n_seqs,
+         |pack_md5
+         |FROM shg JOIN src ON src.oshard = shg.oshard ORDER BY oshard""".stripMargin
     },
     // p11 replays the streaming blend monitor closed-form: batch
     // membership is the wave rule (doc_id mod SplitFiles), so the
@@ -2118,27 +2236,17 @@ object SparkEntry {
     // mean, the bit rule, the band packing, the df cap, the banded
     // candidate join, and the Hamming verify — a codec, stride, mean,
     // bit-order, or banding bug lands on different pairs
-    "m13_bmp_near_dup" -> {
-      val tw = MultimodalOps.ThumbW; val th = MultimodalOps.ThumbH
-      val nb = MultimodalOps.AHashBands; val bb = MultimodalOps.AHashBandBits
-      s"""WITH g AS (SELECT doc_id, 16 + doc_id % 17 AS w, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h FROM documents),
-         |d AS (SELECT doc_id, w, n, h, greatest((n + w - 1) // w, 1) AS hgt FROM g),
-         |b AS (SELECT doc_id, list_transform(range(0, ${tw * th}),
-         |        p -> ((p // $tw) * hgt // $th) * w + ((p % $tw) * w // $tw)) AS idxs, n, h FROM d),
-         |px AS (SELECT doc_id, list_transform(idxs, i -> CASE WHEN i < n THEN (strpos('0123456789abcdef', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, CAST(2*i+2 AS INT), 1)) - 1 ELSE 0 END) AS pxs FROM b),
-         |ah AS (SELECT doc_id, pxs, list_sum(pxs) // ${tw * th} AS mean FROM px),
-         |bits AS (SELECT doc_id, list_transform(range(0, ${tw * th}), p -> CASE WHEN pxs[CAST(p+1 AS INT)] > mean THEN 1 ELSE 0 END) AS bs FROM ah),
-         |bands AS (SELECT doc_id, k AS bi, CAST(list_sum(list_transform(range(0, $bb), j -> bs[CAST($bb*k + j + 1 AS INT)] * (1 << CAST(j AS INT)))) AS BIGINT) AS bv
-         |  FROM bits CROSS JOIN (SELECT unnest(range($nb)) AS k)),
-         |okb AS (SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) <= ${MultimodalOps.AHashDfMax}),
-         |cb AS (SELECT bands.* FROM bands JOIN okb USING (bi, bv)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM cb x JOIN cb y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
-         |bw AS (SELECT doc_id, list(bv ORDER BY bi) AS bvs FROM bands GROUP BY doc_id),
-         |ver AS (SELECT a_id, b_id,
-         |  CAST(list_sum(list_transform(range($nb), k -> bit_count(xor(x.bvs[CAST(k+1 AS INT)], y.bvs[CAST(k+1 AS INT)])))) AS BIGINT) AS hamming
-         |  FROM cand JOIN bw x ON x.doc_id = a_id JOIN bw y ON y.doc_id = b_id)
-         |SELECT a_id, b_id, hamming FROM ver WHERE hamming <= ${MultimodalOps.AHashHamMax} ORDER BY a_id, b_id""".stripMargin
-    },
+    "m13_bmp_near_dup" -> m13NearDupSql,
+    // m15 = the SAME chain: the stream's final materialized pair set
+    // must equal batch m13 exactly (stream ≡ batch, the d20 move on
+    // the perceptual-hash family — the shared-string convention)
+    "m15_stream_near_dup" -> m13NearDupSql,
+    // m16 replays the whole CHANGE FEED closed-form: the m13 chain per
+    // wave under the `doc_id mod SplitFiles ≤ b` membership rule (df
+    // caps re-evaluated per arrived corpus — the non-monotone rule), a
+    // one-batch-shifted self-join per direction, and the identical
+    // two-level digest fold
+    "m16_near_dup_delta" -> m16NearDupDeltaSql,
     // m14 replays the audio near-dup chain in closed form: m10's slot
     // seek math at WavHashSamples slots (fi·blockAlign, hex-nibble LE
     // recovery, two's-complement fold), the TRUNCATING integer mean

@@ -1018,12 +1018,20 @@ object MultimodalOps {
     * seek-decoded 8×8 thumbnail → integer mean → bit p set iff
     * pixel p > mean → [[AHashBands]] × [[AHashBandBits]]-bit band
     * values. One narrow map, one row per image. */
-  private def ahashBands(spark: SparkSession, dir: String): DataFrame = {
+  private def ahashBands(spark: SparkSession, dir: String): DataFrame =
+    ahashBandsFrom(Sources.table(spark, dir, "documents"))
+
+  /** [[ahashBands]] over an arbitrary `(doc_id, text)` frame — the seam
+    * m15's streaming replay fingerprints each ARRIVING micro-batch
+    * through (the expensive codec map runs exactly once per object;
+    * only the narrow fingerprint rows are ever re-read). Identical
+    * math by construction: the dir-reading form above delegates here. */
+  private[graft] def ahashBandsFrom(docs: DataFrame): DataFrame = {
     val out = StructType(
       StructField("media_id", LongType) +:
         (0 until AHashBands).map(k => StructField(s"b$k", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(out)
-    Sources.table(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("text").cast("binary").as("data"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -1072,8 +1080,12 @@ object MultimodalOps {
     * sample-hash): band explode, df cap on the (band, value) key, the
     * capped equi-join candidate generation, and the exact
     * `bit_count(xor)` Hamming verify at ≤ [[AHashHamMax]]. An edit to
-    * the banding discipline changes both gates together, never one. */
-  private def bandedHammingPairs(fp: DataFrame): DataFrame = {
+    * the banding discipline changes both gates together, never one.
+    * `private[graft]` for m15's streaming replay, which re-derives the
+    * pair set per micro-batch over the arrived fingerprint store
+    * through this exact chain — stream ≡ batch as shared code, then
+    * re-proven against the shared oracle string. */
+  private[graft] def bandedHammingPairs(fp: DataFrame): DataFrame = {
     val bandCols = (0 until AHashBands).map { k =>
       struct(lit(k.toLong).as("bi"), col(s"b$k").as("bv"))
     }

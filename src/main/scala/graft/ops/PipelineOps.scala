@@ -429,19 +429,60 @@ object PipelineOps {
     val kept = stagedEligible(spark, dir, headFlags(docs))
       .filter(col("stage") === "kept")
       .select("doc_id", "source")
+    shuffleShards(kept.join(tokenized(docs), Seq("doc_id")))
+  }
+
+  /** p15 sampled-shuffle: the LAST missing composition of the export
+    * family — p10 ships the weighted blend in p4's (source, shard)
+    * manifest geometry, but the bytes a trainer actually consumes are
+    * that blend in TRAINING ORDER: curate (p1/p4's funnel) → rebalance
+    * (p9's weighted token budgets over the kept corpus) → reshuffle
+    * (p5's deterministic-hash permutation into output shards). Every
+    * stage is the exact code its standalone gate verifies
+    * ([[stagedEligible]], [[sampleKeepFrame]], [[shuffleShards]]), so
+    * the composition is correct-by-construction relative to the
+    * already-checked parts — and the oracle replays the whole chain in
+    * one statement (p10's funnel + weight/budget/prefix CTEs feeding
+    * p5's shard/fold aggregation).
+    *
+    * Scale shape: p10's exactly through the sampler (funnel once, keep
+    * rule over narrow stats, text re-read by a budget-sized doc_id
+    * equi-join), then p5's exactly for the reshuffle (narrow hash map
+    * for shard assignment — no global sort or rank — one exchange on
+    * `oshard`, sub-bucket-folded digests). Nothing new shuffles; the
+    * gate exists to pin the COMPOSED digests, not a new plan. */
+  def p15SampledShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    val kept = stagedEligible(spark, dir, headFlags(docs))
+      .filter(col("stage") === "kept")
+      .select("doc_id", "source")
     val toks = tokenized(docs)
-    // pack_md5 folds through u-range sub-buckets exactly like p8's
-    // sample digest: per-(oshard, sbucket) the packed text digests in
-    // (u, doc_id) order (each buffer ≈ corpus/(OutShards·[[MixBuckets]])
-    // docs), then the shard digest is one md5 over the bucket-ordered
-    // sub-digest list (≤ [[MixBuckets]] fixed-width strings). A flat
-    // per-oshard collect_list of full text would hold corpus/OutShards
-    // DOCUMENTS in one aggregation buffer — with OutShards a handful,
-    // the worst corpus-proportional state in the repo. Sub-bucket
-    // ranges refine u order within the shard, so the fold preserves the
-    // training-order semantics and the oracle replays it closed-form.
+    val stats = kept.join(toks.select("doc_id", "n_tok"), Seq("doc_id"))
+    val sampled = sampleKeepFrame(stats, TextOps.sourceWeight(col("source")))
+      .filter(col("keep"))
+      .select("doc_id", "source")
+    shuffleShards(sampled.join(toks, Seq("doc_id")))
+  }
+
+  /** p5's training-order reshuffle over a `(doc_id, source, s, n_tok)`
+    * frame — the one source for the permutation and the fold, shared by
+    * p5 (the kept corpus) and p15 (the sampled blend), p4/p10's
+    * [[packShards]] move on the shuffle geometry: an edit to the hash,
+    * the shard rule, or the digest changes both gates together.
+    *
+    * pack_md5 folds through u-range sub-buckets exactly like p8's
+    * sample digest: per-(oshard, sbucket) the packed text digests in
+    * (u, doc_id) order (each buffer ≈ corpus/(OutShards·[[MixBuckets]])
+    * docs), then the shard digest is one md5 over the bucket-ordered
+    * sub-digest list (≤ [[MixBuckets]] fixed-width strings). A flat
+    * per-oshard collect_list of full text would hold corpus/OutShards
+    * DOCUMENTS in one aggregation buffer — with OutShards a handful,
+    * the worst corpus-proportional state in the repo. Sub-bucket
+    * ranges refine u order within the shard, so the fold preserves the
+    * training-order semantics and the oracle replays it closed-form. */
+  private def shuffleShards(docs: DataFrame): DataFrame = {
     val bucketWidth = TextOps.MixHashMod / MixBuckets
-    kept.join(toks, Seq("doc_id"))
+    docs
       .withColumn("u", TextOps.mixHash(col("doc_id")))
       .withColumn("oshard", (col("u") % OutShards).cast("long"))
       .withColumn("sbucket", floor(col("u") / bucketWidth).cast("long"))

@@ -997,6 +997,43 @@ class InvariantSpec extends AnyFunSuite {
       "no document was dropped — the fixture makes this test vacuous")
   }
 
+  test("p15 sampled shuffle: the blend in training order conserves p10 and contains into p5") {
+    // p15 rows: (oshard, n_docs, n_sources, n_tok, n_seqs, pack_md5) —
+    // p5's schema over p10's blend. The laws tie the composition to
+    // BOTH parents: same blend as p10 (totals), same permutation as p5
+    // (per-shard containment — a doc's u, and hence its oshard, is a
+    // function of doc_id alone, so the sampled shard is a subset of the
+    // kept shard).
+    val p15 = PipelineOps.p15SampledShuffle(spark, sf).collect()
+    assert(p15.nonEmpty)
+    val p10tot = PipelineOps.p10SampledExport(spark, sf)
+      .agg(sum("n_docs"), sum("n_tok")).collect()(0)
+    assert(p15.map(_.getLong(1)).sum == p10tot.getLong(0),
+      "p15 reshuffled a different doc count than p10's blend")
+    assert(p15.map(_.getLong(3)).sum == p10tot.getLong(1),
+      "p15 reshuffled a different token count than p10's blend")
+    val p5ByShard = PipelineOps.p5ShuffleShard(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    p15.foreach { r =>
+      val full = p5ByShard.get(r.getLong(0))
+      assert(full.isDefined, s"oshard ${r.getLong(0)} not in p5's full reshuffle")
+      assert(r.getLong(1) <= full.get.getLong(1) && r.getLong(3) <= full.get.getLong(3),
+        s"oshard ${r.getLong(0)} ships more than the full reshuffle")
+      // p5's geometry laws hold on the blend too
+      assert(r.getLong(0) >= 0 && r.getLong(0) < PipelineOps.OutShards)
+      assert(r.getLong(4) == (r.getLong(3) + TextOps.SeqTokens - 1) / TextOps.SeqTokens,
+        s"oshard ${r.getLong(0)} broke the sequence geometry")
+      // interleaving survives the sampler: the blend keeps every source
+      // (budgets are floors > 0), so no shard collapses to one source
+      assert(r.getLong(1) < 2 || r.getLong(2) >= 2,
+        s"oshard ${r.getLong(0)} holds a single source after the blend")
+    }
+    // the blend genuinely drops documents relative to the kept corpus
+    assert(p15.map(_.getLong(1)).sum <
+      p5ByShard.values.map(_.getLong(1)).sum,
+      "no document was dropped — the fixture makes this test vacuous")
+  }
+
   test("s22's recall cost is bounded: hier recall@3 within 0.1 of flat on the fixture") {
     // the hierarchical quantizer buys its 2√k assignment with a recall
     // trade (a vector near a group boundary can land in the wrong

@@ -707,6 +707,96 @@ class StreamEquivSpec extends AnyFunSuite {
       "no cross-phase pair matched through the consolidated partition — the swap was never exercised")
   }
 
+  test("m15 streaming near-dup: final materialized set ≡ batch m13, reversed arrival too") {
+    import org.apache.spark.sql.functions._
+    val batch = rows(graft.ops.MultimodalOps.m13BmpNearDup(spark, sf))
+    assert(batch.nonEmpty)
+    val (streamDf, nBatches) =
+      graft.streaming.StreamMediaDedup.m15WithInfo(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    assert(rows(streamDf) == batch)
+    // the per-batch re-derivation reads only the order-free fingerprint
+    // store, so the final set must survive REVERSED arrival
+    val docs = Sources.table(spark, sf, "documents").select("doc_id", "text")
+      .withColumn("rk", lit(graft.streaming.StreamSketch.SplitFiles - 1)
+        - pmod(col("doc_id"), lit(graft.streaming.StreamSketch.SplitFiles)))
+    val (revPairs, _, nRev) =
+      graft.streaming.StreamMediaDedup.runReplay(spark, docs, "rk")
+    assert(nRev == graft.streaming.StreamSketch.SplitFiles)
+    assert(rows(revPairs) == batch,
+      "reversed-arrival m15 diverged from batch m13 — the re-derivation is order-dependent")
+  }
+
+  test("m16 change feed: conservation, batch 0 all-additions, digest null-ness") {
+    val (df, nBatches) = graft.streaming.StreamMediaDedup.m16WithInfo(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles)
+    val ledger = df.collect()
+    assert(ledger.length == nBatches)
+    // batch 0 diffs against the empty set: all additions, no retraction
+    ledger.filter(_.getLong(0) == 0L).foreach { r =>
+      assert(r.getLong(2) == r.getLong(1), "batch 0 has non-added pairs")
+      assert(r.getLong(3) == 0L && r.isNullAt(5), "batch 0 retracted from an empty set")
+    }
+    // digests are null exactly when their direction is empty
+    ledger.foreach { r =>
+      assert((r.getLong(2) > 0) != r.isNullAt(4), "add_md5 null-ness diverged from n_added")
+      assert((r.getLong(3) > 0) != r.isNullAt(5), "rm_md5 null-ness diverged from n_retracted")
+    }
+    // conservation: n_pairs(b) = n_pairs(b-1) + n_added(b) - n_retracted(b)
+    val pairsAt = ledger.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ledger.foreach { r =>
+      val prev = pairsAt.getOrElse(r.getLong(0) - 1, 0L)
+      assert(r.getLong(1) == prev + r.getLong(2) - r.getLong(3),
+        s"conservation broke at batch ${r.getLong(0)}")
+    }
+  }
+
+  test("m15/m16 planted over-the-cap clique: pairs emit while cold, RETRACT when the band crosses the df cap") {
+    import org.apache.spark.sql.functions._
+    val m = graft.streaming.StreamSketch.SplitFiles
+    // 120 byte-identical payloads at a CONSTANT BMP width (doc_id ≡ 0
+    // mod 17 pins buildBmp's 16 + id%17 geometry), so all 120 share one
+    // fingerprint — every band value's df is exactly the arrived clique
+    // size: 30/60/90 (cold, pairs emitted) then 120 > AHashDfMax (hot,
+    // all four bands dropped, the clique's pairs must RETRACT). ids
+    // 17k spread k mod 4 across the waves evenly; a distinct-text
+    // background rides along so retraction is proven amid live data.
+    val clique = spark.range(0, 120)
+      .select((col("id") * 17L).as("doc_id"), lit("planted twin payload").as("text"))
+    val bg = spark.range(0, 8)
+      .select((col("id") * 17L + 5000L).as("doc_id"),
+        concat(lit("background-"), col("id").cast("string"),
+          lit(" payload with enough distinct bytes to matter")).as("text"))
+    val docs = clique.unionByName(bg)
+    val (finalPairs, ledgerDf, n) =
+      graft.streaming.StreamMediaDedup.runReplay(spark, docs, "doc_id")
+    assert(n == m)
+    val ledger = ledgerDf.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the per-batch LAW: after batch b, the materialized set is the
+    // batch chain's answer over the arrived corpus — checked per wave
+    // against a single all-at-once decode (the store-accretion path vs
+    // the direct path)
+    (0 until m).foreach { b =>
+      val expected = graft.ops.MultimodalOps.bandedHammingPairs(
+        graft.ops.MultimodalOps.ahashBandsFrom(
+          docs.filter(pmod(col("doc_id"), lit(m.toLong)) <= b))).count()
+      assert(ledger(b.toLong)._1 == expected,
+        s"batch $b materialized ${ledger(b.toLong)._1} pairs, batch chain says $expected")
+    }
+    // the clique's pairs really were emitted while the band was cold…
+    assert(ledger.values.map(_._1).max >= (90L * 89L) / 2L,
+      "the cold-phase clique pairs never materialized")
+    // …and really were retracted when it crossed the cap
+    assert(ledger.values.map(_._3).sum >= (90L * 89L) / 2L,
+      "crossing the df cap retracted nothing — the non-monotone rule is not enforced")
+    // final ≡ batch over the full plant (retraction converges, not oscillates)
+    val batchFinal = rows(graft.ops.MultimodalOps.bandedHammingPairs(
+      graft.ops.MultimodalOps.ahashBandsFrom(docs)))
+    assert(rows(finalPairs) == batchFinal)
+  }
+
   test("p14 sample delta: conservation per source, batch 0 all-additions, both directions occur, final blend ≡ p9") {
     val (df, nBatches) = graft.streaming.StreamSampler.p14WithBatchCount(spark, sf)
     assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
