@@ -193,7 +193,10 @@ object ScaleCheck {
     "m15_stream_near_dup", "m16_near_dup_delta",
     // the blend in training order: p10's funnel+sampler class feeding
     // p5's one-exchange reshuffle — expected in p10's band
-    "p15_sampled_shuffle")
+    "p15_sampled_shuffle",
+    // consensus across both perceptual channels: the two bounded m13/m14
+    // chains + one output-sized full-outer pair join — m13/m14's band
+    "m17_consensus_near_dup")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

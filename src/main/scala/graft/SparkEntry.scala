@@ -152,6 +152,7 @@ object SparkEntry {
     "m14_wav_near_dup" -> (MultimodalOps.m14WavNearDup _),
     "m15_stream_near_dup" -> (graft.streaming.StreamMediaDedup.m15StreamNearDup _),
     "m16_near_dup_delta" -> (graft.streaming.StreamMediaDedup.m16NearDupDelta _),
+    "m17_consensus_near_dup" -> (MultimodalOps.m17ConsensusNearDup _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -899,6 +900,37 @@ object SparkEntry {
   private lazy val m13NearDupSql: String = {
     val nb = MultimodalOps.AHashBands
     s"""WITH $ahashBandsCtes,
+       |okb AS (SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) <= ${MultimodalOps.AHashDfMax}),
+       |cb AS (SELECT bands.* FROM bands JOIN okb USING (bi, bv)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM cb x JOIN cb y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |bw AS (SELECT doc_id, list(bv ORDER BY bi) AS bvs FROM bands GROUP BY doc_id),
+       |ver AS (SELECT a_id, b_id,
+       |  CAST(list_sum(list_transform(range($nb), k -> bit_count(xor(x.bvs[CAST(k+1 AS INT)], y.bvs[CAST(k+1 AS INT)])))) AS BIGINT) AS hamming
+       |  FROM cand JOIN bw x ON x.doc_id = a_id JOIN bw y ON y.doc_id = b_id)
+       |SELECT a_id, b_id, hamming FROM ver WHERE hamming <= ${MultimodalOps.AHashHamMax} ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** m14's oracle (the audio chain: m10's slot seek math, signed-sample
+    * recovery, TRUNCATING integer mean, then m13's banding/df/Hamming
+    * tail) — shared verbatim by the m17 consensus join. */
+  private lazy val m14NearDupSql: String = {
+    val t = MultimodalOps.WavHashSamples
+    val nb = MultimodalOps.AHashBands; val bb = MultimodalOps.AHashBandBits
+    s"""WITH g AS (SELECT doc_id, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h, (1 + doc_id % 2) AS ch FROM documents),
+       |d AS (SELECT doc_id, n, h, ch, 2 * ch AS ba, n // (2 * ch) AS nf FROM g),
+       |s AS (SELECT doc_id, h, ba, nf, unnest(range($t)) AS k FROM d WHERE nf >= 1),
+       |v AS (SELECT doc_id, k,
+       |  (strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba)+1 AS INT), 1)) - 1) * 16
+       |  + strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba)+2 AS INT), 1)) - 1
+       |  + 256 * ((strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba+1)+1 AS INT), 1)) - 1) * 16
+       |           + strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba+1)+2 AS INT), 1)) - 1) AS u
+       |  FROM s),
+       |sv AS (SELECT doc_id, k, CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS BIGINT) AS smp FROM v),
+       |lst AS (SELECT doc_id, list(smp ORDER BY k) AS ss FROM sv GROUP BY doc_id),
+       |mh AS (SELECT doc_id, ss, CAST(list_sum(ss) AS BIGINT) // $t AS mean FROM lst),
+       |bits AS (SELECT doc_id, list_transform(range(0, $t), p -> CASE WHEN ss[CAST(p+1 AS INT)] > mean THEN 1 ELSE 0 END) AS bs FROM mh),
+       |bands AS (SELECT doc_id, k AS bi, CAST(list_sum(list_transform(range(0, $bb), j -> bs[CAST($bb*k + j + 1 AS INT)] * (1 << CAST(j AS INT)))) AS BIGINT) AS bv
+       |  FROM bits CROSS JOIN (SELECT unnest(range($nb)) AS k)),
        |okb AS (SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) <= ${MultimodalOps.AHashDfMax}),
        |cb AS (SELECT bands.* FROM bands JOIN okb USING (bi, bv)),
        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM cb x JOIN cb y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
@@ -2252,33 +2284,19 @@ object SparkEntry {
     // recovery, two's-complement fold), the TRUNCATING integer mean
     // (DuckDB's integer `//` truncates toward zero — measured, matching
     // the JVM's `/`), the bit rule, and m13's banding/df/Hamming tail
-    "m14_wav_near_dup" -> {
-      val t = MultimodalOps.WavHashSamples
-      val nb = MultimodalOps.AHashBands; val bb = MultimodalOps.AHashBandBits
-      s"""WITH g AS (SELECT doc_id, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h, (1 + doc_id % 2) AS ch FROM documents),
-         |d AS (SELECT doc_id, n, h, ch, 2 * ch AS ba, n // (2 * ch) AS nf FROM g),
-         |s AS (SELECT doc_id, h, ba, nf, unnest(range($t)) AS k FROM d WHERE nf >= 1),
-         |v AS (SELECT doc_id, k,
-         |  (strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba)+1 AS INT), 1)) - 1) * 16
-         |  + strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba)+2 AS INT), 1)) - 1
-         |  + 256 * ((strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba+1)+1 AS INT), 1)) - 1) * 16
-         |           + strpos('0123456789abcdef', substring(h, CAST(2*(k*nf//$t*ba+1)+2 AS INT), 1)) - 1) AS u
-         |  FROM s),
-         |sv AS (SELECT doc_id, k, CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS BIGINT) AS smp FROM v),
-         |lst AS (SELECT doc_id, list(smp ORDER BY k) AS ss FROM sv GROUP BY doc_id),
-         |mh AS (SELECT doc_id, ss, CAST(list_sum(ss) AS BIGINT) // $t AS mean FROM lst),
-         |bits AS (SELECT doc_id, list_transform(range(0, $t), p -> CASE WHEN ss[CAST(p+1 AS INT)] > mean THEN 1 ELSE 0 END) AS bs FROM mh),
-         |bands AS (SELECT doc_id, k AS bi, CAST(list_sum(list_transform(range(0, $bb), j -> bs[CAST($bb*k + j + 1 AS INT)] * (1 << CAST(j AS INT)))) AS BIGINT) AS bv
-         |  FROM bits CROSS JOIN (SELECT unnest(range($nb)) AS k)),
-         |okb AS (SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) <= ${MultimodalOps.AHashDfMax}),
-         |cb AS (SELECT bands.* FROM bands JOIN okb USING (bi, bv)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM cb x JOIN cb y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
-         |bw AS (SELECT doc_id, list(bv ORDER BY bi) AS bvs FROM bands GROUP BY doc_id),
-         |ver AS (SELECT a_id, b_id,
-         |  CAST(list_sum(list_transform(range($nb), k -> bit_count(xor(x.bvs[CAST(k+1 AS INT)], y.bvs[CAST(k+1 AS INT)])))) AS BIGINT) AS hamming
-         |  FROM cand JOIN bw x ON x.doc_id = a_id JOIN bw y ON y.doc_id = b_id)
-         |SELECT a_id, b_id, hamming FROM ver WHERE hamming <= ${MultimodalOps.AHashHamMax} ORDER BY a_id, b_id""".stripMargin
-    },
+    "m14_wav_near_dup" -> m14NearDupSql,
+    // m17 = pairs flagged by either perceptual channel with provenance:
+    // nested-WITH subqueries reuse BOTH chains verbatim, so m17's
+    // oracle IS "m13's oracle ⋈full m14's oracle" by construction (the
+    // d13 move on the media family)
+    "m17_consensus_near_dup" ->
+      s"""WITH pi AS ($m13NearDupSql), pa AS ($m14NearDupSql)
+         |SELECT coalesce(pi.a_id, pa.a_id) AS a_id, coalesce(pi.b_id, pa.b_id) AS b_id,
+         |CASE WHEN pi.a_id IS NOT NULL AND pa.a_id IS NOT NULL THEN 'both'
+         |     WHEN pi.a_id IS NOT NULL THEN 'image' ELSE 'audio' END AS channel,
+         |coalesce(pi.hamming, -1) AS img_hamming, coalesce(pa.hamming, -1) AS aud_hamming
+         |FROM pi FULL JOIN pa ON pi.a_id = pa.a_id AND pi.b_id = pa.b_id
+         |ORDER BY a_id, b_id""".stripMargin,
     // every sampled frame from closed form: frame fi's payload is the
     // byte slice [fi·fp, fi·fp+flen), its BMP pads to w·fh with zero
     // fill — pixel sum over the slice's hex-nibble bytes, digest over

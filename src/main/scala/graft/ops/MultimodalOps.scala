@@ -1187,6 +1187,41 @@ object MultimodalOps {
   def m14WavNearDup(spark: SparkSession, dir: String): DataFrame =
     bandedHammingPairs(whashBands(spark, dir))
 
+  // ---- m17: consensus near-dup across both perceptual channels -------
+
+  /** m17 consensus near-dup: d13's consensus verb on the MEDIA family —
+    * pairs flagged by either perceptual channel, with provenance. The
+    * two channels are genuinely independent evidence over the same
+    * object bytes: m13 reads them through the BMP pixel walk (spatial
+    * downsample → luma mean bits), m14 through the RIFF chunk walk
+    * (strided sample seeks → signed mean bits) — different containers,
+    * different arithmetic, different failure modes. A pair both
+    * channels flag (`channel = 'both'`) is the high-confidence dedup
+    * verdict a production pipeline acts on without human review; a
+    * single-channel pair is the review queue. Byte-identical payloads
+    * are hamming-0 in BOTH channels by construction, so the fixture's
+    * exact twins pin the 'both' row class.
+    *
+    * Scale shape: the two chains are the already-bounded m13/m14 plans
+    * (df-capped band equi-joins); the consensus itself is one
+    * full-outer join of two OUTPUT-sized pair sets on (a_id, b_id) —
+    * near-dup density, never corpus-sized. Oracle = m13's chain ⋈full
+    * m14's chain by construction (the d13 nested-WITH move). */
+  def m17ConsensusNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val img = m13BmpNearDup(spark, dir)
+      .withColumnRenamed("hamming", "img_hamming")
+    val aud = m14WavNearDup(spark, dir)
+      .withColumnRenamed("hamming", "aud_hamming")
+    img.join(aud, Seq("a_id", "b_id"), "full_outer")
+      .select(col("a_id"), col("b_id"),
+        when(col("img_hamming").isNotNull && col("aud_hamming").isNotNull, "both")
+          .when(col("img_hamming").isNotNull, "image")
+          .otherwise("audio").as("channel"),
+        coalesce(col("img_hamming"), lit(-1L)).as("img_hamming"),
+        coalesce(col("aud_hamming"), lit(-1L)).as("aud_hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** m1: metadata + content-hash projection over the media table —
     * the oracle-checkable slice of the multimodal path. */
   def m1MultimodalMeta(spark: SparkSession, dir: String): DataFrame =

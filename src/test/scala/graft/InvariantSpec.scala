@@ -1034,6 +1034,36 @@ class InvariantSpec extends AnyFunSuite {
       "no document was dropped — the fixture makes this test vacuous")
   }
 
+  test("m17 consensus: exact union of both perceptual channels with faithful provenance") {
+    // m17 must be precisely "m13 ⋈full m14": same pair keys, channel
+    // provenance derived from membership, hammings carried verbatim
+    // (-1 marking the absent channel)
+    val img = MultimodalOps.m13BmpNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val aud = MultimodalOps.m14WavNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val m17 = MultimodalOps.m17ConsensusNearDup(spark, sf).collect()
+    assert(m17.nonEmpty)
+    assert(m17.map(r => (r.getLong(0), r.getLong(1))).toSet == img.keySet ++ aud.keySet,
+      "consensus pair keys are not the union of the two channels")
+    m17.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val expected = (img.contains(k), aud.contains(k)) match {
+        case (true, true) => "both"
+        case (true, false) => "image"
+        case _ => "audio"
+      }
+      assert(r.getString(2) == expected, s"pair $k mislabeled ${r.getString(2)}")
+      assert(r.getLong(3) == img.getOrElse(k, -1L), s"pair $k image hamming drifted")
+      assert(r.getLong(4) == aud.getOrElse(k, -1L), s"pair $k audio hamming drifted")
+    }
+    // the channels genuinely disagree somewhere on this corpus — if one
+    // channel's pairs were always the other's, the consensus verb would
+    // be vacuous
+    assert(m17.map(_.getString(2)).distinct.length >= 2,
+      "single channel class only — the consensus fixture is vacuous")
+  }
+
   test("s22's recall cost is bounded: hier recall@3 within 0.1 of flat on the fixture") {
     // the hierarchical quantizer buys its 2√k assignment with a recall
     // trade (a vector near a group boundary can land in the wrong

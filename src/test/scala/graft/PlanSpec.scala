@@ -662,6 +662,32 @@ class PlanSpec extends AnyFunSuite {
       "p10 plan globally range-sorts the corpus by the preference hash")
   }
 
+  test("p15 sampled shuffle: the composed chain keeps the sampler's exchange AND p5's shard shape") {
+    // the training-order composition must inherit BOTH parents' scale
+    // shapes: p10's sampler exchange with no blowup joins, and p5's
+    // one-oshard-exchange reshuffle with no rank machinery and the
+    // packed-text collect pinned at the sub-bucket grain
+    val df = graft.ops.PipelineOps.p15SampledShuffle(spark, sf)
+    val plan = finalPlan(df)
+    // the sampler's largest-feasible budget rides a ONE-ROW broadcast
+    // attach (a BroadcastNestedLoopJoin by construction, p8/p10's
+    // documented shape), so the blowup assertion is CartesianProduct
+    // only — p10's lock, verbatim
+    assert(!plan.contains("CartesianProduct"), "p15 plan contains CartesianProduct")
+    assert("hashpartitioning\\(source#\\d+, bucket#".r.findFirstIn(plan).nonEmpty,
+      "p15 lost the sampler's (source, bucket) exchange")
+    assert(plan.contains("hashpartitioning(oshard"),
+      "p15 lost the reshuffle's oshard hash exchange")
+    assert(!plan.contains("rangepartitioning(u"),
+      "p15 plan globally sorts the corpus by the preference hash")
+    val textCollects = finalPlanLines(df)
+      .filter(l => l.contains("collect_list") && l.contains("doc_id#"))
+    assert(textCollects.nonEmpty, "p15 plan lost the packed-text sub-digest collect entirely")
+    textCollects.foreach(l =>
+      assert("keys=\\[oshard#\\d+L?, sbucket#".r.findFirstIn(l).nonEmpty,
+        s"p15 collects packed text at a non-bucket grain — shard-sized buffer is back: $l"))
+  }
+
   test("AQE splits a skewed join partition at runtime (the second skew lever)") {
     // q35's salting is the PLANNED answer to skew; this locks the RUNTIME
     // one — on a hot key the engine's AQE config must actually rewrite
