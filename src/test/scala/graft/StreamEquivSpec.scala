@@ -795,6 +795,35 @@ class StreamEquivSpec extends AnyFunSuite {
     val batchFinal = rows(graft.ops.MultimodalOps.bandedHammingPairs(
       graft.ops.MultimodalOps.ahashBandsFrom(docs)))
     assert(rows(finalPairs) == batchFinal)
+    // BOTH digest directions pinned against an INDEPENDENT plain-Scala
+    // derivation of the two-level fold (sub-bucket = a_id mod
+    // DigestBuckets, 'a:b' strings, ',' separators) — the gate fixture
+    // never retracts, so rm_md5's exact format is proven only here
+    def md5Hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def foldDigest(pairs: Set[(Long, Long)]): String = {
+      val subs = pairs.groupBy(p => p._1 % graft.streaming.StreamMediaDedup.DigestBuckets)
+        .map { case (sb, ps) =>
+          sb -> md5Hex(ps.toSeq.sorted.map(p => s"${p._1}:${p._2}").mkString(","))
+        }
+      md5Hex(subs.toSeq.sortBy(_._1).map(_._2).mkString(","))
+    }
+    def pairsAt(b: Int): Set[(Long, Long)] =
+      graft.ops.MultimodalOps.bandedHammingPairs(
+          graft.ops.MultimodalOps.ahashBandsFrom(
+            docs.filter(pmod(col("doc_id"), lit(m.toLong)) <= b)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ledgerRows = ledgerDf.collect()
+    val retractWave = ledgerRows.filter(_.getLong(3) > 0).map(_.getLong(0)).min.toInt
+    val prevSet = pairsAt(retractWave - 1)
+    val curSet = pairsAt(retractWave)
+    assert(ledgerRows.find(_.getLong(0) == retractWave).get.getString(5)
+      == foldDigest(prevSet -- curSet),
+      "rm_md5 diverged from the independent two-level fold of the retracted set")
+    assert(ledgerRows.find(_.getLong(0) == 0L).get.getString(4)
+      == foldDigest(pairsAt(0)),
+      "batch-0 add_md5 diverged from the independent two-level fold of the added set")
   }
 
   test("p14 sample delta: conservation per source, batch 0 all-additions, both directions occur, final blend ≡ p9") {
