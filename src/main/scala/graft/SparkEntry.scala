@@ -875,6 +875,32 @@ object SparkEntry {
        |FROM c GROUP BY 1, 2 ORDER BY batch_id, event_type""".stripMargin
   }
 
+  /** The sampled-blend CTE chain (funnel → kept tokens `kt` with both
+    * p4's shard and t14's u → weights → largest-feasible budgets →
+    * prefix keep → `smp`), shared VERBATIM by p10 (packs smp in the
+    * (source, shard) geometry) and p15 (reshuffles smp into training
+    * order) — the same drift guard as [[ahashBandsCtes]]: an edit to
+    * the budget or prefix rule cannot reach one composed oracle and
+    * miss the other. Callers prepend `WITH RECURSIVE` and append their
+    * aggregation tail. */
+  private lazy val sampledBlendCtes: String = {
+    val (mod, mul) = (TextOps.MixHashMod, TextOps.MixHashMul)
+    s"""$dupClusterCte,
+       |$funnelHeadCtes,
+       |gg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))) AS g FROM tok WHERE len(ts) >= 5),
+       |ctd AS (SELECT DISTINCT t2.doc_id FROM gg t2 JOIN (SELECT DISTINCT g FROM gg WHERE doc_id % ${DedupOps.EvalMod} = 0) e2 ON e2.g = t2.g WHERE t2.doc_id % ${DedupOps.EvalMod} <> 0),
+       |kd AS (SELECT e.doc_id, e.source FROM elig e LEFT JOIN lab ON lab.doc_id = e.doc_id LEFT JOIN ctd ON ctd.doc_id = e.doc_id
+       |  WHERE e.doc_id = e.min_id AND (lab.cluster_id IS NULL OR lab.cluster_id = e.doc_id) AND ctd.doc_id IS NULL),
+       |kt AS (SELECT kd.doc_id, kd.source, kd.doc_id // ${TextOps.ShardDocs} AS shard, array_to_string(t.ts, ' ') AS s, len(t.ts) AS n_tok,
+       |  kd.doc_id % $mod * $mul % $mod AS u
+       |  FROM kd JOIN tok t ON t.doc_id = kd.doc_id WHERE len(t.ts) > 0),
+       |wt AS (SELECT source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w, sum(n_tok) AS tot FROM kt GROUP BY source),
+       |mrow AS (SELECT tot AS tot_m, w AS w_m FROM wt ORDER BY tot * 1.0 / w, source LIMIT 1),
+       |bdg AS (SELECT source, (w * tot_m) // w_m AS budget FROM wt, mrow),
+       |c AS (SELECT kt.*, sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum FROM kt),
+       |smp AS (SELECT c.* FROM c JOIN bdg b ON b.source = c.source WHERE cum - n_tok < b.budget)""".stripMargin
+  }
+
   /** m13's thumbnail → aHash-band CTE prefix (`g` … `bands`): m8's
     * pixel math, the integer mean, the bit rule, and the band packing.
     * One string shared by the batch near-dup oracle ([[m13NearDupSql]],
@@ -1574,48 +1600,19 @@ object SparkEntry {
     // the single per-source window; the engine's two-level prefix sum
     // is exact-equivalent), and p4's pack aggregation digests the
     // survivors in the same (source, shard) geometry
-    "p10_sampled_export" -> {
-      val (mod, mul) = (TextOps.MixHashMod, TextOps.MixHashMul)
-      s"""WITH RECURSIVE $dupClusterCte,
-         |$funnelHeadCtes,
-         |gg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))) AS g FROM tok WHERE len(ts) >= 5),
-         |ctd AS (SELECT DISTINCT t2.doc_id FROM gg t2 JOIN (SELECT DISTINCT g FROM gg WHERE doc_id % ${DedupOps.EvalMod} = 0) e2 ON e2.g = t2.g WHERE t2.doc_id % ${DedupOps.EvalMod} <> 0),
-         |kd AS (SELECT e.doc_id, e.source FROM elig e LEFT JOIN lab ON lab.doc_id = e.doc_id LEFT JOIN ctd ON ctd.doc_id = e.doc_id
-         |  WHERE e.doc_id = e.min_id AND (lab.cluster_id IS NULL OR lab.cluster_id = e.doc_id) AND ctd.doc_id IS NULL),
-         |kt AS (SELECT kd.doc_id, kd.source, kd.doc_id // ${TextOps.ShardDocs} AS shard, array_to_string(t.ts, ' ') AS s, len(t.ts) AS n_tok,
-         |  kd.doc_id % $mod * $mul % $mod AS u
-         |  FROM kd JOIN tok t ON t.doc_id = kd.doc_id WHERE len(t.ts) > 0),
-         |wt AS (SELECT source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w, sum(n_tok) AS tot FROM kt GROUP BY source),
-         |mrow AS (SELECT tot AS tot_m, w AS w_m FROM wt ORDER BY tot * 1.0 / w, source LIMIT 1),
-         |bdg AS (SELECT source, (w * tot_m) // w_m AS budget FROM wt, mrow),
-         |c AS (SELECT kt.*, sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum FROM kt),
-         |smp AS (SELECT c.* FROM c JOIN bdg b ON b.source = c.source WHERE cum - n_tok < b.budget)
+    "p10_sampled_export" ->
+      s"""WITH RECURSIVE $sampledBlendCtes
          |SELECT source, CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
          |CAST(sum(n_tok) AS BIGINT) AS n_tok,
          |CAST((sum(n_tok) + ${TextOps.SeqTokens - 1}) // ${TextOps.SeqTokens} AS BIGINT) AS n_seqs,
          |md5(string_agg(s, ' ' ORDER BY doc_id)) AS pack_md5
-         |FROM smp GROUP BY source, shard ORDER BY source, shard""".stripMargin
-    },
+         |FROM smp GROUP BY source, shard ORDER BY source, shard""".stripMargin,
     // p15 composes the chain a trainer actually consumes: p10's funnel
     // + weight/budget/prefix CTEs (the sampled blend, `smp`, u already
     // derived) feeding p5's shard/fold tail — the same u-range
     // sub-bucket digest fold, over the blend instead of the kept corpus
-    "p15_sampled_shuffle" -> {
-      val (mod, mul) = (TextOps.MixHashMod, TextOps.MixHashMul)
-      s"""WITH RECURSIVE $dupClusterCte,
-         |$funnelHeadCtes,
-         |gg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts) - 4), i -> md5(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5])))) AS g FROM tok WHERE len(ts) >= 5),
-         |ctd AS (SELECT DISTINCT t2.doc_id FROM gg t2 JOIN (SELECT DISTINCT g FROM gg WHERE doc_id % ${DedupOps.EvalMod} = 0) e2 ON e2.g = t2.g WHERE t2.doc_id % ${DedupOps.EvalMod} <> 0),
-         |kd AS (SELECT e.doc_id, e.source FROM elig e LEFT JOIN lab ON lab.doc_id = e.doc_id LEFT JOIN ctd ON ctd.doc_id = e.doc_id
-         |  WHERE e.doc_id = e.min_id AND (lab.cluster_id IS NULL OR lab.cluster_id = e.doc_id) AND ctd.doc_id IS NULL),
-         |kt AS (SELECT kd.doc_id, kd.source, array_to_string(t.ts, ' ') AS s, len(t.ts) AS n_tok,
-         |  kd.doc_id % $mod * $mul % $mod AS u
-         |  FROM kd JOIN tok t ON t.doc_id = kd.doc_id WHERE len(t.ts) > 0),
-         |wt AS (SELECT source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w, sum(n_tok) AS tot FROM kt GROUP BY source),
-         |mrow AS (SELECT tot AS tot_m, w AS w_m FROM wt ORDER BY tot * 1.0 / w, source LIMIT 1),
-         |bdg AS (SELECT source, (w * tot_m) // w_m AS budget FROM wt, mrow),
-         |c AS (SELECT kt.*, sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum FROM kt),
-         |smp AS (SELECT c.* FROM c JOIN bdg b ON b.source = c.source WHERE cum - n_tok < b.budget),
+    "p15_sampled_shuffle" ->
+      s"""WITH RECURSIVE $sampledBlendCtes,
          |sb AS (SELECT u % ${PipelineOps.OutShards} AS oshard,
          |  u // ${TextOps.MixHashMod / PipelineOps.MixBuckets} AS sbucket,
          |  count(*) AS b_docs, sum(n_tok) AS b_tok,
@@ -1632,8 +1629,7 @@ object SparkEntry {
          |CAST(n_tok AS BIGINT) AS n_tok,
          |CAST((n_tok + ${TextOps.SeqTokens - 1}) // ${TextOps.SeqTokens} AS BIGINT) AS n_seqs,
          |pack_md5
-         |FROM shg JOIN src ON src.oshard = shg.oshard ORDER BY oshard""".stripMargin
-    },
+         |FROM shg JOIN src ON src.oshard = shg.oshard ORDER BY oshard""".stripMargin,
     // p11 replays the streaming blend monitor closed-form: batch
     // membership is the wave rule (doc_id mod SplitFiles), so the
     // arrived corpus after batch b is {wave <= b}; per (batch, source):

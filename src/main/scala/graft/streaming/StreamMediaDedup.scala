@@ -103,11 +103,8 @@ object StreamMediaDedup {
     val n = StreamSketch.runWaveReplay(spark, docs, splitKey, work, ledgerStore) {
       (batch, batchId) => processBatch(batch, batchId, fpStore, curStore, ledgerStore)
     }
-    val lastBatch = Option(new java.io.File(curStore).listFiles()).toSeq.flatten
-      .flatMap(f => "^batch_id=(\\d+)$".r.findFirstMatchIn(f.getName))
-      .map(_.group(1).toLong).max
     val pairs = spark.read.parquet(curStore)
-      .filter(col("batch_id") === lastBatch)
+      .filter(col("batch_id") === (n - 1).toLong)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy("a_id", "b_id")
     val ledger = spark.read.parquet(ledgerStore)
