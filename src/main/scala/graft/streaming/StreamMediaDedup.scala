@@ -114,7 +114,11 @@ object StreamMediaDedup {
     (pairs, ledger, n)
   }
 
-  private def processBatch(batch: DataFrame, batchId: Long, fpStore: String,
+  /** `private[graft]` so the torn-write/redo spec can drive batches
+    * directly: the delta's one-batch-back read is the shape the generic
+    * crash test doesn't cover — a redone batch must re-diff against the
+    * COMMITTED N−1 set, never double-count its own torn output. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long, fpStore: String,
                            curStore: String, ledgerStore: String): Unit = {
     val session = batch.sparkSession
     // the ONLY read of the batch's media bytes: the real codec map,

@@ -826,6 +826,61 @@ class StreamEquivSpec extends AnyFunSuite {
       "batch-0 add_md5 diverged from the independent two-level fold of the added set")
   }
 
+  test("m15/m16 torn-write redo: a re-run batch re-diffs against the COMMITTED previous set") {
+    // the delta's one-batch-back read is the shape SinkSpec's generic
+    // crash test doesn't cover: batch N dies after a torn cur/ledger
+    // write, and the redo must (a) overwrite the torn output, (b) diff
+    // against the committed N−1 set — never its own poison — and (c) a
+    // second redo of an already-committed batch must be a no-op ledger-
+    // wise (idempotent overwrite). Batches are driven directly; the
+    // foreachBatch contract is exactly "re-invoke with the same id".
+    import org.apache.spark.sql.functions._
+    val md = graft.streaming.StreamMediaDedup
+    val m = graft.streaming.StreamSketch.SplitFiles
+    val docs = Sources.table(spark, sf, "documents").select("doc_id", "text")
+    def wave(b: Int) = docs.filter(pmod(col("doc_id"), lit(m.toLong)) === b)
+    val work = java.nio.file.Files.createTempDirectory("graft_mediaredo_").toString
+    val (fp, cur, led) = (s"$work/fp", s"$work/cur", s"$work/ledger")
+    md.processBatch(wave(0), 0L, fp, cur, led)
+    md.processBatch(wave(1), 1L, fp, cur, led)
+    // torn batch 2: poison pair rows + a poison ledger row got down
+    // before the crash
+    spark.range(1).select(lit(-7L).as("a_id"), lit(-3L).as("b_id"), lit(0L).as("hamming"))
+      .write.mode("overwrite").parquet(s"$cur/batch_id=2")
+    spark.range(1).select(lit(999L).as("n_pairs"), lit(999L).as("n_added"),
+        lit(999L).as("n_retracted"), lit("poison").as("add_md5"), lit("poison").as("rm_md5"))
+      .write.mode("overwrite").parquet(s"$led/batch_id=2")
+    md.processBatch(wave(2), 2L, fp, cur, led) // the redo
+    md.processBatch(wave(3), 3L, fp, cur, led)
+    // (c) retry of a COMMITTED batch: ledger row byte-identical after
+    def readLedger() = spark.read.parquet(led)
+      .select(col("batch_id").cast("long").as("batch_id"), col("n_pairs"),
+        col("n_added"), col("n_retracted"), col("add_md5"), col("rm_md5"))
+      .orderBy("batch_id").collect().toSeq
+    val ledgerBefore = readLedger()
+    md.processBatch(wave(2), 2L, fp, cur, led)
+    val ledgerAfter = readLedger()
+    assert(ledgerAfter == ledgerBefore, "retrying a committed batch changed the ledger")
+    // no poison anywhere; final set ≡ the batch chain; conservation holds
+    assert(spark.read.parquet(cur).filter(col("a_id") < 0).count() == 0,
+      "torn pair rows survived the redo")
+    val batchFinal = rows(graft.ops.MultimodalOps.bandedHammingPairs(
+      graft.ops.MultimodalOps.ahashBandsFrom(docs)))
+    val streamFinal = rows(spark.read.parquet(s"$cur/batch_id=${m - 1}")
+      .select("a_id", "b_id", "hamming").orderBy("a_id", "b_id"))
+    assert(streamFinal == batchFinal, "redone stream diverged from the batch chain")
+    ledgerAfter.foreach { r =>
+      assert(r.getLong(1) != 999L && r.getString(4) != "poison",
+        "the poison ledger row survived the redo")
+    }
+    val pairsAtB = ledgerAfter.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ledgerAfter.foreach { r =>
+      val prev = pairsAtB.getOrElse(r.getLong(0) - 1, 0L)
+      assert(r.getLong(1) == prev + r.getLong(2) - r.getLong(3),
+        s"conservation broke at batch ${r.getLong(0)} after the redo")
+    }
+  }
+
   test("p14 sample delta: conservation per source, batch 0 all-additions, both directions occur, final blend ≡ p9") {
     val (df, nBatches) = graft.streaming.StreamSampler.p14WithBatchCount(spark, sf)
     assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
