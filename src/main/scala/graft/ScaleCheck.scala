@@ -196,7 +196,10 @@ object ScaleCheck {
     "p15_sampled_shuffle",
     // consensus across both perceptual channels: the two bounded m13/m14
     // chains + one output-sized full-outer pair join — m13/m14's band
-    "m17_consensus_near_dup")
+    "m17_consensus_near_dup",
+    // m15's runner over the audio fingerprint — the same stream-replay
+    // band through the shared machinery
+    "m18_stream_wav_near_dup")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

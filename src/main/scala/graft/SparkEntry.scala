@@ -153,6 +153,8 @@ object SparkEntry {
     "m15_stream_near_dup" -> (graft.streaming.StreamMediaDedup.m15StreamNearDup _),
     "m16_near_dup_delta" -> (graft.streaming.StreamMediaDedup.m16NearDupDelta _),
     "m17_consensus_near_dup" -> (MultimodalOps.m17ConsensusNearDup _),
+    "m18_stream_wav_near_dup" ->
+      (graft.streaming.StreamMediaDedup.m18StreamWavNearDup _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -2281,6 +2283,10 @@ object SparkEntry {
     // (DuckDB's integer `//` truncates toward zero — measured, matching
     // the JVM's `/`), the bit rule, and m13's banding/df/Hamming tail
     "m14_wav_near_dup" -> m14NearDupSql,
+    // m18 = the SAME audio chain: the stream's final materialized set
+    // must equal batch m14 exactly (the m15 ≡ m13 shared-string move
+    // on the second codec family)
+    "m18_stream_wav_near_dup" -> m14NearDupSql,
     // m17 = pairs flagged by either perceptual channel with provenance:
     // nested-WITH subqueries reuse BOTH chains verbatim, so m17's
     // oracle IS "m13's oracle ⋈full m14's oracle" by construction (the

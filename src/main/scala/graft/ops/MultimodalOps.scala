@@ -1134,12 +1134,19 @@ object MultimodalOps {
     * iff sample j > mean → [[AHashBands]] × [[AHashBandBits]]-bit band
     * values. Payloads with no complete frame (nf = 0) carry no
     * fingerprint — the m11 philosophy, classify-don't-abort. */
-  private def whashBands(spark: SparkSession, dir: String): DataFrame = {
+  private def whashBands(spark: SparkSession, dir: String): DataFrame =
+    whashBandsFrom(Sources.table(spark, dir, "documents"))
+
+  /** [[whashBands]] over an arbitrary `(doc_id, lang, text)` frame —
+    * m18's streaming seam, the [[ahashBandsFrom]] move on the audio
+    * fingerprint (lang rides along because [[buildWav]]'s container
+    * derives its header from it). Identical math by construction. */
+  private[graft] def whashBandsFrom(docs: DataFrame): DataFrame = {
     val out = StructType(
       StructField("media_id", LongType) +:
         (0 until AHashBands).map(k => StructField(s"b$k", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(out)
-    Sources.table(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("lang"), col("text").cast("binary").as("data"))
       .mapPartitions { rows =>
         rows.flatMap { r =>

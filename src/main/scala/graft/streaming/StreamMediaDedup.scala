@@ -72,6 +72,16 @@ object StreamMediaDedup {
   def m16NearDupDelta(spark: SparkSession, dir: String): DataFrame =
     m16WithInfo(spark, dir)._1
 
+  /** m18: m15's streaming replay over the SECOND codec family — the
+    * audio sample-hash fingerprint ([[MultimodalOps.whashBandsFrom]],
+    * the RIFF chunk walk) through the SAME runner, quantizer-seam
+    * style: only the fingerprint function swaps, so the stream verb is
+    * proven across both containers exactly as m14 proved the batch
+    * verb. Oracle = m14's SQL verbatim (the m15 ≡ m13 shared-string
+    * move on the audio chain). */
+  def m18StreamWavNearDup(spark: SparkSession, dir: String): DataFrame =
+    m18WithInfo(spark, dir)._1
+
   /** Test seam: final pair set + replayed batch count. */
   private[graft] def m15WithInfo(spark: SparkSession, dir: String): (DataFrame, Int) = {
     val (pairs, _, n) = runReplay(spark, docsOf(spark, dir), "doc_id")
@@ -84,6 +94,15 @@ object StreamMediaDedup {
     (ledger, n)
   }
 
+  /** Test seam: final audio pair set + replayed batch count. */
+  private[graft] def m18WithInfo(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val docs = Sources.table(spark, dir, "documents")
+      .select("doc_id", "lang", "text")
+    val (pairs, _, n) = runReplay(spark, docs, "doc_id",
+      d => MultimodalOps.whashBandsFrom(d))
+    (pairs, n)
+  }
+
   private def docsOf(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "documents").select("doc_id", "text")
 
@@ -92,16 +111,23 @@ object StreamMediaDedup {
     * (retraction proven to occur) and a reversed wave key (the final
     * set is arrival-order-free because every batch re-derives from the
     * order-free fingerprint store). `splitKey` must be a column whose
-    * `mod SplitFiles` value assigns waves (doc_id for the gates).
+    * `mod SplitFiles` value assigns waves (doc_id for the gates);
+    * `fpFrom` is the per-batch fingerprint function — the quantizer-
+    * seam move: m15 plugs the image aHash, m18 the audio sample-hash,
+    * and the replay/store/delta machinery is shared verbatim.
     * Returns (final pair set, change-feed ledger, batches replayed). */
   private[graft] def runReplay(spark: SparkSession, docs: DataFrame,
-      splitKey: String): (DataFrame, DataFrame, Int) = {
+      splitKey: String,
+      fpFrom: DataFrame => DataFrame =
+        d => MultimodalOps.ahashBandsFrom(d.select("doc_id", "text")))
+      : (DataFrame, DataFrame, Int) = {
     val work = Files.createTempDirectory("graft_mediadedup_").toString
     val fpStore = s"$work/fp"
     val curStore = s"$work/cur"
     val ledgerStore = s"$work/ledger"
     val n = StreamSketch.runWaveReplay(spark, docs, splitKey, work, ledgerStore) {
-      (batch, batchId) => processBatch(batch, batchId, fpStore, curStore, ledgerStore)
+      (batch, batchId) =>
+        processBatch(batch, batchId, fpStore, curStore, ledgerStore, fpFrom)
     }
     val pairs = spark.read.parquet(curStore)
       .filter(col("batch_id") === (n - 1).toLong)
@@ -119,11 +145,14 @@ object StreamMediaDedup {
     * crash test doesn't cover — a redone batch must re-diff against the
     * COMMITTED N−1 set, never double-count its own torn output. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long, fpStore: String,
-                           curStore: String, ledgerStore: String): Unit = {
+                           curStore: String, ledgerStore: String,
+                           fpFrom: DataFrame => DataFrame =
+                             d => MultimodalOps.ahashBandsFrom(d.select("doc_id", "text")))
+      : Unit = {
     val session = batch.sparkSession
     // the ONLY read of the batch's media bytes: the real codec map,
     // once per object, narrow fingerprint rows out
-    MultimodalOps.ahashBandsFrom(batch.select("doc_id", "text"))
+    fpFrom(batch)
       .write.mode("overwrite").parquet(s"$fpStore/batch_id=$batchId")
     // re-derive the pair set over ALL arrived fingerprints (own batch
     // included — the overwrite above makes the retry converge) through

@@ -728,6 +728,21 @@ class StreamEquivSpec extends AnyFunSuite {
       "reversed-arrival m15 diverged from batch m13 — the re-derivation is order-dependent")
   }
 
+  test("m18 streaming audio near-dup: the shared runner's final set ≡ batch m14") {
+    // the quantizer-seam claim on the fingerprint function: only
+    // whashBandsFrom swaps in, so the audio stream must land exactly on
+    // batch m14's pair set through the replay/store/delta machinery
+    // m15 already proves order-free
+    val batch = rows(graft.ops.MultimodalOps.m14WavNearDup(spark, sf))
+    assert(batch.nonEmpty)
+    val (streamDf, nBatches) =
+      graft.streaming.StreamMediaDedup.m18WithInfo(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    assert(rows(streamDf) == batch,
+      "streamed audio near-dup diverged from batch m14")
+  }
+
   test("m16 change feed: conservation, batch 0 all-additions, digest null-ness") {
     val (df, nBatches) = graft.streaming.StreamMediaDedup.m16WithInfo(spark, sf)
     assert(nBatches == graft.streaming.StreamSketch.SplitFiles)
