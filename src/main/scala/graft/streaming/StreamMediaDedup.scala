@@ -8,15 +8,18 @@ import org.apache.spark.sql.functions._
 import graft.io.Sources
 import graft.ops.MultimodalOps
 
-/** m15/m16: the STREAMING member of the multimodal near-dup family —
-  * completing the streaming column across all four gate families (d12
-  * streams the text near-dup chain, d20 the embedding chain, p13 the
-  * sampling rule; m15 streams the PERCEPTUAL-HASH chain m13/m14 prove
-  * in batch). Media objects arrive in crawl batches; each batch is
-  * fingerprinted ONCE through the real codec path
-  * ([[MultimodalOps.ahashBandsFrom]] — m8's seek-decoded BMP thumbnail,
-  * the expensive map that must never re-run), the narrow fingerprint
-  * rows (5 longs per object) append to a batch-partitioned store, and
+/** m15/m16/m18: the STREAMING members of the multimodal near-dup
+  * family — completing the streaming column across all four gate
+  * families (d12 streams the text near-dup chain, d20 the embedding
+  * chain, p13 the sampling rule; m15/m18 stream the PERCEPTUAL-HASH
+  * chains m13/m14 prove in batch, one per codec container through the
+  * shared `fpFrom` seam). Media objects arrive in crawl batches; each
+  * batch is fingerprinted ONCE through the real codec path
+  * ([[MultimodalOps.ahashBandsFrom]] — m8's seek-decoded BMP thumbnail
+  * — for m15; [[MultimodalOps.whashBandsFrom]] — the RIFF chunk walk —
+  * for m18; the expensive map that must never re-run), the narrow
+  * fingerprint rows (5 longs per object) append to a batch-partitioned
+  * store, and
   * the current near-dup pair set is re-derived per batch over the
   * arrived fingerprints through [[MultimodalOps.bandedHammingPairs]]
   * VERBATIM — band explode, df ≤ AHashDfMax cap, capped equi-join
