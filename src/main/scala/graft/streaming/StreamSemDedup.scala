@@ -207,6 +207,11 @@ object StreamSemDedup {
             .otherwise(greatest(col("a_id"), col("b_id"))))
         .select(col("a_id"), col("b_id"), r4(col("cs")).as("cos_sim"), col("victim"))
         .write.mode("overwrite").parquet(s"$pairStore/batch_id=$batchId")
+      // a crash between the two writes leaves a pair dir whose store
+      // dir is absent — safe ONLY because foreachBatch re-invokes the
+      // batch with the same id and BOTH writes are idempotent batch_id
+      // overwrites; any "skip if the pair dir exists" retry shortcut
+      // would break that contract (the torn pair set would be trusted)
       asn.write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
     } finally { asn.unpersist(); () }
   }
