@@ -113,15 +113,25 @@ object Bench {
       // would commit a meaningless blend), and prior keys absent from
       // the current full suite are dropped (a renamed gate would
       // otherwise be summed twice into total_min forever).
+      // Parsed as JSON (Jackson rides Spark's classpath), not regex: a
+      // regex over the serialized text would silently mis-scope if the
+      // min map ever gained a nested-object value or key order changed.
       val prior: Map[String, Double] =
         try {
-          val txt = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(minPath)), java.nio.charset.StandardCharsets.UTF_8)
-          val priorSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
+          val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new java.io.File(minPath))
+          val priorSf = Option(tree.get("sf")).map(_.asText())
           if (!priorSf.map(_.stripSuffix("/")).contains(sfDir.stripSuffix("/"))) Map.empty
-          else "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(
-            txt.substring(txt.indexOf("\"min\":")))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          else {
+            val minNode = tree.get("min")
+            val it = minNode.fieldNames()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) {
+              val k = it.next()
+              if (minNode.get(k).isNumber) b += k -> minNode.get(k).asDouble()
+            }
+            b.result()
+          }
         } catch { case _: Exception => Map.empty }
       // Merge keyed on the REGISTERED suite, not this sitting's `ok`
       // set: a prior minimum survives even if its gate were somehow

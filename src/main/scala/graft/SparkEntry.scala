@@ -194,7 +194,8 @@ object SparkEntry {
     "x18_retention_vacuum" ->
       (graft.streaming.StreamSketch.x18RetentionVacuum _),
     "x19_late_ledger" -> (graft.streaming.LateLedger.x19LateLedger _),
-    "x20_stats_compact" -> (graft.streaming.LateLedger.x20StatsCompact _)
+    "x20_stats_compact" -> (graft.streaming.LateLedger.x20StatsCompact _),
+    "x21_fmgws_sessions" -> (graft.streaming.StatefulOps.x21FmgwsSessions _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -859,6 +860,16 @@ object SparkEntry {
        |FROM kt GROUP BY 1, 2, 3 ORDER BY batch_id, source, shard""".stripMargin
   }
 
+  /** q09's oracle — also x21's verbatim: the built-in `session_window`
+    * aggregate and the hand-rolled `flatMapGroupsWithState` sessionizer
+    * are two independent implementations of one session semantics
+    * (t joins iff t < last + gap; end = last + gap; emit once at
+    * watermark), both pinned to this closed-form gaps-and-islands SQL. */
+  private lazy val q09SessionSql: String =
+    """WITH x AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk FROM events),
+      |y AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM x)
+      |SELECT user_id, CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS s_start, CAST(FLOOR(epoch(max(ts))) AS BIGINT) + 600 AS s_end, CAST(count(*) AS BIGINT) AS cnt FROM y GROUP BY user_id, sess ORDER BY user_id, s_start""".stripMargin
+
   /** x19's oracle — also x20's verbatim (the running-max fold must be
     * invisible to every watermark the ledger derives). */
   private lazy val x19LedgerSql: String = {
@@ -1273,10 +1284,7 @@ object SparkEntry {
       """WITH e AS (SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS s0, event_type FROM events),
         |u AS (SELECT s0 AS w_start, event_type FROM e UNION ALL SELECT s0 - 300, event_type FROM e)
         |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q09_session_window" ->
-      """WITH x AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk FROM events),
-        |y AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM x)
-        |SELECT user_id, CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS s_start, CAST(FLOOR(epoch(max(ts))) AS BIGINT) + 600 AS s_end, CAST(count(*) AS BIGINT) AS cnt FROM y GROUP BY user_id, sess ORDER BY user_id, s_start""".stripMargin,
+    "q09_session_window" -> q09SessionSql,
     "q10_dedup_events" ->
       """WITH r AS (SELECT user_id, event_type, event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events)
         |SELECT user_id, event_type, event_id FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
@@ -2393,6 +2401,13 @@ object SparkEntry {
     // (the fold itself is spec-pinned: partition counts and a phase-B
     // n_late > 0 non-vacuity check)
     "x20_stats_compact" -> x19LedgerSql,
+    // x21 is the hand-rolled flatMapGroupsWithState sessionizer run
+    // through the same watermarked append replay as q09's built-in
+    // session_window — two independent session implementations pinned
+    // to ONE closed-form SQL (q09's verbatim): a drift in either's
+    // merge rule, end arithmetic, or emit-once contract lands on
+    // different rows
+    "x21_fmgws_sessions" -> q09SessionSql,
     // x15's drift read from the moments store: decimal sums replay
     // exactly (the q04/q12 DECIMAL-addend precedent), batch membership
     // is x11's data rule, and mean/std/z are identical IEEE expressions

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -100,6 +100,22 @@ object StatefulOps {
           }
       }
   }
+
+  /** x21: [[sessionize]] as a registered gate — the one §2.2-named API
+    * (`flatMapGroupsWithState`) whose semantics were spec-proven but
+    * never oracle-gated. Runs the explicit-state sessionizer through the
+    * SAME watermarked append replay as q09's built-in `session_window`
+    * path and must land on the SAME oracle string verbatim (the
+    * d19/x20/m15 shared-string convention): two independent session
+    * implementations — Spark's incremental merge-on-watermark state
+    * store vs this hand-rolled EventTimeTimeout sessionizer — pinned to
+    * one closed-form gaps-and-islands SQL, so a drift in either's merge
+    * rule, end = last + gap arithmetic, or emit-once contract lands on
+    * different rows. */
+  def x21FmgwsSessions(spark: SparkSession, dir: String): DataFrame =
+    Replay.appendFlushed(spark, dir, "events", Some(8))(df =>
+      sessionize(df.withWatermark("ts", "10 minutes")).toDF())
+      .orderBy("user_id", "s_start")
 
   /** [[userCounts]] with a state TTL: a key idle for `ttlMs` of processing
     * time is evicted (state removed, a zero-count tombstone emitted), and

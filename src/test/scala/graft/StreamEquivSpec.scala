@@ -68,16 +68,13 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
-  test("custom flatMapGroupsWithState sessionizer ≡ session_window batch") {
+  test("custom flatMapGroupsWithState sessionizer ≡ session_window batch (x21's gate path)") {
     // the explicit-state sessionizer must reproduce the built-in's
     // sessions exactly: same merge rule (t joins iff t < last+gap,
     // micros-precise), same end = last+gap, emitted once at watermark
     val batch = rows(Windowed.q09SessionsBatch(spark, sf))
-    val custom = rows(
-      Replay.appendFlushed(spark, sf, "events", Some(8))(df =>
-        graft.streaming.StatefulOps.sessionize(
-          df.withWatermark("ts", "10 minutes")).toDF())
-        .orderBy("user_id", "s_start"))
+    val custom = rows(graft.streaming.StatefulOps.x21FmgwsSessions(spark, sf))
+    assert(batch.nonEmpty)
     assert(custom == batch)
   }
 
