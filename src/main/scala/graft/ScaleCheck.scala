@@ -186,10 +186,10 @@ object ScaleCheck {
     // key-clustered rewrite of the assigned store (d19's I/O class)
     "d21_sem_compact",
     // the streaming perceptual near-dup + its change feed: per-batch
-    // re-derivation of the df-capped band chain over the accreting
-    // NARROW fingerprint store (p13's stream-replay band on m13's
-    // bounded-bucket candidate class; the codec map runs once per
-    // arriving object)
+    // INCREMENTAL maintenance (r16) — batch × store candidate join on
+    // under-cap-now values + the bounded crossing-retraction path, the
+    // d12 class; the fingerprint-store scan is the only corpus-sized
+    // term (the codec map runs once per arriving object)
     "m15_stream_near_dup", "m16_near_dup_delta",
     // the blend in training order: p10's funnel+sampler class feeding
     // p5's one-exchange reshuffle — expected in p10's band
@@ -199,7 +199,11 @@ object ScaleCheck {
     "m17_consensus_near_dup",
     // m15's runner over the audio fingerprint — the same stream-replay
     // band through the shared machinery
-    "m18_stream_wav_near_dup")
+    "m18_stream_wav_near_dup",
+    // the fingerprint-store compaction: m15's replay band + one
+    // key-clustered rewrite of the narrow store (d19/d21's I/O class —
+    // the compacted store reads FEWER partitions)
+    "m19_media_compact")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -155,6 +155,8 @@ object SparkEntry {
     "m17_consensus_near_dup" -> (MultimodalOps.m17ConsensusNearDup _),
     "m18_stream_wav_near_dup" ->
       (graft.streaming.StreamMediaDedup.m18StreamWavNearDup _),
+    "m19_media_compact" ->
+      (graft.streaming.StreamMediaDedup.m19MediaCompact _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -2295,6 +2297,13 @@ object SparkEntry {
     // must equal batch m14 exactly (the m15 ≡ m13 shared-string move
     // on the second codec family)
     "m18_stream_wav_near_dup" -> m14NearDupSql,
+    // m19 = m15 with the fingerprint store COMPACTED mid-stream (half
+    // the arrivals shipped, half to come): the final materialized set
+    // must be byte-identical, so the oracle is m13's SQL verbatim —
+    // the d19/d21/x20 shared-string convention (compaction must be
+    // query-invisible; the swap itself is spec-pinned: partition
+    // counts and a cross-phase-pair non-vacuity check)
+    "m19_media_compact" -> m13NearDupSql,
     // m17 = pairs flagged by either perceptual channel with provenance:
     // nested-WITH subqueries reuse BOTH chains verbatim, so m17's
     // oracle IS "m13's oracle ⋈full m14's oracle" by construction (the

@@ -1086,12 +1086,7 @@ object MultimodalOps {
     * through this exact chain — stream ≡ batch as shared code, then
     * re-proven against the shared oracle string. */
   private[graft] def bandedHammingPairs(fp: DataFrame): DataFrame = {
-    val bandCols = (0 until AHashBands).map { k =>
-      struct(lit(k.toLong).as("bi"), col(s"b$k").as("bv"))
-    }
-    val bands = fp
-      .select(col("media_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("media_id"), col("band.bi"), col("band.bv"))
+    val bands = explodeBands(fp)
     val okBands = bands.groupBy("bi", "bv")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= AHashDfMax)
@@ -1102,6 +1097,28 @@ object MultimodalOps {
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"))
       .distinct()
+    hammingVerify(cand, fp).orderBy("a_id", "b_id")
+  }
+
+  /** The band explode the candidate chain keys on — (media_id, bi, bv),
+    * [[AHashBands]] rows per fingerprint. Factored out of
+    * [[bandedHammingPairs]] so m15's INCREMENTAL per-batch chain uses
+    * the identical band geometry (stream ≡ batch as shared code). */
+  private[graft] def explodeBands(fp: DataFrame): DataFrame = {
+    val bandCols = (0 until AHashBands).map { k =>
+      struct(lit(k.toLong).as("bi"), col(s"b$k").as("bv"))
+    }
+    fp.select(col("media_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("media_id"), col("band.bi"), col("band.bv"))
+  }
+
+  /** The exact `bit_count(xor)` Hamming verify at ≤ [[AHashHamMax]]
+    * over normalized (a_id < b_id) candidate rows, fingerprints fetched
+    * by id from `fp` — only 5-column fingerprint rows shuffle, never
+    * pixels. Shared by [[bandedHammingPairs]] and m15's incremental
+    * per-batch additions, so the verify rule cannot drift between the
+    * batch and streaming chains. */
+  private[graft] def hammingVerify(cand: DataFrame, fp: DataFrame): DataFrame = {
     val a = fp.select(col("media_id").as("a_id") +:
       (0 until AHashBands).map(k => col(s"b$k").as(s"a$k")): _*)
     val b = fp.select(col("media_id").as("b_id") +:
@@ -1113,7 +1130,6 @@ object MultimodalOps {
       .withColumn("hamming", ham)
       .filter(col("hamming") <= AHashHamMax)
       .select(col("a_id"), col("b_id"), col("hamming"))
-      .orderBy("a_id", "b_id")
   }
 
   // ---- m14: audio near-dup via sample-hash ---------------------------

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.io.Sources
 import graft.ops.MultimodalOps
 
-/** m15/m16/m18: the STREAMING members of the multimodal near-dup
+/** m15/m16/m18/m19: the STREAMING members of the multimodal near-dup
   * family — completing the streaming column across all four gate
   * families (d12 streams the text near-dup chain, d20 the embedding
   * chain, p13 the sampling rule; m15/m18 stream the PERCEPTUAL-HASH
@@ -17,50 +17,69 @@ import graft.ops.MultimodalOps
   * batch is fingerprinted ONCE through the real codec path
   * ([[MultimodalOps.ahashBandsFrom]] — m8's seek-decoded BMP thumbnail
   * — for m15; [[MultimodalOps.whashBandsFrom]] — the RIFF chunk walk —
-  * for m18; the expensive map that must never re-run), the narrow
+  * for m18; the expensive map that must never re-run), and the narrow
   * fingerprint rows (5 longs per object) append to a batch-partitioned
-  * store, and
-  * the current near-dup pair set is re-derived per batch over the
-  * arrived fingerprints through [[MultimodalOps.bandedHammingPairs]]
-  * VERBATIM — band explode, df ≤ AHashDfMax cap, capped equi-join
-  * candidates, exact bit_count Hamming verify.
+  * store.
   *
-  * Re-derive, not accrete — the p13 discipline, forced here by the df
-  * cap: band document-frequency is a property of the ARRIVED corpus,
-  * so the keep rule is NOT monotone. A band value under the cap at
-  * batch b can cross it at b+1 (the saturated thumbnail band filling
-  * up), at which point pairs that matched ONLY through that band are
-  * no longer pairs of the batch chain — d12-style emit-once streaming
-  * would silently keep them. m15 therefore maintains the materialized
-  * pair set per batch, and m16 publishes the CHANGE FEED a downstream
-  * dedup consumer (a victim-picker, a kept-set maintainer) actually
-  * ingests: per batch, n_pairs / n_added / n_retracted with
-  * sub-bucket-folded digests of the exact added and retracted pair
-  * sets (null when empty — the p8/p14 rule). Batch 0 diffs against the
-  * empty set (all-additions by construction); RETRACTIONS are the
-  * non-monotone rule made auditable, proven to actually occur by
-  * StreamEquivSpec's planted over-the-cap clique.
+  * The pair set is maintained INCREMENTALLY. The df cap
+  * ([[MultimodalOps.AHashDfMax]]) makes the keep rule non-monotone,
+  * but in exactly ONE direction: band document-frequency over an
+  * accreting corpus only GROWS, so the under-cap band set only
+  * SHRINKS, and each (band, value) crosses the cap AT MOST ONCE in a
+  * stream's lifetime. Band df is a pure function of the fingerprint
+  * store (no second ledger to maintain, retry, or compact): per batch,
+  * one value-restricted aggregation over the store scan the candidate
+  * join does anyway yields the batch values that are under the cap NOW
+  * and the values that CROSSED it in this batch — only values present
+  * in the batch can gain df, so only they can change status — and the
+  * materialized set updates by exactly two bounded deltas:
   *
-  * Correctness: the final materialized set IS the batch gate's answer
-  * over the full corpus — m15's oracle is m13's SQL verbatim (the
-  * d20/d21 shared-string convention); m16's oracle replays the whole
-  * feed closed-form (the m13 chain per wave under the `doc_id mod
-  * SplitFiles ≤ b` membership rule [[StreamSketch.runWaveReplay]]
-  * guarantees, a one-batch-shifted self-join, and the identical
-  * two-level digest fold per direction).
+  *   - ADDITIONS: candidates with ≥ 1 batch-side member meeting on an
+  *     under-cap-now value — batch bands × arrived bands, the d12
+  *     batch × store join (Σ bounded-bucket, never corpus × corpus) —
+  *     then the batch chain's exact Hamming verify
+  *     ([[MultimodalOps.hammingVerify]], shared code). Two already-
+  *     stored objects can never become a NEW pair (the under-cap set
+  *     only shrinks and fingerprints are static), so batch-side-only
+  *     candidates are complete.
+  *   - RETRACTIONS: only pairs BOTH of whose members share a value that
+  *     crossed the cap in this batch can leave. Those buckets are read
+  *     once (each is cap + batch-sized at its crossing, and each value
+  *     crosses once ever), the at-risk pairs semi-join the previous
+  *     materialized set, and each survives iff it still shares ANY
+  *     under-cap-now band value — the recheck reads only the two
+  *     sides' stored fingerprints.
+  *
+  * By induction the materialized set after batch b IS the batch gate's
+  * answer over the arrived corpus (the planted-clique spec asserts the
+  * law per wave; m15's oracle is m13's SQL verbatim — the d20/d21
+  * shared-string convention). m16 publishes the CHANGE FEED a
+  * downstream dedup consumer actually ingests: per batch, n_pairs /
+  * n_added / n_retracted with sub-bucket-folded digests of the exact
+  * added and retracted pair sets (null when empty — the p8/p14 rule),
+  * derived by diffing the two COMMITTED materialized sets (batch 0
+  * diffs against the empty set), so the ledger independently audits
+  * the incremental derivation. m16's oracle replays the whole feed
+  * closed-form.
   *
   * Scale design: each object's BYTES are read exactly once, in its
   * arrival batch (the codec map — at 100 TB of media that term
-  * dominates everything); the per-batch re-derivation runs over the
-  * accreting NARROW fingerprint store (5 longs per object, ~1/2000th
-  * of even a small image), through the chain whose candidate cost the
-  * batch gates bound (df-capped Σ bucket², never all-pairs). Per-batch
-  * cost therefore grows with arrived FINGERPRINTS, not arrived media —
-  * p13's stream-replay band, measured in ScaleCheck. The per-batch
-  * pair-set write is output-sized (near-dup density, not corpus), and
-  * the one-batch-back diff read makes a retried batch converge without
-  * coordination: every write is an idempotent `batch_id=N` overwrite
-  * and batch N reads only stores at `< N` plus its own re-derivation. */
+  * dominates everything). Per-batch JOIN work is batch-bounded —
+  * additions cost Σ over the batch's band values of one bounded
+  * bucket (df ≤ cap) and retractions amortize to zero (a value
+  * crosses once ever) — where the r15 re-derivation re-ran the FULL
+  * Σ df² chain over the arrived corpus every batch, O(N·B) over a
+  * stream's lifetime. What still scans per batch is the NARROW
+  * fingerprint store (5 longs per object, ~1/2000th of even a small
+  * image) feeding the equi-join probe — at 100 TB that store is
+  * bucketed on the band key so the probe prunes at the scan, and the
+  * accreting partition listing is bounded by m19's compaction verb
+  * ([[m19MediaCompact]] — the d19/d21/p7/x20 lifecycle law applied to
+  * the fingerprint store). The per-batch pair-set write and the
+  * ledger diff are output-sized (near-dup density, not corpus), and
+  * every write is an idempotent `batch_id=N` overwrite with reads
+  * pruned to committed data (`< N`, plus the batch's own re-written
+  * partition), so a retried batch converges without coordination. */
 object StreamMediaDedup {
 
   /** Sub-bucket count for the delta digest fold: added/retracted pair
@@ -68,6 +87,14 @@ object StreamMediaDedup {
     * then once over the bucket-ordered sub-digests — p14's two-level
     * rule on pair rows. At 100 TB this scales like [[graft.ops.PipelineOps.MixBuckets]]. */
   val DigestBuckets = 16L
+
+  /** The image-channel fingerprint (m13's aHash through the real BMP
+    * codec path) — the ONE place the image default lives: [[runReplay]]
+    * defaults to it; [[processBatch]] requires fpFrom explicitly, so a
+    * direct driver of batches (the torn-write spec, m19's phased
+    * runner) can never silently test the wrong codec chain. */
+  private[graft] val ImageFp: DataFrame => DataFrame =
+    d => MultimodalOps.ahashBandsFrom(d.select("doc_id", "text"))
 
   def m15StreamNearDup(spark: SparkSession, dir: String): DataFrame =
     m15WithInfo(spark, dir)._1
@@ -106,23 +133,90 @@ object StreamMediaDedup {
     (pairs, n)
   }
 
+  def m19MediaCompact(spark: SparkSession, dir: String): DataFrame =
+    m19WithStoreInfo(spark, dir)._1
+
+  /** m19: mid-stream compaction for m15's full-history store — the
+    * lifecycle law (every full-history store gets a compaction verb:
+    * d19 bands/shingles, d21 vectors, p7 digests, p12/x20 stats)
+    * applied to the fingerprint store that m15's incremental chain
+    * reads every batch (for candidates, df, and the Hamming verify —
+    * the store's listing is the one thing that would otherwise grow
+    * with stream lifetime). The fingerprint partitions consolidate
+    * into ONE `batch_id=-1` directory key-clustered on media_id (the
+    * Hamming verify's fetch key) via d19's crash-recoverable
+    * retire+promote. -1 sorts below every real batch id, so
+    * consolidated rows stay inside every later `batch_id ≤ current`
+    * prune and a replayed batch still overwrites only its own
+    * partition.
+    *
+    * The gate compacts at the adversarial moment — half the arrivals
+    * shipped, half still to come — and the final materialized set must
+    * be byte-identical to batch m13's, so the oracle is m13's SQL
+    * VERBATIM (the shared-string convention: compaction must be
+    * query-invisible). Cross-phase pairs — the later side arriving
+    * after the fold, the earlier side's fingerprint living ONLY in the
+    * consolidated partition — prove the swapped store feeds the
+    * candidate join and the verify (spec-pinned non-vacuity).
+    *
+    * Scale: the fingerprint rewrite reads each shipped partition once
+    * and writes it back key-clustered (s13/d19's I/O class),
+    * schedulable per key range at 100 TB; between compactions every
+    * per-batch store listing is bounded by 1 + batches-since-fold. */
+  private[graft] def m19WithStoreInfo(spark: SparkSession, dir: String)
+      : (DataFrame, Int, Int, Int, Long) = {
+    val half = StreamSketch.SplitFiles / 2
+    val work = Files.createTempDirectory("graft_mediacompact_").toString
+    val fpStore = s"$work/fp"
+    val curStore = s"$work/cur"
+    val ledgerStore = s"$work/ledger"
+    var partsBefore = 0
+    var partsAfter = 0
+    val n = StreamSketch.runWaveReplayPhased(spark, docsOf(spark, dir),
+      "doc_id", work, curStore, half) { (batch, batchId) =>
+      processBatch(batch, batchId, fpStore, curStore, ledgerStore, ImageFp)
+    } { () =>
+      partsBefore = StreamSketch.countBatchDirs(fpStore)
+      IncrementalDedup.compactStore(spark, fpStore, "media_id")
+      partsAfter = StreamSketch.countBatchDirs(fpStore)
+    }
+    val partsEnd = StreamSketch.countBatchDirs(fpStore)
+    // cross-phase proof rows: final pairs whose EARLIER side's
+    // fingerprint lives only in the consolidated batch_id=-1 partition
+    // — that side could only have met the candidate join through the
+    // swapped store (one narrow id read + two semi/anti joins over the
+    // output-sized final set)
+    val consolidated = spark.read.parquet(fpStore)
+      .filter(col("batch_id") === -1).select(col("media_id"))
+    val finalPairs = spark.read.parquet(curStore)
+      .filter(col("batch_id") === (n - 1).toLong)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+    val crossPhase = finalPairs
+      .join(consolidated.select(col("media_id").as("a_id")), Seq("a_id"), "left_semi")
+      .join(consolidated.select(col("media_id").as("b_id")), Seq("b_id"), "left_anti")
+      .count()
+    (finalPairs.orderBy("a_id", "b_id"), partsBefore, partsAfter, partsEnd, crossPhase)
+  }
+
+
   private def docsOf(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "documents").select("doc_id", "text")
 
   /** The replay runner over an arbitrary `(doc_id, text)` frame —
     * StreamEquivSpec drives it with a planted over-the-cap clique
     * (retraction proven to occur) and a reversed wave key (the final
-    * set is arrival-order-free because every batch re-derives from the
-    * order-free fingerprint store). `splitKey` must be a column whose
-    * `mod SplitFiles` value assigns waves (doc_id for the gates);
-    * `fpFrom` is the per-batch fingerprint function — the quantizer-
-    * seam move: m15 plugs the image aHash, m18 the audio sample-hash,
-    * and the replay/store/delta machinery is shared verbatim.
+    * set is arrival-order-free because additions key on the order-free
+    * fingerprint store and the crossing batch is order-dependent only
+    * in WHEN, not WHETHER — df over the full corpus is order-free).
+    * `splitKey` must be a column whose `mod SplitFiles` value assigns
+    * waves (doc_id for the gates); `fpFrom` is the per-batch
+    * fingerprint function — the quantizer-seam move: m15 plugs the
+    * image aHash, m18 the audio sample-hash, and the
+    * replay/store/delta machinery is shared verbatim.
     * Returns (final pair set, change-feed ledger, batches replayed). */
   private[graft] def runReplay(spark: SparkSession, docs: DataFrame,
       splitKey: String,
-      fpFrom: DataFrame => DataFrame =
-        d => MultimodalOps.ahashBandsFrom(d.select("doc_id", "text")))
+      fpFrom: DataFrame => DataFrame = ImageFp)
       : (DataFrame, DataFrame, Int) = {
     val work = Files.createTempDirectory("graft_mediadedup_").toString
     val fpStore = s"$work/fp"
@@ -146,42 +240,143 @@ object StreamMediaDedup {
   /** `private[graft]` so the torn-write/redo spec can drive batches
     * directly: the delta's one-batch-back read is the shape the generic
     * crash test doesn't cover — a redone batch must re-diff against the
-    * COMMITTED N−1 set, never double-count its own torn output. */
+    * COMMITTED N−1 set, never double-count its own torn output. No
+    * fpFrom default here by design: the image default lives only on
+    * [[runReplay]] (via [[ImageFp]]), so a direct batch driver must say
+    * which codec chain it is testing. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long, fpStore: String,
                            curStore: String, ledgerStore: String,
-                           fpFrom: DataFrame => DataFrame =
-                             d => MultimodalOps.ahashBandsFrom(d.select("doc_id", "text")))
+                           fpFrom: DataFrame => DataFrame)
       : Unit = {
     val session = batch.sparkSession
+    val cap = MultimodalOps.AHashDfMax
+    // heal the swap-target store before this batch's write recreates
+    // its directory: a write landing in a mid-swap crash state (live
+    // dir absent, only copy at _retired) would otherwise mask the
+    // crash, and the next fold's cleanup would destroy the full history
+    StreamSketch.healRetiredStore(session, fpStore)
     // the ONLY read of the batch's media bytes: the real codec map,
-    // once per object, narrow fingerprint rows out
+    // once per object, narrow fingerprint rows out; the committed
+    // partition is re-read below so a retried batch converges on what
+    // the store holds, not on a re-decode
     fpFrom(batch)
       .write.mode("overwrite").parquet(s"$fpStore/batch_id=$batchId")
-    // re-derive the pair set over ALL arrived fingerprints (own batch
-    // included — the overwrite above makes the retry converge) through
-    // the batch chain verbatim: stream ≡ batch as shared code
+    val fpB = session.read.parquet(s"$fpStore/batch_id=$batchId")
+    val bandsB = MultimodalOps.explodeBands(fpB)
+    // arrived fingerprints: committed prior batches + this batch's
+    // overwritten partition (includes the consolidated batch_id=-1
+    // partition after an m19 fold). Band document-frequency is a pure
+    // function of this store — no separate df ledger to maintain,
+    // retry, or compact: the per-batch df questions are answered by
+    // ONE value-restricted aggregation over the scan the candidate
+    // join does anyway.
     val arrived = session.read.parquet(fpStore)
       .filter(col("batch_id") <= batchId).drop("batch_id")
-    MultimodalOps.bandedHammingPairs(arrived)
-      .write.mode("overwrite").parquet(s"$curStore/batch_id=$batchId")
-    // the delta diffs the two COMMITTED materialized sets — the fresh
-    // write read back (no chain recompute), the previous batch's set
-    // (committed before this batch started; empty before the stream)
-    val cur = session.read.parquet(s"$curStore/batch_id=$batchId")
-      .select("a_id", "b_id", "hamming")
+    val bandsAll = MultimodalOps.explodeBands(arrived)
+    // this batch's per-(band, value) counts, and the arrived df of
+    // exactly those values: only values PRESENT in the batch can gain
+    // df, so only they can change keep-status this batch — okBatch
+    // (under the cap now) feeds candidate generation, crossed (df was
+    // ≤ cap, now > cap; each value crosses at most once, df only
+    // grows) triggers the bounded retraction path
+    val deltaB = bandsB.groupBy("bi", "bv").agg(count(lit(1)).as("delta"))
+    val dfBatch = bandsAll
+      .join(deltaB, Seq("bi", "bv"), "left_semi")
+      .groupBy("bi", "bv").agg(count(lit(1)).as("df"))
+      .join(deltaB, Seq("bi", "bv"))
     val prev =
       if (batchId == 0)
         session.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), cur.schema)
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("a_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("b_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("hamming", org.apache.spark.sql.types.LongType))))
       else session.read.parquet(s"$curStore/batch_id=${batchId - 1}")
+        .select("a_id", "b_id", "hamming")
+    val okBatch = dfBatch.filter(col("df") <= cap).select("bi", "bv")
+    val crossed = dfBatch
+      .filter(col("df") > cap && col("df") - col("delta") <= cap)
+      .select("bi", "bv")
+    // ADDITIONS — the d12 batch × store join: ≥ 1 batch-side member,
+    // meeting on an under-cap-now value (bounded buckets), normalized,
+    // then the batch chain's exact Hamming verify (shared code). Every
+    // addition meets on a BATCH value by construction (one side is in
+    // the batch), so okBatch is the complete gate.
+    val candAdd = bandsB.join(okBatch, Seq("bi", "bv")).as("x")
+      .join(bandsAll.join(okBatch, Seq("bi", "bv")).as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") =!= col("y.media_id"))
+      .select(least(col("x.media_id"), col("y.media_id")).as("a_id"),
+        greatest(col("x.media_id"), col("y.media_id")).as("b_id"))
+      .distinct()
+    val added = MultimodalOps.hammingVerify(candAdd, arrived)
+    // RETRACTIONS — only pairs meeting on a value that crossed the cap
+    // THIS batch can leave the set; the subtree keys on `crossed`
+    // (usually empty — each value crosses at most once in a stream's
+    // lifetime), so AQE's runtime empty-relation propagation collapses
+    // it to no output on crossing-free batches. Crossing buckets are
+    // restricted to ids that are MEMBERS of the previous set (only
+    // those pairs can retract), bounding the per-value self-join by
+    // min(bucket, prev members)². A pair survives iff it still shares
+    // any under-cap-now band value — the recheck reads the two sides'
+    // stored fingerprints and asks the arrived df of exactly the
+    // shared values. No distinct on prevIds / riskPairs / surviving:
+    // each feeds only a semi- or anti-join, which tolerates duplicate
+    // build rows — exchanges saved on a latency-bound micro-batch plan.
+    val kept =
+      if (batchId == 0) prev
+      else {
+        val prevIds = prev.select(col("a_id").as("media_id"))
+          .union(prev.select(col("b_id").as("media_id")))
+        val crossBands = bandsAll.join(crossed, Seq("bi", "bv"))
+          .join(prevIds, Seq("media_id"), "left_semi")
+        val riskPairs = crossBands.as("x").join(crossBands.as("y"),
+            col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+              col("x.media_id") < col("y.media_id"))
+          .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"))
+        val atRisk = prev.join(riskPairs, Seq("a_id", "b_id"), "left_semi")
+          .select("a_id", "b_id")
+        val nB = MultimodalOps.AHashBands
+        val aFp = arrived.select(col("media_id").as("a_id") +:
+          (0 until nB).map(k => col(s"b$k").as(s"a$k")): _*)
+        val bFp = arrived.select(col("media_id").as("b_id") +:
+          (0 until nB).map(k => col(s"b$k").as(s"c$k")): _*)
+        val sharedVals = atRisk.join(aFp, "a_id").join(bFp, "b_id")
+          .select(col("a_id"), col("b_id"), explode(array((0 until nB).map(k =>
+            when(col(s"a$k") === col(s"c$k"),
+              struct(lit(k.toLong).as("bi"), col(s"a$k").as("bv")))): _*)).as("sv"))
+          .filter(col("sv").isNotNull)
+          .select(col("a_id"), col("b_id"),
+            col("sv").getField("bi").as("bi"), col("sv").getField("bv").as("bv"))
+        val okShared = bandsAll
+          .join(sharedVals.select("bi", "bv"), Seq("bi", "bv"), "left_semi")
+          .groupBy("bi", "bv").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("bi", "bv")
+        val surviving = sharedVals.join(okShared, Seq("bi", "bv"), "left_semi")
+          .select("a_id", "b_id")
+        val retracted = atRisk.join(surviving, Seq("a_id", "b_id"), "left_anti")
+        prev.join(retracted, Seq("a_id", "b_id"), "left_anti")
+      }
+    // the new materialized set: committed previous − retracted +
+    // added (added is disjoint from prev — every added pair has a
+    // batch-side member, and batch ids are new arrivals)
+    kept.unionByName(added)
+      .write.mode("overwrite").parquet(s"$curStore/batch_id=$batchId")
+    // the ledger diffs the two COMMITTED materialized sets — an
+    // output-sized audit of the incremental derivation (the fresh
+    // write read back, never the lazy plan re-run), identical to the
+    // pre-incremental contract so m16's closed-form oracle is unchanged
+    val cur = session.read.parquet(s"$curStore/batch_id=$batchId")
+      .select("a_id", "b_id", "hamming")
     val fo = cur.select(col("a_id"), col("b_id"), lit(true).as("now_in"))
       .join(prev.select(col("a_id"), col("b_id"), lit(true).as("was_in")),
         Seq("a_id", "b_id"), "full_outer")
       .select(col("a_id"), col("b_id"),
         coalesce(col("now_in"), lit(false)).as("now_in"),
         coalesce(col("was_in"), lit(false)).as("was_in"))
-    val added = col("now_in") && !col("was_in")
-    val retracted = !col("now_in") && col("was_in")
+    val addedF = col("now_in") && !col("was_in")
+    val retractedF = !col("now_in") && col("was_in")
     val pairStr = (x: org.apache.spark.sql.Column) => concat(
       x.getField("a_id").cast("string"), lit(":"), x.getField("b_id").cast("string"))
     // two-level digest fold per direction (p14's rule on pair rows):
@@ -191,13 +386,13 @@ object StreamMediaDedup {
       .withColumn("sb", pmod(col("a_id"), lit(DigestBuckets)))
       .groupBy("sb").agg(
         sum(when(col("now_in"), 1L).otherwise(0L)).as("b_pairs"),
-        sum(when(added, 1L).otherwise(0L)).as("b_added"),
-        sum(when(retracted, 1L).otherwise(0L)).as("b_retracted"),
+        sum(when(addedF, 1L).otherwise(0L)).as("b_added"),
+        sum(when(retractedF, 1L).otherwise(0L)).as("b_retracted"),
         md5(concat_ws(",", transform(
-          array_sort(collect_list(when(added, struct(col("a_id"), col("b_id"))))),
+          array_sort(collect_list(when(addedF, struct(col("a_id"), col("b_id"))))),
           pairStr))).as("add_sub"),
         md5(concat_ws(",", transform(
-          array_sort(collect_list(when(retracted, struct(col("a_id"), col("b_id"))))),
+          array_sort(collect_list(when(retractedF, struct(col("a_id"), col("b_id"))))),
           pairStr))).as("rm_sub"))
     // coalesce: a batch with an empty diff frame (no pairs yet at all)
     // aggregates over zero sub-bucket rows and must still ledger 0s

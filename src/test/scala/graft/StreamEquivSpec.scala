@@ -838,6 +838,30 @@ class StreamEquivSpec extends AnyFunSuite {
       "batch-0 add_md5 diverged from the independent two-level fold of the added set")
   }
 
+  test("m19 fingerprint-store compaction: mid-stream swap invisible to the pair set, partitions bounded") {
+    // compact m15's fingerprint store at the adversarial moment — half
+    // the arrivals shipped, half to come — and the final materialized
+    // set must still be batch m13's answer exactly; the store listing
+    // must genuinely consolidate (half the waves → 1) and stay bounded
+    // at 1 + batches-since after
+    val half = graft.streaming.StreamSketch.SplitFiles / 2
+    val (result, before, after, end, crossPhase) =
+      graft.streaming.StreamMediaDedup.m19WithStoreInfo(spark, sf)
+    assert(before == half, s"phase A shipped $before store partitions, expected $half")
+    assert(after == 1, s"compaction left $after partitions, expected 1")
+    assert(end == 1 + half, s"post-phase listing $end, expected ${1 + half}")
+    val batch = rows(graft.ops.MultimodalOps.m13BmpNearDup(spark, sf))
+    assert(batch.nonEmpty)
+    assert(rows(result) == batch,
+      "final pair set diverged after the mid-stream fingerprint-store compaction")
+    // the swap is proven LOAD-BEARING, not just harmless: at least one
+    // final pair's earlier side lives only in the consolidated
+    // batch_id=-1 partition — its candidate match, df contribution, and
+    // Hamming verify could only have come through the swapped store
+    assert(crossPhase > 0,
+      "no cross-phase pair matched through the consolidated partition — the swap was never exercised")
+  }
+
   test("m15/m16 torn-write redo: a re-run batch re-diffs against the COMMITTED previous set") {
     // the delta's one-batch-back read is the shape SinkSpec's generic
     // crash test doesn't cover: batch N dies after a torn cur/ledger
@@ -853,8 +877,9 @@ class StreamEquivSpec extends AnyFunSuite {
     def wave(b: Int) = docs.filter(pmod(col("doc_id"), lit(m.toLong)) === b)
     val work = java.nio.file.Files.createTempDirectory("graft_mediaredo_").toString
     val (fp, cur, led) = (s"$work/fp", s"$work/cur", s"$work/ledger")
-    md.processBatch(wave(0), 0L, fp, cur, led)
-    md.processBatch(wave(1), 1L, fp, cur, led)
+    val fpF = md.ImageFp
+    md.processBatch(wave(0), 0L, fp, cur, led, fpF)
+    md.processBatch(wave(1), 1L, fp, cur, led, fpF)
     // torn batch 2: poison pair rows + a poison ledger row got down
     // before the crash
     spark.range(1).select(lit(-7L).as("a_id"), lit(-3L).as("b_id"), lit(0L).as("hamming"))
@@ -862,15 +887,15 @@ class StreamEquivSpec extends AnyFunSuite {
     spark.range(1).select(lit(999L).as("n_pairs"), lit(999L).as("n_added"),
         lit(999L).as("n_retracted"), lit("poison").as("add_md5"), lit("poison").as("rm_md5"))
       .write.mode("overwrite").parquet(s"$led/batch_id=2")
-    md.processBatch(wave(2), 2L, fp, cur, led) // the redo
-    md.processBatch(wave(3), 3L, fp, cur, led)
+    md.processBatch(wave(2), 2L, fp, cur, led, fpF) // the redo
+    md.processBatch(wave(3), 3L, fp, cur, led, fpF)
     // (c) retry of a COMMITTED batch: ledger row byte-identical after
     def readLedger() = spark.read.parquet(led)
       .select(col("batch_id").cast("long").as("batch_id"), col("n_pairs"),
         col("n_added"), col("n_retracted"), col("add_md5"), col("rm_md5"))
       .orderBy("batch_id").collect().toSeq
     val ledgerBefore = readLedger()
-    md.processBatch(wave(2), 2L, fp, cur, led)
+    md.processBatch(wave(2), 2L, fp, cur, led, fpF)
     val ledgerAfter = readLedger()
     assert(ledgerAfter == ledgerBefore, "retrying a committed batch changed the ledger")
     // no poison anywhere; final set ≡ the batch chain; conservation holds
