@@ -197,7 +197,8 @@ object SparkEntry {
       (graft.streaming.StreamSketch.x18RetentionVacuum _),
     "x19_late_ledger" -> (graft.streaming.LateLedger.x19LateLedger _),
     "x20_stats_compact" -> (graft.streaming.LateLedger.x20StatsCompact _),
-    "x21_fmgws_sessions" -> (graft.streaming.StatefulOps.x21FmgwsSessions _)
+    "x21_fmgws_sessions" -> (graft.streaming.StatefulOps.x21FmgwsSessions _),
+    "x22_tws_sessions" -> (graft.streaming.StatefulOps.x22TwsSessions _)
   )
 
   // ---- oracle SQL (DuckDB dialect) ----------------------------------
@@ -2417,6 +2418,12 @@ object SparkEntry {
     // merge rule, end arithmetic, or emit-once contract lands on
     // different rows
     "x21_fmgws_sessions" -> q09SessionSql,
+    // x22 is the SAME session semantics on Spark 4's transformWithState
+    // (StatefulProcessor + typed state + explicit event-time timers) —
+    // the THIRD independent implementation pinned to q09's closed form:
+    // built-in session_window, legacy flatMapGroupsWithState, modern
+    // transformWithState all land on one oracle string
+    "x22_tws_sessions" -> q09SessionSql,
     // x15's drift read from the moments store: decimal sums replay
     // exactly (the q04/q12 DECIMAL-addend precedent), batch membership
     // is x11's data rule, and mean/std/z are identical IEEE expressions

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 
 /** Arbitrary stateful processing (`mapGroupsWithState`) — the escape
   * hatch the built-in windows can't cover (SURVEY.md §2.2: custom state).
@@ -116,6 +118,97 @@ object StatefulOps {
     Replay.appendFlushed(spark, dir, "events", Some(8))(df =>
       sessionize(df.withWatermark("ts", "10 minutes")).toDF())
       .orderBy("user_id", "s_start")
+
+  /** x22: the sessionizer on Spark 4's `transformWithState` — the MODERN
+    * arbitrary-state API ([[StatefulProcessor]] + typed state variables +
+    * explicit event-time timers; requires the RocksDB provider the engine
+    * already runs on). Third independent implementation of one session
+    * semantics, pinned to q09's oracle SQL verbatim alongside the
+    * built-in `session_window` (q09) and the legacy
+    * `flatMapGroupsWithState` (x21): an event at t joins an open session
+    * iff t < last + gap (micros-precise), the session ends at last + gap,
+    * and a session finalizes when the event-time watermark passes its end
+    * — here driven by REGISTERED TIMERS (one per key at the earliest open
+    * end) instead of x21's per-key timeout timestamp, which is exactly
+    * the API delta the gate documents: timers are a set, so a processor
+    * can track many independent deadlines per key where the legacy API
+    * carries one. State is bounded identically: only open sessions within
+    * the watermark horizon live in the store. */
+  def x22TwsSessions(spark: SparkSession, dir: String): DataFrame =
+    Replay.appendFlushed(spark, dir, "events", Some(8))(df =>
+      twsSessionize(df.withWatermark("ts", "10 minutes")).toDF())
+      .orderBy("user_id", "s_start")
+
+  /** [[sessionize]]'s merge rule on the transformWithState API: merge
+    * arriving points into open sessions on input, emit-and-evict on
+    * timer expiry. Streaming-only by design, like [[sessionize]]. */
+  def twsSessionize(events: DataFrame, gapSec: Long = 600): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .transformWithState(new TwsSessionizer(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The [[StatefulProcessor]] behind [[twsSessionize]]. Sessions are a
+    * [[ValueState]] of open (startMicros, lastMicros, cnt) triples; each
+    * input batch merges its points (the t < last + gap rule, identical
+    * arithmetic to [[sessionize]]) and registers an event-time timer at
+    * the earliest open end; an expired timer emits every session whose
+    * end the watermark crossed, then re-arms for the remainder or clears
+    * the state. Duplicate timer registrations are harmless — a firing
+    * with nothing ripe emits nothing — so no timer bookkeeping state is
+    * carried. */
+  private class TwsSessionizer(gapSec: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), SessionRow] {
+    private val gapUs = gapSec * 1000000L
+    @transient private var open: ValueState[SessionAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionAcc]("open",
+        Encoders.product[SessionAcc], TTLConfig.NONE)
+
+    // micros conversion identical to sessionize's (floorDiv: getTime
+    // truncates toward zero, so a pre-1970 fractional second would
+    // otherwise land on the wrong microsecond)
+    private def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    private def endMs(s: (Long, Long, Long)): Long = (s._2 + gapUs) / 1000L
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[SessionRow] = {
+      val pts = rows.map(r => micros(r._2)).toList.map(t => (t, t, 1L))
+      val existing = if (open.exists()) open.get().sessions else Nil
+      val all = (existing ++ pts).sortBy(s => (s._1, s._2))
+      val merged = all.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (cur :: done, s) if s._1 < cur._2 + gapUs =>
+          (cur._1, math.max(cur._2, s._2), cur._3 + s._3) :: done
+        case (acc, s) => s :: acc
+      }.reverse
+      open.update(SessionAcc(merged))
+      getHandle.registerTimer(
+        math.max(merged.map(endMs).min, timerValues.getCurrentWatermarkInMs() + 1))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionRow] = {
+      if (!open.exists()) return Iterator.empty
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      val (closed, still) = open.get().sessions.partition(endMs(_) <= wmMs)
+      if (still.isEmpty) open.clear()
+      else {
+        open.update(SessionAcc(still))
+        getHandle.registerTimer(math.max(still.map(endMs).min, wmMs + 1))
+      }
+      closed.sortBy(_._1).iterator.map { case (s, l, c) =>
+        SessionRow(uid, s / 1000000L, l / 1000000L + gapSec, c)
+      }
+    }
+  }
 
   /** [[userCounts]] with a state TTL: a key idle for `ttlMs` of processing
     * time is evicted (state removed, a zero-count tombstone emitted), and

@@ -78,6 +78,17 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(custom == batch)
   }
 
+  test("transformWithState sessionizer ≡ session_window batch (x22's gate path)") {
+    // the modern state API (StatefulProcessor + registered event-time
+    // timers) must reproduce the same sessions as the built-in and the
+    // legacy API: same merge rule, same end = last+gap, emitted once
+    // when the watermark passes the end (timer-driven)
+    val batch = rows(Windowed.q09SessionsBatch(spark, sf))
+    val custom = rows(graft.streaming.StatefulOps.x22TwsSessions(spark, sf))
+    assert(batch.nonEmpty)
+    assert(custom == batch)
+  }
+
   test("mapGroupsWithState per-user counts ≡ groupBy counts") {
     import org.apache.spark.sql.functions._
     val batch = graft.io.Sources.table(spark, sf, "events")
