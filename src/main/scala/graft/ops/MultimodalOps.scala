@@ -1103,13 +1103,18 @@ object MultimodalOps {
   /** The band explode the candidate chain keys on — (media_id, bi, bv),
     * [[AHashBands]] rows per fingerprint. Factored out of
     * [[bandedHammingPairs]] so m15's INCREMENTAL per-batch chain uses
-    * the identical band geometry (stream ≡ batch as shared code). */
-  private[graft] def explodeBands(fp: DataFrame): DataFrame = {
+    * the identical band geometry (stream ≡ batch as shared code).
+    * `keep` rides extra columns through unchanged (m15 tags each store
+    * row with its batch membership so ONE scan feeds batch bands, store
+    * bands, and the df/delta aggregation). */
+  private[graft] def explodeBands(fp: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val bandCols = (0 until AHashBands).map { k =>
       struct(lit(k.toLong).as("bi"), col(s"b$k").as("bv"))
     }
-    fp.select(col("media_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("media_id"), col("band.bi"), col("band.bv"))
+    fp.select(col("media_id") +: keep.map(col) :+
+        explode(array(bandCols: _*)).as("band"): _*)
+      .select(col("media_id") +: keep.map(col) :+
+        col("band.bi") :+ col("band.bv"): _*)
   }
 
   /** The exact `bit_count(xor)` Hamming verify at ≤ [[AHashHamMax]]

@@ -74,7 +74,13 @@ object StatefulOps {
         (uid: Long, rs: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionAcc]) =>
           val rows = rs.map(r => (r._1, micros(r._2)))
           val wmMs = state.getCurrentWatermarkMs()
-          def endMs(s: (Long, Long, Long)): Long = (s._2 + gapUs) / 1000L
+          // CEILING division: the watermark is millis-precise but the
+          // session end (last + gap) is micros-precise — flooring would
+          // let a timer emit a session whose true end the watermark has
+          // not actually passed (a non-late event in the same millisecond
+          // could still join it). Whole-second fixtures mask the
+          // difference; sub-millisecond event times do not.
+          def endMs(s: (Long, Long, Long)): Long = (s._2 + gapUs + 999L) / 1000L
           if (state.hasTimedOut) {
             // watermark passed: emit every session whose end it crossed
             val (closed, open) = state.get.sessions.partition(endMs(_) <= wmMs)
@@ -175,7 +181,9 @@ object StatefulOps {
     private def micros(ts: java.sql.Timestamp): Long =
       Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
-    private def endMs(s: (Long, Long, Long)): Long = (s._2 + gapUs) / 1000L
+    // ceiling division, same rationale as sessionize's endMs: emission
+    // must never precede the micros-precise session end
+    private def endMs(s: (Long, Long, Long)): Long = (s._2 + gapUs + 999L) / 1000L
 
     override def handleInputRows(uid: Long,
         rows: Iterator[(Long, java.sql.Timestamp)],
@@ -189,8 +197,12 @@ object StatefulOps {
         case (acc, s) => s :: acc
       }.reverse
       open.update(SessionAcc(merged))
-      getHandle.registerTimer(
-        math.max(merged.map(endMs).min, timerValues.getCurrentWatermarkInMs() + 1))
+      // merged can only be empty if the API ever invoked us with no input
+      // rows and no existing state — guard locally rather than lean on
+      // that contract (min on an empty list throws)
+      if (merged.nonEmpty)
+        getHandle.registerTimer(
+          math.max(merged.map(endMs).min, timerValues.getCurrentWatermarkInMs() + 1))
       Iterator.empty
     }
 

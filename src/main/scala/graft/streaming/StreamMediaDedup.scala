@@ -181,19 +181,29 @@ object StreamMediaDedup {
       partsAfter = StreamSketch.countBatchDirs(fpStore)
     }
     val partsEnd = StreamSketch.countBatchDirs(fpStore)
-    // cross-phase proof rows: final pairs whose EARLIER side's
+    // cross-phase proof rows: final pairs with EXACTLY ONE side whose
     // fingerprint lives only in the consolidated batch_id=-1 partition
     // — that side could only have met the candidate join through the
-    // swapped store (one narrow id read + two semi/anti joins over the
-    // output-sized final set)
+    // swapped store. Both orientations count (a_id consolidated with
+    // b_id post-fold, and the reverse): id order says nothing about
+    // arrival phase, so counting one orientation could spuriously read
+    // zero on a fixture where every cross-phase pair happens to put the
+    // phase-B member first. One narrow id read + four semi/anti joins
+    // over the output-sized final set.
     val consolidated = spark.read.parquet(fpStore)
       .filter(col("batch_id") === -1).select(col("media_id"))
     val finalPairs = spark.read.parquet(curStore)
       .filter(col("batch_id") === (n - 1).toLong)
       .select(col("a_id"), col("b_id"), col("hamming"))
+    val consA = consolidated.select(col("media_id").as("a_id"))
+    val consB = consolidated.select(col("media_id").as("b_id"))
     val crossPhase = finalPairs
-      .join(consolidated.select(col("media_id").as("a_id")), Seq("a_id"), "left_semi")
-      .join(consolidated.select(col("media_id").as("b_id")), Seq("b_id"), "left_anti")
+      .join(consA, Seq("a_id"), "left_semi")
+      .join(consB, Seq("b_id"), "left_anti")
+      .unionByName(finalPairs
+        .join(consB, Seq("b_id"), "left_semi")
+        .join(consA, Seq("a_id"), "left_anti")
+        .select("a_id", "b_id", "hamming"))
       .count()
     (finalPairs.orderBy("a_id", "b_id"), partsBefore, partsAfter, partsEnd, crossPhase)
   }
@@ -261,29 +271,37 @@ object StreamMediaDedup {
     // the store holds, not on a re-decode
     fpFrom(batch)
       .write.mode("overwrite").parquet(s"$fpStore/batch_id=$batchId")
-    val fpB = session.read.parquet(s"$fpStore/batch_id=$batchId")
-    val bandsB = MultimodalOps.explodeBands(fpB)
     // arrived fingerprints: committed prior batches + this batch's
     // overwritten partition (includes the consolidated batch_id=-1
-    // partition after an m19 fold). Band document-frequency is a pure
-    // function of this store — no separate df ledger to maintain,
-    // retry, or compact: the per-batch df questions are answered by
-    // ONE value-restricted aggregation over the scan the candidate
-    // join does anyway.
-    val arrived = session.read.parquet(fpStore)
-      .filter(col("batch_id") <= batchId).drop("batch_id")
-    val bandsAll = MultimodalOps.explodeBands(arrived)
-    // this batch's per-(band, value) counts, and the arrived df of
-    // exactly those values: only values PRESENT in the batch can gain
-    // df, so only they can change keep-status this batch — okBatch
-    // (under the cap now) feeds candidate generation, crossed (df was
-    // ≤ cap, now > cap; each value crosses at most once, df only
-    // grows) triggers the bounded retraction path
-    val deltaB = bandsB.groupBy("bi", "bv").agg(count(lit(1)).as("delta"))
-    val dfBatch = bandsAll
-      .join(deltaB, Seq("bi", "bv"), "left_semi")
-      .groupBy("bi", "bv").agg(count(lit(1)).as("df"))
-      .join(deltaB, Seq("bi", "bv"))
+    // partition after an m19 fold), tagged per row with batch
+    // membership so ONE store scan feeds all three derivations below
+    // (batch bands, store bands, df/delta aggregation) — a separate
+    // path-scoped re-read of the batch partition plus a per-batch
+    // deltaB aggregation and its semi-join cost ~3 extra stages per
+    // micro-batch in r16's latency-bound plan (a persist() of these
+    // frames was A/B-measured net-negative: the materialization
+    // barrier costs more than the repeated narrow scans it saves).
+    val stored = session.read.parquet(fpStore)
+      .filter(col("batch_id") <= batchId)
+    val arrived = stored.drop("batch_id")
+    val bandsTag = MultimodalOps.explodeBands(
+      stored.withColumn("inb", (col("batch_id") === batchId).cast("long"))
+        .drop("batch_id"),
+      keep = Seq("inb"))
+    val bandsB = bandsTag.filter(col("inb") === 1L).select("media_id", "bi", "bv")
+    val bandsAll = bandsTag.select("media_id", "bi", "bv")
+    // per-(band, value) arrived df and this batch's contribution, in
+    // ONE partial-aggregated pass (shuffle volume is bounded by the
+    // band VALUE SPACE — ≤ AHashBands · 2^AHashBandBits distinct keys
+    // after map-side combine — never the corpus). Only values PRESENT
+    // in the batch (delta > 0) can gain df, so only they can change
+    // keep-status this batch — okBatch (under the cap now) feeds
+    // candidate generation, crossed (df was ≤ cap, now > cap; each
+    // value crosses at most once, df only grows) triggers the bounded
+    // retraction path.
+    val dfBatch = bandsTag
+      .groupBy("bi", "bv").agg(count(lit(1)).as("df"), sum("inb").as("delta"))
+      .filter(col("delta") > 0)
     val prev =
       if (batchId == 0)
         session.createDataFrame(
