@@ -203,7 +203,11 @@ object ScaleCheck {
     // the fingerprint-store compaction: m15's replay band + one
     // key-clustered rewrite of the narrow store (d19/d21's I/O class —
     // the compacted store reads FEWER partitions)
-    "m19_media_compact")
+    "m19_media_compact",
+    // r17: streaming cross-codec consensus — both per-codec incremental
+    // chains per batch (m15's + m18's bands) + an output-sized
+    // full-outer of the two committed sets; expected ≈ m15 + m18
+    "m20_stream_consensus")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -222,7 +226,8 @@ object ScaleCheck {
       val b = time(spark, name, base)
       val s = time(spark, name, scaled)
       (name, b, s)
-    } ++ scaledKEntries(spark, base, scaled, only)
+    } ++ scaledKEntries(spark, base, scaled, only) ++
+      batchesAxisEntries(spark, base, scaled, only)
     val qs = report.map { case (n, b, s) =>
       f""""$n":{"base":$b%.2f,"scaled":$s%.2f,"ratio":${s / b}%.2f}"""
     }.mkString("{", ",", "}")
@@ -288,6 +293,55 @@ object ScaleCheck {
       }
     full ++ ingest ++ s21ServeScaledK(spark, base, scaled, only)
   }
+
+  /** The BATCHES-AXIS decomposition of the stream-replay band: every
+    * `*_batches_axis` entry replays a stream-replay gate's per-batch
+    * body over 2× the gate's wave count ([[AxisWaves]]) at FIXED data
+    * and reports base = the SECOND batch's body seconds (batch 0
+    * absorbs JIT/codegen warm-up of the codec and join paths), scaled =
+    * the LAST batch's, ratio = last/second — per-batch cost growth
+    * against batch INDEX, the term the decade table's fixed-wave
+    * replays fold into one number. An incremental operator (m15: batch
+    * × store candidate join + crossing-only retractions; d12/d20/p6:
+    * batch × key-pruned store) must hold last ≈ first modulo the
+    * narrow-store scan; a per-batch re-derivation (r15's m15) reads
+    * last ≈ B × first. p13 is the declared contrast: it re-derives the
+    * keep rule over the accreting narrow stats store by design, so its
+    * growth term is real and priced here. Each batch's figure is the
+    * MIN across [[AxisRuns]] full replays (Bench's statistic, applied
+    * per batch index); per-batch vectors go to stderr for the record. */
+  private def batchesAxisEntries(spark: SparkSession, base: String, scaled: String,
+                                 only: Option[Set[String]]): Seq[(String, Double, Double)] = {
+    import graft.streaming._
+    val entries: Seq[(String, (SparkSession, String, Int) => Seq[Double], String)] = Seq(
+      ("m15_batches_axis", StreamMediaDedup.m15BatchTimes _, base),
+      // the claim under judgment at 10× the data, where an index-growing
+      // term is 10× more visible than at sf0.1
+      ("m15_batches_axis_scaled10x", StreamMediaDedup.m15BatchTimes _, scaled),
+      ("d12_batches_axis", IncrementalDedup.d12BatchTimes _, base),
+      ("d20_batches_axis", StreamSemDedup.d20BatchTimes _, base),
+      ("p13_batches_axis", StreamSampler.p13BatchTimes _, base),
+      ("p6_batches_axis", IncrementalExport.p6BatchTimes _, base))
+    entries.filter { case (name, _, _) => only.forall(_.contains(name)) }
+      .map { case (name, run, dir) =>
+        val per = (1 to AxisRuns).map(_ => run(spark, dir, AxisWaves))
+          .transpose.map(_.min)
+        System.err.println(
+          f"[scale] $name per-batch min sec: ${per.map(v => f"$v%.2f").mkString(", ")}")
+        (name, per(1), per.last)
+      }
+  }
+
+  /** 2× the gate fixtures' wave count: doubling the batch count at
+    * fixed data is the r15-ordered instrument shape — more batch
+    * indices for growth to show, smaller per-batch data so a genuine
+    * per-batch-growth term dominates orchestration sooner. */
+  val AxisWaves: Int = 2 * graft.streaming.StreamSketch.SplitFiles
+
+  /** Full-replay repetitions per axis entry; per-batch minima are taken
+    * across runs (a contention burst poisons one replay's batch, not
+    * the same batch index in both). */
+  val AxisRuns = 2
 
   /** The serve-only decomposition of s21's scaled-k decade: the full
     * gate re-runs the flat quantizer assignment on BOTH sides, and that

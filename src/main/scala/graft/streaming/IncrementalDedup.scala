@@ -101,6 +101,43 @@ object IncrementalDedup {
     (result, nBatches)
   }
 
+  /** Batches-axis instrument seam (ScaleCheck `d12_batches_axis`):
+    * replay [[processBatch]] over `waves` micro-batches at FIXED data,
+    * returning each batch's body wall seconds in batch order — the
+    * per-batch-growth decomposition of the stream-replay band (the
+    * candidate join is batch × store, so the only index-growing term
+    * is the key-pruned store side). */
+  private[graft] def d12BatchTimes(spark: SparkSession, dir: String,
+      waves: Int): Seq[Double] = {
+    val work = Files.createTempDirectory("graft_incdedup_ax_").toString
+    val splitDir = s"$work/in"
+    Sources.table(spark, dir, "documents")
+      .select("doc_id", "text")
+      .repartitionByRange(waves, col("doc_id"))
+      .write.parquet(splitDir)
+    val bandStore = s"$work/bands"
+    val shingleStore = s"$work/shingles"
+    val pairStore = s"$work/pairs"
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val session = spark.newSession()
+    val q = session.readStream
+      .schema(session.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        processBatch(batch, batchId, bandStore, shingleStore, pairStore)
+        buf += (System.nanoTime() - t0) / 1e9
+        ()
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    buf.toSeq
+  }
+
   private def processBatch(batch: DataFrame, batchId: Long,
                            bandStore: String, shingleStore: String,
                            pairStore: String): Unit = {

@@ -94,6 +94,26 @@ object IncrementalExport {
     (readManifest(spark, manifest), nBatches)
   }
 
+  /** Batches-axis instrument seam (ScaleCheck `p6_batches_axis`):
+    * replay [[processBatch]] over `waves` micro-batches at FIXED data,
+    * returning each batch's body wall seconds in batch order — p6's
+    * per-batch work is batch-sized flagging + digest-keyed joins
+    * against a key-pruned store, so last ≈ first is the design claim. */
+  private[graft] def p6BatchTimes(spark: SparkSession, dir: String,
+      waves: Int): Seq[Double] = {
+    val work = Files.createTempDirectory("graft_increxport_ax_").toString
+    val manifest = s"$work/manifest"
+    val keys = s"$work/keys"
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    StreamSketch.runWaveReplay(spark, exportDocs(spark, dir), "doc_id",
+      work, manifest, waves) { (batch, batchId) =>
+      val t0 = System.nanoTime()
+      processBatch(batch, batchId, keys, manifest, None)
+      buf += (System.nanoTime() - t0) / 1e9
+    }
+    buf.toSeq
+  }
+
   private def readManifest(spark: SparkSession, manifest: String): DataFrame =
     spark.read.parquet(manifest)
       .select(col("batch_id").cast("long").as("batch_id"), col("source"),

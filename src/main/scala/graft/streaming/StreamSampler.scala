@@ -71,6 +71,29 @@ object StreamSampler {
     (result, nBatches)
   }
 
+  /** Batches-axis instrument seam (ScaleCheck `p13_batches_axis`):
+    * replay [[sampleBatch]] over `waves` micro-batches at FIXED data,
+    * returning each batch's body wall seconds in batch order — p13
+    * re-derives the keep rule per batch over the accreting NARROW
+    * stats store, so its per-batch cost legitimately grows with
+    * arrived STATS (3-column rows); the instrument prices that term. */
+  private[graft] def p13BatchTimes(spark: SparkSession, dir: String,
+      waves: Int): Seq[Double] = {
+    val work = Files.createTempDirectory("graft_samplemon_ax_").toString
+    val stats = s"$work/stats"
+    val ledger = s"$work/ledger"
+    val docs = Sources.table(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    StreamSketch.runWaveReplay(spark, docs, "doc_id", work, ledger, waves) {
+      (batch, batchId) =>
+        val t0 = System.nanoTime()
+        sampleBatch(batch, batchId, stats, ledger)
+        buf += (System.nanoTime() - t0) / 1e9
+    }
+    buf.toSeq
+  }
+
   // ---- p14: the kept-set CHANGE feed ---------------------------------
 
   def p14SampleDelta(spark: SparkSession, dir: String): DataFrame =

@@ -134,11 +134,12 @@ object StreamSemDedup {
     * two-level codebook (s23's quantizer-file motion) — shared by the
     * single-replay gate (d20) and the phased compaction gate (d21). */
   private def prepare(spark: SparkSession, dir: String, work: String,
-                      orderExpr: org.apache.spark.sql.Column): (String, String) = {
+                      orderExpr: org.apache.spark.sql.Column,
+                      waves: Int = StreamAnnIngest.SplitFiles): (String, String) = {
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
     all.select("vec_id", "v", "nrm", "label")
-      .repartitionByRange(StreamAnnIngest.SplitFiles, orderExpr)
+      .repartitionByRange(waves, orderExpr)
       .write.parquet(splitDir)
     val cbPath = s"$work/codebook"
     val seeds = all.filter(col("vec_id") < SimilarityOps.IvfCells)
@@ -146,6 +147,35 @@ object StreamSemDedup {
     SimilarityOps.hierCentArr(seeds, SimilarityOps.HierSub)
       .coalesce(1).write.parquet(cbPath)
     (splitDir, cbPath)
+  }
+
+  /** Batches-axis instrument seam (ScaleCheck `d20_batches_axis`):
+    * replay [[processBatch]] over `waves` micro-batches at FIXED data,
+    * returning each batch's body wall seconds in batch order. */
+  private[graft] def d20BatchTimes(spark: SparkSession, dir: String,
+      waves: Int): Seq[Double] = {
+    val work = Files.createTempDirectory("graft_semstream_ax_").toString
+    val (splitDir, cbPath) = prepare(spark, dir, work, col("vec_id"), waves)
+    val store = s"$work/assigned"
+    val pairStore = s"$work/pairs"
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val session = spark.newSession()
+    val q = session.readStream
+      .schema(session.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        processBatch(batch, batchId, cbPath, store, pairStore)
+        buf += (System.nanoTime() - t0) / 1e9
+        ()
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    buf.toSeq
   }
 
   private def runStream(spark: SparkSession, inDir: String, ckpt: String,

@@ -459,8 +459,12 @@ object StreamSketch {
     rm(new java.io.File(dir))
   }
 
+  /** `splitFiles` defaults to the gate fixture's [[SplitFiles]]; the
+    * batches-axis ScaleCheck instrument passes 2× to measure per-batch
+    * cost growth against batch INDEX at fixed data. */
   private[streaming] def runWaveReplay(spark: SparkSession, src: DataFrame, splitKey: String,
-      work: String, store: String)(body: (DataFrame, Long) => Unit): Int = {
+      work: String, store: String,
+      splitFiles: Int = SplitFiles)(body: (DataFrame, Long) => Unit): Int = {
     val splitDir = s"$work/in"
     // resume idempotence: a re-run over an existing work dir (the
     // crash-recovery path — SinkSpec's restart shape) must not re-append
@@ -473,8 +477,8 @@ object StreamSketch {
     if (!dealComplete(work)) {
       clearDir(splitDir)
       var seen = Set.empty[String]
-      (0 until SplitFiles).foreach { b =>
-        src.filter(pmod(col(splitKey), lit(SplitFiles)) === b)
+      (0 until splitFiles).foreach { b =>
+        src.filter(pmod(col(splitKey), lit(splitFiles)) === b)
           .coalesce(1).write.mode("append").parquet(splitDir)
         val wave = new java.io.File(splitDir).listFiles()
           .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
