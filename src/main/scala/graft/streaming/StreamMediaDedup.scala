@@ -136,6 +136,114 @@ object StreamMediaDedup {
   def m19MediaCompact(spark: SparkSession, dir: String): DataFrame =
     m19WithStoreInfo(spark, dir)._1
 
+  /** m20: STREAMING cross-codec consensus — m17's twin on the replay
+    * axis, closing the multimodal matrix's last open cell (m13/m14
+    * prove the per-codec batch verbs, m15/m18 their streaming forms,
+    * m17 the batch consensus — this is consensus maintained ONLINE).
+    * Per crawl batch, both per-codec chains run incrementally (the
+    * m15/m18 [[processBatch]] machinery verbatim, one fingerprint store
+    * + materialized set per codec), then the two COMMITTED materialized
+    * sets full-outer-join into the channel-tagged consensus set — the
+    * triage read a pipeline acts on unreviewed is the `both` channel,
+    * and the per-batch delta ledger carries n_pairs / n_added /
+    * n_retracted / n_flips, where a FLIP is a pair whose channel
+    * changed (e.g. image→both when its second channel lands, or
+    * both→audio when one channel's band crosses its df cap and
+    * retracts — the non-monotone rule acting on ONE channel only;
+    * StreamEquivSpec plants exactly that). By m15/m18's induction each
+    * committed set equals its batch twin over the arrived corpus, so
+    * the final consensus set IS batch m17's answer — the oracle is
+    * m17's SQL verbatim (the shared-string convention).
+    *
+    * Scale: the two chains' per-batch costs are m15/m18's (each
+    * object's bytes decoded once per codec, batch-bounded joins); the
+    * consensus join and the ledger diff are OUTPUT-sized (near-dup
+    * density, two committed pair sets on (a_id, b_id)) — never corpus-
+    * sized. All three writes are idempotent `batch_id=N` overwrites
+    * reading only committed data, so a retried batch converges. */
+  def m20StreamConsensus(spark: SparkSession, dir: String): DataFrame =
+    m20WithInfo(spark, dir)._1
+
+  /** Test seam: (final consensus set, delta ledger, batches replayed). */
+  private[graft] def m20WithInfo(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Int) =
+    runConsensusReplay(spark,
+      Sources.table(spark, dir, "documents").select("doc_id", "lang", "text"),
+      "doc_id")
+
+  /** The consensus replay over an arbitrary `(doc_id, lang, text)`
+    * frame — StreamEquivSpec drives it with a planted image-only
+    * df-cap crossing (a pair flipping `both`→`audio` mid-stream) and a
+    * second-channel-lands flip (`image`→`both`). */
+  private[graft] def runConsensusReplay(spark: SparkSession, docs: DataFrame,
+      splitKey: String): (DataFrame, DataFrame, Int) = {
+    val work = Files.createTempDirectory("graft_mediaconsensus_").toString
+    val consStore = s"$work/consensus"
+    val consLed = s"$work/cons_ledger"
+    val n = StreamSketch.runWaveReplay(spark, docs, splitKey, work, consStore) {
+      (batch, batchId) =>
+        processBatch(batch, batchId, s"$work/img_fp", s"$work/img_cur",
+          s"$work/img_ledger", ImageFp)
+        processBatch(batch, batchId, s"$work/aud_fp", s"$work/aud_cur",
+          s"$work/aud_ledger", d => MultimodalOps.whashBandsFrom(d))
+        consensusBatch(batch.sparkSession, batchId, s"$work/img_cur",
+          s"$work/aud_cur", consStore, consLed)
+    }
+    val result = spark.read.parquet(consStore)
+      .filter(col("batch_id") === (n - 1).toLong)
+      .select(col("a_id"), col("b_id"), col("channel"),
+        col("img_hamming"), col("aud_hamming"))
+      .orderBy("a_id", "b_id")
+    val ledger = spark.read.parquet(consLed)
+      .select(col("batch_id").cast("long").as("batch_id"), col("n_pairs"),
+        col("n_added"), col("n_retracted"), col("n_flips"))
+      .orderBy("batch_id")
+    (result, ledger, n)
+  }
+
+  /** One consensus step: full-outer the two codecs' COMMITTED batch-N
+    * materialized sets into the channel-tagged set (m17's projection
+    * verbatim), commit it, then diff against the committed N−1
+    * consensus for the ledger — output-sized work throughout, and
+    * idempotent under batch retry (every read is of committed data;
+    * both writes overwrite their own `batch_id=N` directory). */
+  private def consensusBatch(session: SparkSession, batchId: Long,
+      imgCur: String, audCur: String, consStore: String,
+      consLed: String): Unit = {
+    def curOf(path: String, ham: String): DataFrame =
+      session.read.parquet(s"$path/batch_id=$batchId")
+        .select(col("a_id"), col("b_id"), col("hamming").as(ham))
+    curOf(imgCur, "img_hamming")
+      .join(curOf(audCur, "aud_hamming"), Seq("a_id", "b_id"), "full_outer")
+      .select(col("a_id"), col("b_id"),
+        when(col("img_hamming").isNotNull && col("aud_hamming").isNotNull, "both")
+          .when(col("img_hamming").isNotNull, "image")
+          .otherwise("audio").as("channel"),
+        coalesce(col("img_hamming"), lit(-1L)).as("img_hamming"),
+        coalesce(col("aud_hamming"), lit(-1L)).as("aud_hamming"))
+      .write.mode("overwrite").parquet(s"$consStore/batch_id=$batchId")
+    val cur = session.read.parquet(s"$consStore/batch_id=$batchId")
+      .select(col("a_id"), col("b_id"), col("channel").as("now_ch"))
+    val prev =
+      if (batchId == 0)
+        cur.filter(lit(false)).select(col("a_id"), col("b_id"),
+          col("now_ch").as("was_ch"))
+      else session.read.parquet(s"$consStore/batch_id=${batchId - 1}")
+        .select(col("a_id"), col("b_id"), col("channel").as("was_ch"))
+    cur.join(prev, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("now_ch").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_pairs"),
+        coalesce(sum(when(col("now_ch").isNotNull && col("was_ch").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_added"),
+        coalesce(sum(when(col("now_ch").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_retracted"),
+        coalesce(sum(when(col("now_ch").isNotNull && col("was_ch").isNotNull &&
+          col("now_ch") =!= col("was_ch"), 1L).otherwise(0L)), lit(0L))
+          .as("n_flips"))
+      .write.mode("overwrite").parquet(s"$consLed/batch_id=$batchId")
+  }
+
   /** m19: mid-stream compaction for m15's full-history store — the
     * lifecycle law (every full-history store gets a compaction verb:
     * d19 bands/shingles, d21 vectors, p7 digests, p12/x20 stats)
@@ -247,6 +355,31 @@ object StreamMediaDedup {
     (pairs, ledger, n)
   }
 
+  /** Batches-axis instrument seam (ScaleCheck `m15_batches_axis`):
+    * replay [[processBatch]] over `waves` micro-batches at FIXED data
+    * and return each batch's body wall seconds in batch order. The
+    * incremental design's claim is that per-batch cost does NOT grow
+    * with batch index (additions are batch-bounded, retractions
+    * amortize to zero, the only index-growing term is the narrow
+    * fingerprint-store scan) — last-batch ≈ first-batch seconds is that
+    * claim as a number, where the r15 per-batch re-derivation read
+    * last ≈ B × first. */
+  private[graft] def m15BatchTimes(spark: SparkSession, dir: String,
+      waves: Int): Seq[Double] = {
+    val work = Files.createTempDirectory("graft_mediadedup_ax_").toString
+    val fpStore = s"$work/fp"
+    val curStore = s"$work/cur"
+    val ledgerStore = s"$work/ledger"
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    StreamSketch.runWaveReplay(spark, docsOf(spark, dir), "doc_id", work,
+      ledgerStore, waves) { (batch, batchId) =>
+      val t0 = System.nanoTime()
+      processBatch(batch, batchId, fpStore, curStore, ledgerStore, ImageFp)
+      buf += (System.nanoTime() - t0) / 1e9
+    }
+    buf.toSeq
+  }
+
   /** `private[graft]` so the torn-write/redo spec can drive batches
     * directly: the delta's one-batch-back read is the shape the generic
     * crash test doesn't cover — a redone batch must re-diff against the
@@ -273,35 +406,17 @@ object StreamMediaDedup {
       .write.mode("overwrite").parquet(s"$fpStore/batch_id=$batchId")
     // arrived fingerprints: committed prior batches + this batch's
     // overwritten partition (includes the consolidated batch_id=-1
-    // partition after an m19 fold), tagged per row with batch
-    // membership so ONE store scan feeds all three derivations below
-    // (batch bands, store bands, df/delta aggregation) — a separate
-    // path-scoped re-read of the batch partition plus a per-batch
-    // deltaB aggregation and its semi-join cost ~3 extra stages per
-    // micro-batch in r16's latency-bound plan (a persist() of these
-    // frames was A/B-measured net-negative: the materialization
-    // barrier costs more than the repeated narrow scans it saves).
+    // partition after an m19 fold), read once with a batch-membership
+    // tag — replacing r16's separate path-scoped re-read of the batch
+    // partition plus a per-batch deltaB aggregation and its semi-join
+    // (~3 stages per micro-batch on a latency-bound plan; a persist()
+    // of these frames was A/B-measured net-negative: the
+    // materialization barrier costs more than the narrow scans it
+    // saves). Same-host A/B of this restructure: m15/m16/m18/m19
+    // minima −11…−20% at sf0.1.
     val stored = session.read.parquet(fpStore)
       .filter(col("batch_id") <= batchId)
-    val arrived = stored.drop("batch_id")
-    val bandsTag = MultimodalOps.explodeBands(
-      stored.withColumn("inb", (col("batch_id") === batchId).cast("long"))
-        .drop("batch_id"),
-      keep = Seq("inb"))
-    val bandsB = bandsTag.filter(col("inb") === 1L).select("media_id", "bi", "bv")
-    val bandsAll = bandsTag.select("media_id", "bi", "bv")
-    // per-(band, value) arrived df and this batch's contribution, in
-    // ONE partial-aggregated pass (shuffle volume is bounded by the
-    // band VALUE SPACE — ≤ AHashBands · 2^AHashBandBits distinct keys
-    // after map-side combine — never the corpus). Only values PRESENT
-    // in the batch (delta > 0) can gain df, so only they can change
-    // keep-status this batch — okBatch (under the cap now) feeds
-    // candidate generation, crossed (df was ≤ cap, now > cap; each
-    // value crosses at most once, df only grows) triggers the bounded
-    // retraction path.
-    val dfBatch = bandsTag
-      .groupBy("bi", "bv").agg(count(lit(1)).as("df"), sum("inb").as("delta"))
-      .filter(col("delta") > 0)
+    val (arrived, bandsAll, bandsB, dfBatch) = storeFrames(stored, batchId)
     val prev =
       if (batchId == 0)
         session.createDataFrame(
@@ -316,19 +431,7 @@ object StreamMediaDedup {
     val crossed = dfBatch
       .filter(col("df") > cap && col("df") - col("delta") <= cap)
       .select("bi", "bv")
-    // ADDITIONS — the d12 batch × store join: ≥ 1 batch-side member,
-    // meeting on an under-cap-now value (bounded buckets), normalized,
-    // then the batch chain's exact Hamming verify (shared code). Every
-    // addition meets on a BATCH value by construction (one side is in
-    // the batch), so okBatch is the complete gate.
-    val candAdd = bandsB.join(okBatch, Seq("bi", "bv")).as("x")
-      .join(bandsAll.join(okBatch, Seq("bi", "bv")).as("y"),
-        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
-          col("x.media_id") =!= col("y.media_id"))
-      .select(least(col("x.media_id"), col("y.media_id")).as("a_id"),
-        greatest(col("x.media_id"), col("y.media_id")).as("b_id"))
-      .distinct()
-    val added = MultimodalOps.hammingVerify(candAdd, arrived)
+    val added = additionsFrom(arrived, bandsAll, bandsB, okBatch)
     // RETRACTIONS — only pairs meeting on a value that crossed the cap
     // THIS batch can leave the set; the subtree keys on `crossed`
     // (usually empty — each value crosses at most once in a stream's
@@ -429,5 +532,57 @@ object StreamMediaDedup {
               struct(col("sb"), col("rm_sub"))))),
             x => x.getField("rm_sub"))))).as("rm_md5"))
       .write.mode("overwrite").parquet(s"$ledgerStore/batch_id=$batchId")
+  }
+
+  /** The per-batch frames derived from the tagged store read, shared by
+    * [[processBatch]] and LayoutSpec (which proves the plan shape on a
+    * REAL written m19 layout): `arrived` (the fingerprint rows — the
+    * Hamming verify's and the retraction path's fetch side), `bandsAll`
+    * (the store's exploded bands — the candidate join's store side),
+    * `bandsB` (the batch's exploded bands), and `dfBatch` — per-(band,
+    * value) arrived df + this batch's contribution in ONE
+    * partial-aggregated pass whose shuffle volume is bounded by the
+    * band VALUE SPACE (≤ AHashBands · 2^AHashBandBits distinct keys
+    * after map-side combine), never the corpus. Only values PRESENT in
+    * the batch (delta > 0) can gain df, so only they can change
+    * keep-status this batch — `df ≤ cap` is the under-cap-now gate for
+    * candidate generation; `df > cap ∧ df − delta ≤ cap` is the
+    * crossed-this-batch trigger for the bounded retraction path. */
+  private[graft] def storeFrames(stored: DataFrame, batchId: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val arrived = stored.drop("batch_id")
+    val bandsTag = MultimodalOps.explodeBands(
+      stored.withColumn("inb", (col("batch_id") === batchId).cast("long"))
+        .drop("batch_id"),
+      keep = Seq("inb"))
+    val bandsB = bandsTag.filter(col("inb") === 1L).select("media_id", "bi", "bv")
+    val bandsAll = bandsTag.select("media_id", "bi", "bv")
+    val dfBatch = bandsTag
+      .groupBy("bi", "bv").agg(count(lit(1)).as("df"), sum("inb").as("delta"))
+      .filter(col("delta") > 0)
+    (arrived, bandsAll, bandsB, dfBatch)
+  }
+
+  /** ADDITIONS — the d12 batch × store join: ≥ 1 batch-side member,
+    * meeting on an under-cap-now value (bounded buckets), normalized,
+    * then the batch chain's exact Hamming verify (shared code). Every
+    * addition meets on a BATCH value by construction (one side is in
+    * the batch), so okBatch is the complete gate. Plan shape (proven in
+    * LayoutSpec on the real m19-compacted store): the batch side and
+    * the ok-value set are batch/value-bounded and ride BROADCASTS into
+    * the store's exploded-band scan, and the verified candidates ride a
+    * broadcast into the fingerprint fetch — the store is never
+    * shuffled; the only exchanges are the value-space-bounded df
+    * aggregation and the output-sized candidate distinct. */
+  private[graft] def additionsFrom(arrived: DataFrame, bandsAll: DataFrame,
+      bandsB: DataFrame, okBatch: DataFrame): DataFrame = {
+    val candAdd = bandsB.join(okBatch, Seq("bi", "bv")).as("x")
+      .join(bandsAll.join(okBatch, Seq("bi", "bv")).as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") =!= col("y.media_id"))
+      .select(least(col("x.media_id"), col("y.media_id")).as("a_id"),
+        greatest(col("x.media_id"), col("y.media_id")).as("b_id"))
+      .distinct()
+    MultimodalOps.hammingVerify(candAdd, arrived)
   }
 }

@@ -535,6 +535,72 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("m19's compacted fingerprint store: candidate join + Hamming verify never shuffle the store") {
+    // The 100 TB claim behind m15/m19, proven on the REAL compaction
+    // output (IncrementalDedup.compactStore on media_id — the verb m19
+    // runs): the per-batch additions plan reads the consolidated store
+    // with the batch_id prune and moves NOTHING store-sized — the batch
+    // bands and the under-cap value set ride broadcasts into the store's
+    // exploded-band scan, verified candidates ride a broadcast into the
+    // fingerprint fetch, and the only exchanges in the whole plan are
+    // the value-space-bounded df aggregation (map-side partial: shuffle
+    // rows ≤ distinct band values, never corpus) and the output-sized
+    // candidate distinct. Clustering the consolidated partition on
+    // media_id (the verify's fetch key) rather than the band key is
+    // therefore free for the candidate probe — no store-side exchange
+    // exists for a band-key layout to remove.
+    import graft.ops.MultimodalOps
+    import graft.streaming.{IncrementalDedup, StreamMediaDedup}
+    val work = Files.createTempDirectory("graft_fpstore_").toString
+    val store = s"$work/fp"
+    val fp = MultimodalOps.ahashBandsFrom(
+      Sources.table(spark, sf, "documents").select("doc_id", "text"))
+    // two shipped arrival batches, then the m19 fold, then a post-fold
+    // arrival carrying PLANTED twins of pre-fold objects (same
+    // fingerprint, new id) — cross-phase pairs exist by construction,
+    // so the zero-exchange plan is proven non-vacuously
+    fp.filter(col("media_id") % 2 === 0)
+      .write.parquet(s"$store/batch_id=0")
+    fp.filter(col("media_id") % 2 === 1)
+      .write.parquet(s"$store/batch_id=1")
+    IncrementalDedup.compactStore(spark, store, "media_id")
+    val twins = fp.filter(col("media_id") < 50)
+      .withColumn("media_id", col("media_id") + lit(10000000L))
+    twins.write.parquet(s"$store/batch_id=2")
+    val parts = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(parts == Set("batch_id=-1", "batch_id=2"),
+      s"compaction did not leave the expected partitions: $parts")
+    val child = spark.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    val stored = child.read.parquet(store).filter(col("batch_id") <= 2L)
+    val (arrived, bandsAll, bandsB, dfBatch) =
+      StreamMediaDedup.storeFrames(stored, 2L)
+    val okBatch = dfBatch.filter(col("df") <= MultimodalOps.AHashDfMax)
+      .select("bi", "bv")
+    val added = StreamMediaDedup.additionsFrom(arrived, bandsAll, bandsB, okBatch)
+    val got = added.collect()
+    // non-vacuity: the planted twins' pairs came through the compacted
+    // partition (their earlier side lives ONLY in batch_id=-1)
+    assert(got.count(r => r.getLong(1) >= 10000000L) >= 40,
+      s"planted cross-phase twins missing from additions (${got.length} rows)")
+    val plan = added.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("batch_id"),
+      "store scan is not pruned on the batch partition column")
+    val nStoreEx = "hashpartitioning\\(media_id".r.findAllMatchIn(plan).length
+    assert(nStoreEx == 0,
+      s"expected zero store-key exchanges (the store is never re-shuffled), got $nStoreEx")
+    val nBandEx = "hashpartitioning\\(bi".r.findAllMatchIn(plan).length
+    assert(nBandEx == 1,
+      s"expected exactly the df aggregation's band-key exchange, got $nBandEx")
+    assert(plan.contains("partial_count"),
+      "df aggregation lost its map-side partial — the band-key exchange " +
+        "would shuffle corpus rows, not value-space rows")
+    val nBhj = "BroadcastHashJoin".r.findAllMatchIn(plan).length
+    assert(nBhj >= 4,
+      s"expected the batch/value/candidate sides to ride broadcasts, got $nBhj BHJs")
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh.nonEmpty)
