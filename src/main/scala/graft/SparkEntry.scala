@@ -157,6 +157,8 @@ object SparkEntry {
       (graft.streaming.StreamMediaDedup.m18StreamWavNearDup _),
     "m19_media_compact" ->
       (graft.streaming.StreamMediaDedup.m19MediaCompact _),
+    "m20_stream_consensus" ->
+      (graft.streaming.StreamMediaDedup.m20StreamConsensus _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -982,6 +984,18 @@ object SparkEntry {
        |  FROM cand JOIN bw x ON x.doc_id = a_id JOIN bw y ON y.doc_id = b_id)
        |SELECT a_id, b_id, hamming FROM ver WHERE hamming <= ${MultimodalOps.AHashHamMax} ORDER BY a_id, b_id""".stripMargin
   }
+
+  /** m17's oracle (m20's verbatim — the streaming consensus's final
+    * set must equal batch m17): m13's chain ⋈full m14's chain with the
+    * channel CASE — the d13 nested-WITH move on the media family. */
+  private lazy val m17ConsensusSql: String =
+    s"""WITH pi AS ($m13NearDupSql), pa AS ($m14NearDupSql)
+       |SELECT coalesce(pi.a_id, pa.a_id) AS a_id, coalesce(pi.b_id, pa.b_id) AS b_id,
+       |CASE WHEN pi.a_id IS NOT NULL AND pa.a_id IS NOT NULL THEN 'both'
+       |     WHEN pi.a_id IS NOT NULL THEN 'image' ELSE 'audio' END AS channel,
+       |coalesce(pi.hamming, -1) AS img_hamming, coalesce(pa.hamming, -1) AS aud_hamming
+       |FROM pi FULL JOIN pa ON pi.a_id = pa.a_id AND pi.b_id = pa.b_id
+       |ORDER BY a_id, b_id""".stripMargin
 
   /** m16's oracle: the m13 chain re-run per wave `wb` over the arrived
     * corpus (`doc_id mod SplitFiles ≤ wb` — [[graft.streaming
@@ -2309,14 +2323,13 @@ object SparkEntry {
     // nested-WITH subqueries reuse BOTH chains verbatim, so m17's
     // oracle IS "m13's oracle ⋈full m14's oracle" by construction (the
     // d13 move on the media family)
-    "m17_consensus_near_dup" ->
-      s"""WITH pi AS ($m13NearDupSql), pa AS ($m14NearDupSql)
-         |SELECT coalesce(pi.a_id, pa.a_id) AS a_id, coalesce(pi.b_id, pa.b_id) AS b_id,
-         |CASE WHEN pi.a_id IS NOT NULL AND pa.a_id IS NOT NULL THEN 'both'
-         |     WHEN pi.a_id IS NOT NULL THEN 'image' ELSE 'audio' END AS channel,
-         |coalesce(pi.hamming, -1) AS img_hamming, coalesce(pa.hamming, -1) AS aud_hamming
-         |FROM pi FULL JOIN pa ON pi.a_id = pa.a_id AND pi.b_id = pa.b_id
-         |ORDER BY a_id, b_id""".stripMargin,
+    "m17_consensus_near_dup" -> m17ConsensusSql,
+    // m20 = the SAME consensus, maintained ONLINE: the final full-outer
+    // of the two streaming chains' materialized sets must equal batch
+    // m17 exactly (each set ≡ its batch twin by m15/m18's induction),
+    // so the oracle is m17's SQL verbatim — the shared-string
+    // convention on the consensus verb
+    "m20_stream_consensus" -> m17ConsensusSql,
     // every sampled frame from closed form: frame fi's payload is the
     // byte slice [fi·fp, fi·fp+flen), its BMP pads to w·fh with zero
     // fill — pixel sum over the slice's hex-nibble bytes, digest over

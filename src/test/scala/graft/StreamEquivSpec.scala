@@ -873,6 +873,95 @@ class StreamEquivSpec extends AnyFunSuite {
       "no cross-phase pair matched through the consolidated partition — the swap was never exercised")
   }
 
+  test("m20 streaming consensus: final channel-tagged set ≡ batch m17, ledger conserves") {
+    val batch = rows(graft.ops.MultimodalOps.m17ConsensusNearDup(spark, sf))
+    assert(batch.nonEmpty)
+    val (streamDf, ledgerDf, nBatches) =
+      graft.streaming.StreamMediaDedup.m20WithInfo(spark, sf)
+    assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
+      s"replay ran $nBatches micro-batches — not incremental")
+    assert(rows(streamDf) == batch,
+      "streamed consensus diverged from batch m17")
+    val ledger = ledgerDf.collect()
+    assert(ledger.length == nBatches)
+    // batch 0 diffs against the empty consensus: all additions
+    ledger.filter(_.getLong(0) == 0L).foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == 0L && r.getLong(4) == 0L,
+        "batch 0 consensus diffed against a non-empty set")
+    }
+    // conservation: n_pairs(b) = n_pairs(b-1) + n_added(b) - n_retracted(b)
+    // (flips change a pair's channel, never its membership)
+    val pairsAt = ledger.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ledger.foreach { r =>
+      val prev = pairsAt.getOrElse(r.getLong(0) - 1, 0L)
+      assert(r.getLong(1) == prev + r.getLong(2) - r.getLong(3),
+        s"consensus conservation broke at batch ${r.getLong(0)}")
+    }
+  }
+
+  test("m20 planted channel flip: both→audio when ONE channel's band crosses its df cap") {
+    import org.apache.spark.sql.functions._
+    // Geometry of the plant (buildBmp keys on doc_id mod 17, buildWav's
+    // sample layout on doc_id mod 2): all ids are multiples of 17 with
+    // one payload text, so every doc shares ONE image fingerprint; ids
+    // of equal PARITY share an audio fingerprint, opposite parity do
+    // not (1- vs 2-channel block align moves every sampled slot).
+    //   - pair (0, 34): both even — image dup AND audio dup;
+    //   - crowd: 120 odd multiples of 17 (waves 1 and 3 only: 17·odd
+    //     mod 4 ∈ {1, 3}) — image-identical to the pair, audio-distinct.
+    // Timeline: wave 0 ships a=0; wave 1 ships 60 crowd (image band df
+    // 61, cold → (a, crowd) image pairs); wave 2 ships b=34 → (a,b)
+    // lands in BOTH channels; wave 3 ships the other 60 crowd → image
+    // band df 122 crosses AHashDfMax=100, the IMAGE channel retracts
+    // every clique pair — (a,b) flips both→audio (its audio band df is
+    // 2, still cold). The crowd's own audio clique (df 120) crosses its
+    // cap the same wave, so the final consensus is exactly {(0, 34,
+    // audio)}.
+    val m = graft.streaming.StreamSketch.SplitFiles
+    assert(m == 4, "plant's wave arithmetic assumes 4 waves")
+    val payload = lit("planted twin payload")
+    val pair = spark.range(0, 2)
+      .select((col("id") * 34L).as("doc_id"), lit("xx").as("lang"), payload.as("text"))
+    val crowd = spark.range(0, 120)
+      .select((col("id") * 34L + 17L).as("doc_id"), lit("xx").as("lang"),
+        payload.as("text"))
+    val docs = pair.unionByName(crowd)
+    val (finalDf, ledgerDf, n) =
+      graft.streaming.StreamMediaDedup.runConsensusReplay(spark, docs, "doc_id")
+    assert(n == m)
+    // the flip really happened: the pair was `both` while cold and
+    // `audio` after the image-side crossing
+    val fin = finalDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(fin.toSeq == Seq((0L, 34L, "audio")),
+      s"final consensus expected exactly {(0,34,audio)}, got ${fin.mkString(", ")}")
+    val ledger = ledgerDf.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // wave 1: (a, crowd) image pairs + crowd-internal `both` pairs, no flips
+    assert(ledger(1L)._1 > 0 && ledger(1L)._4 == 0L)
+    // wave 2: b lands — (a,b) enters as `both`; a's existing image-only
+    // pairs with the crowd are untouched (no flip yet)
+    assert(ledger(2L)._2 > 0, "wave 2 added nothing — b never landed")
+    // wave 3: the image crossing retracts the clique's image pairs and
+    // FLIPS (a,b) both→audio and (a,crowd)/(crowd,crowd) channel
+    // members still sharing the cold audio band — at least the (a,b)
+    // flip must register
+    assert(ledger(3L)._4 >= 1L,
+      s"the image-side cap crossing flipped no channel: ${ledger(3L)}")
+    assert(ledger(3L)._3 > 0L, "the image crossing retracted nothing")
+    // and per the m17 law the final ledger row agrees with the batch twin
+    assert(ledger(3L.max(n - 1L))._1 == 1L,
+      "final consensus cardinality diverged from the planted expectation")
+    // Note on flip directions: fingerprints are static and additions
+    // require a batch-side member, so BOTH channels admit a pair in its
+    // later member's arrival batch — a pair can never gain a channel
+    // after arrival ("image→both when the second channel lands later"
+    // is structurally impossible). The only cross-batch flips are
+    // channel LOSSES (both→image / both→audio via one channel's cap
+    // crossing), which is exactly what this plant pins.
+    ()
+  }
+
   test("m15/m16 torn-write redo: a re-run batch re-diffs against the COMMITTED previous set") {
     // the delta's one-batch-back read is the shape SinkSpec's generic
     // crash test doesn't cover: batch N dies after a torn cur/ledger
