@@ -256,4 +256,52 @@ object StatefulOps {
           }
       }
   }
+
+  /** [[userCountsTtl]] on `transformWithState` — the second production
+    * stateful operator ported to the modern API (x22's sessionizer is
+    * the first), pinning the mechanical migration recipe the x22
+    * scaladoc promises: `setTimeoutDuration(ttl)` re-armed on every
+    * input becomes a [[TTLConfig]] on the state VARIABLE — eviction
+    * moves from hand-rolled timeout handling into the store itself, so
+    * the processor body shrinks to the pure counting logic. The one
+    * behavioral delta, stated rather than hidden: TTL eviction is
+    * SILENT (an expired value simply reads as absent and the next
+    * arrival re-counts from zero), where the legacy operator's timeout
+    * callback emits a zero-count tombstone — a consumer needing
+    * tombstones keeps the timer form (register an event/processing-time
+    * timer per key, x22's shape); one needing only bounded state takes
+    * this form and saves the timer bookkeeping. The legacy operational
+    * note carries over verbatim: a TTL-stateful query keeps scheduling
+    * micro-batches for time maintenance and never reports caught up —
+    * run it under a real `Trigger.ProcessingTime` (an AvailableNow
+    * drain spins forever). ContinuousSpec proves multi-batch counting,
+    * cross-batch state carry, and the silent eviction under that
+    * deployment shape. */
+  def twsUserCountsTtl(events: DataFrame, ttlMs: Long): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("user_id").as[Long]
+      .groupByKey(identity)
+      .transformWithState(new TwsTtlCounter(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
+  /** The [[StatefulProcessor]] behind [[twsUserCountsTtl]]: one
+    * TTL-configured [[ValueState]] holding the running count; every
+    * read past the TTL horizon sees an absent value by store contract,
+    * so eviction needs no code here at all. */
+  private class TwsTtlCounter(ttlMs: Long)
+      extends StatefulProcessor[Long, Long, UserAgg] {
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(uid: Long, rows: Iterator[Long],
+        timerValues: TimerValues): Iterator[UserAgg] = {
+      val c = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+      cnt.update(c)
+      Iterator.single(UserAgg(uid, c))
+    }
+  }
 }

@@ -71,9 +71,16 @@ import graft.ops.MultimodalOps
   * Σ df² chain over the arrived corpus every batch, O(N·B) over a
   * stream's lifetime. What still scans per batch is the NARROW
   * fingerprint store (5 longs per object, ~1/2000th of even a small
-  * image) feeding the equi-join probe — at 100 TB that store is
-  * bucketed on the band key so the probe prunes at the scan, and the
-  * accreting partition listing is bounded by m19's compaction verb
+  * image) feeding the equi-join probe — and that probe never SHUFFLES
+  * the store: the batch bands and the under-cap value set ride
+  * broadcasts into the store scan, the verified candidates ride a
+  * broadcast into the fingerprint fetch, and the one band-key exchange
+  * in the plan is the map-side-partial df aggregation, whose shuffle
+  * volume is bounded by the band value space (LayoutSpec proves all of
+  * this on real m19-compacted output, which clusters on media_id — the
+  * verify's fetch key — precisely because no store-side band-key
+  * exchange exists for a band-key layout to remove). The accreting
+  * partition listing is bounded by m19's compaction verb
   * ([[m19MediaCompact]] — the d19/d21/p7/x20 lifecycle law applied to
   * the fingerprint store). The per-batch pair-set write and the
   * ledger diff are output-sized (near-dup density, not corpus), and

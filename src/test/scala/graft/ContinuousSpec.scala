@@ -72,6 +72,49 @@ class ContinuousSpec extends AnyFunSuite {
       s"expected eviction + recount {2,0,1}, got $seen")
   }
 
+  test("transformWithState TTL: eviction is SILENT — an idle key re-counts from one, no tombstone") {
+    // the documented behavioral delta of the TTLConfig port vs the
+    // legacy timeout counter above: past the TTL the value simply reads
+    // as absent (the store evicts, no callback), so the key's next
+    // arrival counts 1 — and a 0-count tombstone must NEVER appear
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val events = input.toDF.withColumnRenamed("value", "user_id")
+    val q = StatefulOps.twsUserCountsTtl(events, ttlMs = 10000L)
+      .toDF()
+      .writeStream.format("memory").queryName("tws_ttl_counts").outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_twsttl_ckpt_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    def countsOf(key: Long): Seq[Long] =
+      spark.table("tws_ttl_counts").filter(s"user_id = $key")
+        .collect().map(_.getLong(1)).toSeq
+    def awaitRow(key: Long, cnt: Long, what: String): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!countsOf(key).contains(cnt) && System.currentTimeMillis < deadline)
+        Thread.sleep(200)
+      assert(countsOf(key).contains(cnt),
+        s"$what: never saw cnt=$cnt for key $key (got ${countsOf(key)})")
+    }
+    try {
+      input.addData(7L, 7L, 8L)
+      awaitRow(7L, 2L, "initial count")  // key 7 → 2, key 8 → 1; 10s TTL
+      // a second batch well inside the TTL: state CARRIES (the port
+      // counts across micro-batches, it doesn't restart per batch)
+      input.addData(8L)
+      awaitRow(8L, 2L, "cross-batch carry")
+      Thread.sleep(12000) // idle past the TTL: key 7's value expires IN PLACE
+      input.addData(7L)
+      awaitRow(7L, 1L, "re-count from one") // fresh state: 1, not 3
+    } finally q.stop()
+    assert(countsOf(7L).toSet == Set(2L, 1L),
+      s"expected silent eviction {2,1} for key 7 — no 0 tombstone — got ${countsOf(7L)}")
+    assert(countsOf(8L).toSet == Set(1L, 2L),
+      s"expected cross-batch carry {1,2} for key 8, got ${countsOf(8L)}")
+  }
+
   test("TTL variant still matches groupBy counts in batch mode (timeouts never fire)") {
     import org.apache.spark.sql.functions._
     val events = graft.io.Sources.table(spark, sf, "events")

@@ -104,6 +104,13 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(finalCounts == batch)
   }
 
+  // twsUserCountsTtl (the transformWithState TTL port) is NOT replayed
+  // here: like its legacy twin, a TTL-stateful query keeps scheduling
+  // micro-batches for time maintenance and never reports caught up, so
+  // an AvailableNow drain spins forever — ContinuousSpec proves its
+  // multi-batch counting, cross-batch state carry, and SILENT eviction
+  // under a paced ProcessingTime trigger (the deployment shape).
+
   test("d12 incremental MinHash dedup: multi-batch replay ≡ batch d3") {
     // the incremental band/shingle store must emit exactly the batch
     // pairs, each exactly once, across a genuinely multi-batch replay —
