@@ -89,6 +89,74 @@ class StreamEquivSpec extends AnyFunSuite {
     assert(custom == batch)
   }
 
+  test("sessionizers never emit before the micros-precise session end (sub-millisecond fixture)") {
+    // The q09/x21/x22 fixtures carry whole-second timestamps, which
+    // mask a floor-vs-ceiling bug in the micros→millis end conversion:
+    // with FLOOR, a timer can fire in the millisecond BEFORE the true
+    // end (last + gap, micros-precise), emitting a session that a
+    // non-late event in that same millisecond could still join — the
+    // session splits in two where the batch rule merges. This drives
+    // exactly that boundary: gap 1 s, an event at 10.000500 s (true end
+    // 11.000500 s, floored end 11.000 s), the watermark parked at
+    // 11.000 s, a timer opportunity, then a joining event at
+    // 11.000400 s (> watermark → admitted; < true end → same session).
+    // Correct output: ONE session (10, 12, cnt 2) per sessionizer.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    def drive(name: String,
+              mk: org.apache.spark.sql.DataFrame =>
+                org.apache.spark.sql.Dataset[StatefulOps.SessionRow])
+        : Seq[(Long, Long, Long, Long)] = {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val events = input.toDF.toDF("user_id", "ts")
+      val q = mk(events)
+        .toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft_${name}_ckpt_").toString)
+        .start()
+      try {
+        // batch 1: the session opener + a watermark pacer
+        input.addData((1L, ts(10000500L)), (99L, ts(10500000L)))
+        q.processAllAvailable()
+        // batch 2: park the watermark at exactly 11.000 s — one micro
+        // past the FLOORED end, half a millisecond before the TRUE end
+        input.addData((99L, ts(11000000L)))
+        q.processAllAvailable()
+        // batch 3: no user-1 input — the timer's chance to (wrongly)
+        // fire at wm = floored end
+        input.addData((99L, ts(11000000L)))
+        q.processAllAvailable()
+        // batch 4: the joining event, inside the true end and not late
+        input.addData((1L, ts(11000400L)))
+        q.processAllAvailable()
+        // flush: drive the watermark far past everything
+        input.addData((99L, ts(100000000L)))
+        q.processAllAvailable()
+        input.addData((99L, ts(200000000L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).filter("user_id = 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._2)
+    }
+    val viaFmgws = drive("subms_fmgws",
+      df => StatefulOps.sessionize(df.withWatermark("ts", "0 seconds"), gapSec = 1))
+    assert(viaFmgws == Seq((1L, 10L, 12L, 2L)),
+      s"flatMapGroupsWithState sessionizer split the sub-ms boundary session: $viaFmgws")
+    val viaTws = drive("subms_tws",
+      df => StatefulOps.twsSessionize(df.withWatermark("ts", "0 seconds"), gapSec = 1))
+    assert(viaTws == Seq((1L, 10L, 12L, 2L)),
+      s"transformWithState sessionizer split the sub-ms boundary session: $viaTws")
+  }
+
   test("mapGroupsWithState per-user counts ≡ groupBy counts") {
     import org.apache.spark.sql.functions._
     val batch = graft.io.Sources.table(spark, sf, "events")
