@@ -318,6 +318,9 @@ object ScaleCheck {
       // the claim under judgment at 10× the data, where an index-growing
       // term is 10× more visible than at sf0.1
       ("m15_batches_axis_scaled10x", StreamMediaDedup.m15BatchTimes _, scaled),
+      // the r17 consensus gate: m15's claim twice over + an output-sized
+      // full-outer per batch
+      ("m20_batches_axis", StreamMediaDedup.m20BatchTimes _, base),
       ("d12_batches_axis", IncrementalDedup.d12BatchTimes _, base),
       ("d20_batches_axis", StreamSemDedup.d20BatchTimes _, base),
       ("p13_batches_axis", StreamSampler.p13BatchTimes _, base),

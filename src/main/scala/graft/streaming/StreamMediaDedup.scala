@@ -152,12 +152,17 @@ object StreamMediaDedup {
     * + materialized set per codec), then the two COMMITTED materialized
     * sets full-outer-join into the channel-tagged consensus set — the
     * triage read a pipeline acts on unreviewed is the `both` channel,
-    * and the per-batch delta ledger carries n_pairs / n_added /
-    * n_retracted / n_flips, where a FLIP is a pair whose channel
-    * changed (e.g. image→both when its second channel lands, or
-    * both→audio when one channel's band crosses its df cap and
-    * retracts — the non-monotone rule acting on ONE channel only;
-    * StreamEquivSpec plants exactly that). By m15/m18's induction each
+    * and the per-batch delta ledger carries adds/retractions PER
+    * CHANNEL — (batch_id, channel, n_pairs, n_added, n_retracted),
+    * where added/retracted mean channel-ENTERING/-LEAVING, so a FLIP
+    * (a pair whose channel changed — both→audio when the image
+    * channel's band crosses its df cap and retracts, the non-monotone
+    * rule acting on ONE channel only; StreamEquivSpec plants exactly
+    * that) appears as a paired leave+enter across two channels in one
+    * batch, and membership conserves per channel. Channel GAINS after
+    * arrival are structurally impossible (additions need a batch-side
+    * member), so the only flips are channel losses out of `both` —
+    * documented in the spec. By m15/m18's induction each
     * committed set equals its batch twin over the arrived corpus, so
     * the final consensus set IS batch m17's answer — the oracle is
     * m17's SQL verbatim (the shared-string convention).
@@ -188,13 +193,7 @@ object StreamMediaDedup {
     val consStore = s"$work/consensus"
     val consLed = s"$work/cons_ledger"
     val n = StreamSketch.runWaveReplay(spark, docs, splitKey, work, consStore) {
-      (batch, batchId) =>
-        processBatch(batch, batchId, s"$work/img_fp", s"$work/img_cur",
-          s"$work/img_ledger", ImageFp)
-        processBatch(batch, batchId, s"$work/aud_fp", s"$work/aud_cur",
-          s"$work/aud_ledger", d => MultimodalOps.whashBandsFrom(d))
-        consensusBatch(batch.sparkSession, batchId, s"$work/img_cur",
-          s"$work/aud_cur", consStore, consLed)
+      (batch, batchId) => consensusStep(batch, batchId, work)
     }
     val result = spark.read.parquet(consStore)
       .filter(col("batch_id") === (n - 1).toLong)
@@ -202,9 +201,9 @@ object StreamMediaDedup {
         col("img_hamming"), col("aud_hamming"))
       .orderBy("a_id", "b_id")
     val ledger = spark.read.parquet(consLed)
-      .select(col("batch_id").cast("long").as("batch_id"), col("n_pairs"),
-        col("n_added"), col("n_retracted"), col("n_flips"))
-      .orderBy("batch_id")
+      .select(col("batch_id").cast("long").as("batch_id"), col("channel"),
+        col("n_pairs"), col("n_added"), col("n_retracted"))
+      .orderBy("batch_id", "channel")
     (result, ledger, n)
   }
 
@@ -237,17 +236,27 @@ object StreamMediaDedup {
           col("now_ch").as("was_ch"))
       else session.read.parquet(s"$consStore/batch_id=${batchId - 1}")
         .select(col("a_id"), col("b_id"), col("channel").as("was_ch"))
-    cur.join(prev, Seq("a_id", "b_id"), "full_outer")
-      .agg(
-        coalesce(sum(when(col("now_ch").isNotNull, 1L).otherwise(0L)), lit(0L))
-          .as("n_pairs"),
-        coalesce(sum(when(col("now_ch").isNotNull && col("was_ch").isNull, 1L)
-          .otherwise(0L)), lit(0L)).as("n_added"),
-        coalesce(sum(when(col("now_ch").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("n_retracted"),
-        coalesce(sum(when(col("now_ch").isNotNull && col("was_ch").isNotNull &&
-          col("now_ch") =!= col("was_ch"), 1L).otherwise(0L)), lit(0L))
-          .as("n_flips"))
+    val fo = cur.join(prev, Seq("a_id", "b_id"), "full_outer")
+    // PER-CHANNEL deltas: n_added counts pairs ENTERING channel c this
+    // batch (new pair, or a flip landing in c), n_retracted pairs
+    // LEAVING c (gone, or flipped away) — so a flip is visible as a
+    // paired leave+enter across two channels in one batch, and
+    // membership conserves per channel:
+    // n_pairs(b, c) = n_pairs(b−1, c) + n_added − n_retracted.
+    // One union of two channel-keyed contributions, aggregated on a
+    // ≤ 3-value key — output-sized, like the diff itself.
+    val entering = fo.filter(col("now_ch").isNotNull)
+      .select(col("now_ch").as("channel"), lit(1L).as("p"),
+        when(col("was_ch").isNull || col("was_ch") =!= col("now_ch"), 1L)
+          .otherwise(0L).as("a"), lit(0L).as("r"))
+    val leaving = fo.filter(col("was_ch").isNotNull &&
+        (col("now_ch").isNull || col("now_ch") =!= col("was_ch")))
+      .select(col("was_ch").as("channel"), lit(0L).as("p"),
+        lit(0L).as("a"), lit(1L).as("r"))
+    entering.unionByName(leaving)
+      .groupBy("channel")
+      .agg(sum("p").as("n_pairs"), sum("a").as("n_added"),
+        sum("r").as("n_retracted"))
       .write.mode("overwrite").parquet(s"$consLed/batch_id=$batchId")
   }
 
@@ -385,6 +394,37 @@ object StreamMediaDedup {
       buf += (System.nanoTime() - t0) / 1e9
     }
     buf.toSeq
+  }
+
+  /** Batches-axis instrument seam (ScaleCheck `m20_batches_axis`): the
+    * consensus replay's per-batch body seconds over `waves` batches at
+    * FIXED data — inherits m15's incremental claim twice over plus the
+    * output-sized consensus join, so last ≈ first is the design law. */
+  private[graft] def m20BatchTimes(spark: SparkSession, dir: String,
+      waves: Int): Seq[Double] = {
+    val work = Files.createTempDirectory("graft_mediaconsensus_ax_").toString
+    val docs = Sources.table(spark, dir, "documents")
+      .select("doc_id", "lang", "text")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    StreamSketch.runWaveReplay(spark, docs, "doc_id", work,
+      s"$work/consensus", waves) { (batch, batchId) =>
+      val t0 = System.nanoTime()
+      consensusStep(batch, batchId, work)
+      buf += (System.nanoTime() - t0) / 1e9
+    }
+    buf.toSeq
+  }
+
+  /** One full consensus micro-batch under `work`: both per-codec
+    * incremental chains, then the committed-set full-outer + ledger —
+    * shared by [[runConsensusReplay]] and the batches-axis seam. */
+  private def consensusStep(batch: DataFrame, batchId: Long, work: String): Unit = {
+    processBatch(batch, batchId, s"$work/img_fp", s"$work/img_cur",
+      s"$work/img_ledger", ImageFp)
+    processBatch(batch, batchId, s"$work/aud_fp", s"$work/aud_cur",
+      s"$work/aud_ledger", d => MultimodalOps.whashBandsFrom(d))
+    consensusBatch(batch.sparkSession, batchId, s"$work/img_cur",
+      s"$work/aud_cur", s"$work/consensus", s"$work/cons_ledger")
   }
 
   /** `private[graft]` so the torn-write/redo spec can drive batches

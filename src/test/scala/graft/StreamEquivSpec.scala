@@ -957,20 +957,35 @@ class StreamEquivSpec extends AnyFunSuite {
       s"replay ran $nBatches micro-batches — not incremental")
     assert(rows(streamDf) == batch,
       "streamed consensus diverged from batch m17")
+    // ledger rows are (batch_id, channel, n_pairs, n_added, n_retracted)
+    // with added/retracted = channel-entering/-leaving
     val ledger = ledgerDf.collect()
-    assert(ledger.length == nBatches)
-    // batch 0 diffs against the empty consensus: all additions
-    ledger.filter(_.getLong(0) == 0L).foreach { r =>
-      assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == 0L && r.getLong(4) == 0L,
-        "batch 0 consensus diffed against a non-empty set")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // batch 0 diffs against the empty consensus: every channel row is
+    // all-entering
+    ledger.filter(_._1 == 0L).foreach { r =>
+      assert(r._4 == r._3 && r._5 == 0L,
+        s"batch 0 consensus diffed against a non-empty set: $r")
     }
-    // conservation: n_pairs(b) = n_pairs(b-1) + n_added(b) - n_retracted(b)
-    // (flips change a pair's channel, never its membership)
-    val pairsAt = ledger.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // PER-CHANNEL conservation: n_pairs(b,c) = n_pairs(b-1,c) + added - retracted
+    val pairsAt = ledger.map(r => (r._1, r._2) -> r._3).toMap
     ledger.foreach { r =>
-      val prev = pairsAt.getOrElse(r.getLong(0) - 1, 0L)
-      assert(r.getLong(1) == prev + r.getLong(2) - r.getLong(3),
-        s"consensus conservation broke at batch ${r.getLong(0)}")
+      val prev = pairsAt.getOrElse((r._1 - 1, r._2), 0L)
+      assert(r._3 == prev + r._4 - r._5,
+        s"consensus conservation broke at batch ${r._1} channel ${r._2}")
+    }
+    // and no channel vanishes silently: a channel with pairs at b-1 and
+    // no row at b would break the conservation read above only if its
+    // pairs reached zero with a row present — assert zero-crossing rows
+    // exist whenever a (batch, channel) key disappears while non-empty
+    val byBatch = ledger.groupBy(_._1)
+    byBatch.toSeq.sortBy(_._1).sliding(2).foreach {
+      case Seq((b0, rows0), (b1, rows1)) =>
+        rows0.filter(_._3 > 0).map(_._2).foreach { ch =>
+          assert(rows1.exists(_._2 == ch),
+            s"channel $ch had pairs at batch $b0 but no ledger row at $b1")
+        }
+      case _ =>
     }
   }
 
@@ -1009,24 +1024,28 @@ class StreamEquivSpec extends AnyFunSuite {
     val fin = finalDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(fin.toSeq == Seq((0L, 34L, "audio")),
       s"final consensus expected exactly {(0,34,audio)}, got ${fin.mkString(", ")}")
+    // per-channel ledger: (batch, channel) -> (n_pairs, n_added, n_retracted)
     val ledger = ledgerDf.collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
-    // wave 1: (a, crowd) image pairs + crowd-internal `both` pairs, no flips
-    assert(ledger(1L)._1 > 0 && ledger(1L)._4 == 0L)
-    // wave 2: b lands — (a,b) enters as `both`; a's existing image-only
-    // pairs with the crowd are untouched (no flip yet)
-    assert(ledger(2L)._2 > 0, "wave 2 added nothing — b never landed")
-    // wave 3: the image crossing retracts the clique's image pairs and
-    // FLIPS (a,b) both→audio and (a,crowd)/(crowd,crowd) channel
-    // members still sharing the cold audio band — at least the (a,b)
-    // flip must register
-    assert(ledger(3L)._4 >= 1L,
-      s"the image-side cap crossing flipped no channel: ${ledger(3L)}")
-    assert(ledger(3L)._3 > 0L, "the image crossing retracted nothing")
-    // and per the m17 law the final ledger row agrees with the batch twin
-    assert(ledger(3L.max(n - 1L))._1 == 1L,
-      "final consensus cardinality diverged from the planted expectation")
+    // wave 1: (a, crowd) pairs are image-only, crowd-internal pairs are
+    // `both`; NOTHING lives in the audio channel on its own yet
+    assert(ledger((1L, "image"))._1 > 0 && ledger((1L, "both"))._1 > 0)
+    assert(!ledger.contains((1L, "audio")),
+      "an audio-only pair existed before the flip wave — the plant's channel split is broken")
+    // wave 2: b lands — (a,b) ENTERS `both`, (b, crowd) pairs enter `image`
+    assert(ledger((2L, "both"))._2 >= 1L, "wave 2 added no both-pair — b never landed")
+    // wave 3: the image-side cap crossing — `both` and `image` empty out
+    // (the crowd's audio clique crosses its own cap the same wave), and
+    // (a,b) FLIPS both→audio: one retraction from `both`, one entry into
+    // `audio`, membership conserved
+    assert(ledger((3L, "both")) == (0L, 0L, ledger((2L, "both"))._1),
+      s"wave 3 should empty `both` entirely: ${ledger((3L, "both"))}")
+    assert(ledger((3L, "image"))._1 == 0L,
+      s"wave 3 should empty `image` entirely: ${ledger((3L, "image"))}")
+    assert(ledger((3L, "audio")) == (1L, 1L, 0L),
+      s"the (a,b) flip should be the audio channel's sole entry: ${ledger.get((3L, "audio"))}")
     // Note on flip directions: fingerprints are static and additions
     // require a batch-side member, so BOTH channels admit a pair in its
     // later member's arrival batch — a pair can never gain a channel
