@@ -159,6 +159,8 @@ object SparkEntry {
       (graft.streaming.StreamMediaDedup.m19MediaCompact _),
     "m20_stream_consensus" ->
       (graft.streaming.StreamMediaDedup.m20StreamConsensus _),
+    "m21_consensus_delta" ->
+      (graft.streaming.StreamMediaDedup.m21ConsensusDelta _),
     "p1_pipeline" -> (PipelineOps.p1PipelineLedger _),
     "p2_stream_funnel" -> (graft.streaming.StreamFunnel.p2StreamFunnel _),
     "p3_full_funnel" -> (graft.streaming.FullFunnel.p3StreamFunnel _),
@@ -957,10 +959,14 @@ object SparkEntry {
   /** m14's oracle (the audio chain: m10's slot seek math, signed-sample
     * recovery, TRUNCATING integer mean, then m13's banding/df/Hamming
     * tail) — shared verbatim by the m17 consensus join. */
-  private lazy val m14NearDupSql: String = {
+  /** The audio fingerprint's `bands` CTE chain (m10's slot seek math,
+    * signed-sample recovery, TRUNCATING integer mean, m13's band
+    * packing) — the audio twin of [[ahashBandsCtes]], shared by
+    * [[m14NearDupSql]] and m21's per-wave consensus replay. */
+  private lazy val whashBandsCtes: String = {
     val t = MultimodalOps.WavHashSamples
     val nb = MultimodalOps.AHashBands; val bb = MultimodalOps.AHashBandBits
-    s"""WITH g AS (SELECT doc_id, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h, (1 + doc_id % 2) AS ch FROM documents),
+    s"""g AS (SELECT doc_id, octet_length(encode(text)) AS n, lower(hex(encode(text))) AS h, (1 + doc_id % 2) AS ch FROM documents),
        |d AS (SELECT doc_id, n, h, ch, 2 * ch AS ba, n // (2 * ch) AS nf FROM g),
        |s AS (SELECT doc_id, h, ba, nf, unnest(range($t)) AS k FROM d WHERE nf >= 1),
        |v AS (SELECT doc_id, k,
@@ -974,7 +980,12 @@ object SparkEntry {
        |mh AS (SELECT doc_id, ss, CAST(list_sum(ss) AS BIGINT) // $t AS mean FROM lst),
        |bits AS (SELECT doc_id, list_transform(range(0, $t), p -> CASE WHEN ss[CAST(p+1 AS INT)] > mean THEN 1 ELSE 0 END) AS bs FROM mh),
        |bands AS (SELECT doc_id, k AS bi, CAST(list_sum(list_transform(range(0, $bb), j -> bs[CAST($bb*k + j + 1 AS INT)] * (1 << CAST(j AS INT)))) AS BIGINT) AS bv
-       |  FROM bits CROSS JOIN (SELECT unnest(range($nb)) AS k)),
+       |  FROM bits CROSS JOIN (SELECT unnest(range($nb)) AS k))""".stripMargin
+  }
+
+  private lazy val m14NearDupSql: String = {
+    val nb = MultimodalOps.AHashBands
+    s"""WITH $whashBandsCtes,
        |okb AS (SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) <= ${MultimodalOps.AHashDfMax}),
        |cb AS (SELECT bands.* FROM bands JOIN okb USING (bi, bv)),
        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM cb x JOIN cb y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
@@ -996,6 +1007,64 @@ object SparkEntry {
        |coalesce(pi.hamming, -1) AS img_hamming, coalesce(pa.hamming, -1) AS aud_hamming
        |FROM pi FULL JOIN pa ON pi.a_id = pa.a_id AND pi.b_id = pa.b_id
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** The per-wave banded chain over whatever `bands` CTE is in scope —
+    * m16's wave machinery factored so m21 can run it on BOTH codec
+    * chains: arrived membership `doc_id mod SplitFiles ≤ wb`, df cap
+    * re-evaluated per wave (band document-frequency is a property of
+    * the ARRIVED corpus — the non-monotone rule), banded candidates,
+    * Hamming verify. Yields (wb, a_id, b_id). */
+  private lazy val perWaveChainSql: String = {
+    val nb = MultimodalOps.AHashBands
+    val m = graft.streaming.StreamSketch.SplitFiles
+    s"""waves AS (SELECT unnest(range($m)) AS wb),
+       |ab AS (SELECT w.wb AS wb, bands.doc_id, bi, bv FROM bands CROSS JOIN waves w WHERE bands.doc_id % $m <= w.wb),
+       |okb AS (SELECT wb, bi, bv FROM ab GROUP BY wb, bi, bv HAVING count(*) <= ${MultimodalOps.AHashDfMax}),
+       |cb AS (SELECT ab.* FROM ab JOIN okb USING (wb, bi, bv)),
+       |cand AS (SELECT DISTINCT x.wb, x.doc_id AS a_id, y.doc_id AS b_id FROM cb x JOIN cb y ON x.wb = y.wb AND x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |bw AS (SELECT doc_id, list(bv ORDER BY bi) AS bvs FROM bands GROUP BY doc_id)
+       |SELECT wb, a_id, b_id FROM (SELECT cand.wb, a_id, b_id,
+       |    CAST(list_sum(list_transform(range($nb), k -> bit_count(xor(x.bvs[CAST(k+1 AS INT)], y.bvs[CAST(k+1 AS INT)])))) AS BIGINT) AS hamming
+       |    FROM cand JOIN bw x ON x.doc_id = a_id JOIN bw y ON y.doc_id = b_id)
+       |  WHERE hamming <= ${MultimodalOps.AHashHamMax}""".stripMargin
+  }
+
+  /** m21's oracle: the whole consensus CHANGE FEED replayed closed-form
+    * — both codec chains per wave (image = [[ahashBandsCtes]], audio =
+    * [[whashBandsCtes]], each through [[perWaveChainSql]] with the df
+    * cap re-evaluated per arrived corpus), the channel CASE per wave,
+    * then per-(wave, channel) enter/leave counts from a one-wave-
+    * shifted self-join: n_added = pairs entering the channel (new pair
+    * or flip landing in it), n_retracted = pairs leaving it (gone or
+    * flipped away) — so per-channel conservation and the flip's paired
+    * leave+enter are oracle-checked, not just spec-pinned. */
+  private lazy val m21ConsensusDeltaSql: String = {
+    val m = graft.streaming.StreamSketch.SplitFiles
+    s"""WITH ci AS (WITH $ahashBandsCtes,
+       |$perWaveChainSql),
+       |ca AS (WITH $whashBandsCtes,
+       |$perWaveChainSql),
+       |cons AS (SELECT coalesce(ci.wb, ca.wb) AS wb,
+       |  coalesce(ci.a_id, ca.a_id) AS a_id, coalesce(ci.b_id, ca.b_id) AS b_id,
+       |  CASE WHEN ci.a_id IS NOT NULL AND ca.a_id IS NOT NULL THEN 'both'
+       |       WHEN ci.a_id IS NOT NULL THEN 'image' ELSE 'audio' END AS channel
+       |  FROM ci FULL JOIN ca ON ci.wb = ca.wb AND ci.a_id = ca.a_id AND ci.b_id = ca.b_id),
+       |ent AS (SELECT c.wb, c.channel, count(*) AS n_pairs,
+       |    sum(CASE WHEN p.a_id IS NULL OR p.channel <> c.channel THEN 1 ELSE 0 END) AS n_added
+       |  FROM cons c LEFT JOIN cons p ON p.wb = c.wb - 1 AND p.a_id = c.a_id AND p.b_id = c.b_id
+       |  GROUP BY c.wb, c.channel),
+       |lv AS (SELECT p.wb + 1 AS wb, p.channel, count(*) AS n_retracted
+       |  FROM cons p LEFT JOIN cons c ON c.wb = p.wb + 1 AND c.a_id = p.a_id AND c.b_id = p.b_id
+       |  WHERE p.wb + 1 < $m AND (c.a_id IS NULL OR c.channel <> p.channel)
+       |  GROUP BY p.wb + 1, p.channel)
+       |SELECT CAST(coalesce(e.wb, l.wb) AS BIGINT) AS batch_id,
+       |coalesce(e.channel, l.channel) AS channel,
+       |CAST(coalesce(e.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |CAST(coalesce(e.n_added, 0) AS BIGINT) AS n_added,
+       |CAST(coalesce(l.n_retracted, 0) AS BIGINT) AS n_retracted
+       |FROM ent e FULL JOIN lv l ON e.wb = l.wb AND e.channel = l.channel
+       |ORDER BY batch_id, channel""".stripMargin
+  }
 
   /** m16's oracle: the m13 chain re-run per wave `wb` over the arrived
     * corpus (`doc_id mod SplitFiles ≤ wb` — [[graft.streaming
@@ -2330,6 +2399,11 @@ object SparkEntry {
     // so the oracle is m17's SQL verbatim — the shared-string
     // convention on the consensus verb
     "m20_stream_consensus" -> m17ConsensusSql,
+    // m21 replays m20's whole per-channel CHANGE FEED closed-form:
+    // both codec chains per wave with per-arrived df caps, the channel
+    // CASE, and per-(wave, channel) enter/leave from a shifted
+    // self-join — m16's move on the consensus axis
+    "m21_consensus_delta" -> m21ConsensusDeltaSql,
     // every sampled frame from closed form: frame fi's payload is the
     // byte slice [fi·fp, fi·fp+flen), its BMP pads to w·fh with zero
     // fill — pixel sum over the slice's hex-nibble bytes, digest over

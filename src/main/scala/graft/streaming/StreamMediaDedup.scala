@@ -176,6 +176,15 @@ object StreamMediaDedup {
   def m20StreamConsensus(spark: SparkSession, dir: String): DataFrame =
     m20WithInfo(spark, dir)._1
 
+  /** m21: m20's per-channel change feed as its OWN oracle-checked gate
+    * — the m16 move on the consensus axis: the whole ledger (every
+    * batch, every channel, enters and leaves) is replayed closed-form
+    * in DuckDB (both codec chains per wave, channel CASE, shifted
+    * self-join), so per-channel conservation and the flip's paired
+    * leave+enter are oracle-checked, not just spec-pinned. */
+  def m21ConsensusDelta(spark: SparkSession, dir: String): DataFrame =
+    m20WithInfo(spark, dir)._2
+
   /** Test seam: (final consensus set, delta ledger, batches replayed). */
   private[graft] def m20WithInfo(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, Int) =

@@ -974,6 +974,11 @@ class StreamEquivSpec extends AnyFunSuite {
       assert(r._3 == prev + r._4 - r._5,
         s"consensus conservation broke at batch ${r._1} channel ${r._2}")
     }
+    // the final batch's per-channel pair counts must sum to the final
+    // set's cardinality (the ledger and the set are views of one state)
+    val lastB = ledger.map(_._1).max
+    assert(ledger.filter(_._1 == lastB).map(_._3).sum == rows(streamDf).length.toLong,
+      "final ledger n_pairs diverged from the final consensus set")
     // and no channel vanishes silently: a channel with pairs at b-1 and
     // no row at b would break the conservation read above only if its
     // pairs reached zero with a row present — assert zero-crossing rows
