@@ -426,12 +426,24 @@ object StreamMediaDedup {
 
   /** One full consensus micro-batch under `work`: both per-codec
     * incremental chains, then the committed-set full-outer + ledger —
-    * shared by [[runConsensusReplay]] and the batches-axis seam. */
+    * shared by [[runConsensusReplay]] and the batches-axis seam.
+    *
+    * The two chains touch DISJOINT stores and only read the shared
+    * batch, so they run CONCURRENTLY (the audio chain on a future, the
+    * image chain on the calling thread): both are stage-wave
+    * latency-bound at micro-batch sizes, so overlapping them puts the
+    * per-batch cost near max(image, audio) instead of their sum — and
+    * on a real cluster the two job DAGs interleave across executors
+    * the same way. The consensus join waits on both commits. */
   private def consensusStep(batch: DataFrame, batchId: Long, work: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val aud = Future(processBatch(batch, batchId, s"$work/aud_fp",
+      s"$work/aud_cur", s"$work/aud_ledger",
+      d => MultimodalOps.whashBandsFrom(d)))(scala.concurrent.ExecutionContext.global)
     processBatch(batch, batchId, s"$work/img_fp", s"$work/img_cur",
       s"$work/img_ledger", ImageFp)
-    processBatch(batch, batchId, s"$work/aud_fp", s"$work/aud_cur",
-      s"$work/aud_ledger", d => MultimodalOps.whashBandsFrom(d))
+    Await.result(aud, Duration.Inf)
     consensusBatch(batch.sparkSession, batchId, s"$work/img_cur",
       s"$work/aud_cur", s"$work/consensus", s"$work/cons_ledger")
   }
