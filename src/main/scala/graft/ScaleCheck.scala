@@ -207,7 +207,11 @@ object ScaleCheck {
     // r17: streaming cross-codec consensus — both per-codec incremental
     // chains per batch (m15's + m18's bands) + an output-sized
     // full-outer of the two committed sets; expected ≈ m15 + m18
-    "m20_stream_consensus")
+    "m20_stream_consensus",
+    // r18: the consensus CHANGE feed — the same dual-chain replay with
+    // the per-channel ledger read at the end; expected m20's band
+    // (the ledger is ≤ 3 fixed-width rows per batch)
+    "m21_consensus_delta")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -321,17 +325,37 @@ object ScaleCheck {
       // the r17 consensus gate: m15's claim twice over + an output-sized
       // full-outer per batch
       ("m20_batches_axis", StreamMediaDedup.m20BatchTimes _, base),
+      // r18 completions of the streaming column: the change-feed
+      // variants (the per-batch body + the consumer's ledger-partition
+      // read) and the audio chain through the same instrument
+      ("m16_batches_axis", StreamMediaDedup.m16BatchTimes _, base),
+      ("m18_batches_axis", StreamMediaDedup.m18BatchTimes _, base),
+      ("m21_batches_axis", StreamMediaDedup.m21BatchTimes _, base),
       ("d12_batches_axis", IncrementalDedup.d12BatchTimes _, base),
       ("d20_batches_axis", StreamSemDedup.d20BatchTimes _, base),
       ("p13_batches_axis", StreamSampler.p13BatchTimes _, base),
-      ("p6_batches_axis", IncrementalExport.p6BatchTimes _, base))
+      ("p6_batches_axis", IncrementalExport.p6BatchTimes _, base),
+      // r18: the store-append/probe family's representative (s11), the
+      // mergeable-sketch family's (x8), and the blend monitor (p11)
+      ("s11_batches_axis", StreamAnnIngest.s11BatchTimes _, base),
+      ("x8_batches_axis", StreamSketch.x8BatchTimes _, base),
+      ("p11_batches_axis", BlendMonitor.p11BatchTimes _, base))
     entries.filter { case (name, _, _) => only.forall(_.contains(name)) }
-      .map { case (name, run, dir) =>
-        val per = (1 to AxisRuns).map(_ => run(spark, dir, AxisWaves))
-          .transpose.map(_.min)
-        System.err.println(
-          f"[scale] $name per-batch min sec: ${per.map(v => f"$v%.2f").mkString(", ")}")
-        (name, per(1), per.last)
+      .flatMap { case (name, run, dir) =>
+        val runs = (1 to AxisRuns).map(_ => run(spark, dir, AxisWaves))
+        // a replay can come back short/ragged (an empty mod class, or
+        // repartitionByRange yielding fewer files than waves): skip the
+        // entry with a record rather than crash the whole report
+        if (runs.map(_.size).distinct.size != 1 || runs.head.size < 2) {
+          System.err.println(s"[scale] $name SKIPPED: ragged/short per-batch " +
+            s"vectors (sizes ${runs.map(_.size).mkString("/")})")
+          None
+        } else {
+          val per = runs.transpose.map(_.min)
+          System.err.println(
+            f"[scale] $name per-batch min sec: ${per.map(v => f"$v%.2f").mkString(", ")}")
+          Some((name, per(1), per.last))
+        }
       }
   }
 

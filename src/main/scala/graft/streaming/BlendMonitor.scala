@@ -69,6 +69,30 @@ object BlendMonitor {
     (result, nBatches)
   }
 
+  /** Batches-axis instrument seam (ScaleCheck `p11_batches_axis`):
+    * replay [[blendBatch]] over `waves` micro-batches at FIXED data,
+    * returning each batch's body wall seconds in batch order — the
+    * blend re-derivation reads only the sources × arrived-batches
+    * stats store (tiny rows), so the index-growing term is that narrow
+    * listing (p12's compaction bounds it in production) and last ≈
+    * first is the design claim. */
+  private[graft] def p11BatchTimes(spark: SparkSession, dir: String,
+      waves: Int): Seq[Double] = {
+    val work = Files.createTempDirectory("graft_blendmon_ax_").toString
+    val stats = s"$work/stats"
+    val ledger = s"$work/ledger"
+    val docs = Sources.table(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    StreamSketch.runWaveReplay(spark, docs, "doc_id", work, ledger, waves) {
+      (batch, batchId) =>
+        val t0 = System.nanoTime()
+        blendBatch(batch, batchId, stats, ledger)
+        buf += (System.nanoTime() - t0) / 1e9
+    }
+    buf.toSeq
+  }
+
   def p12BlendCompact(spark: SparkSession, dir: String): DataFrame =
     p12WithStoreInfo(spark, dir)._1
 

@@ -96,6 +96,45 @@ object StreamAnnIngest {
     (store, seedsPath, nBatches)
   }
 
+  /** Batches-axis instrument seam (ScaleCheck `s11_batches_axis`):
+    * replay the ingest [[processBatch]] over `waves` micro-batches at
+    * FIXED data, returning each batch's body wall seconds in batch
+    * order — ingest's per-batch work is a batch-sized assignment
+    * against the static broadcast quantizer plus one append (the store
+    * is never read back during ingest), so last ≈ first is the design
+    * claim; the only index-growing term is the checkpoint/listing
+    * machinery, which m19-class compaction bounds in production. */
+  private[graft] def s11BatchTimes(spark: SparkSession, dir: String,
+      waves: Int): Seq[Double] = {
+    val work = Files.createTempDirectory("graft_annstream_ax_").toString
+    val splitDir = s"$work/in"
+    val all = SimilarityOps.normed(spark, dir)
+    all.select("vec_id", "v", "nrm", "label")
+      .repartitionByRange(waves, col("vec_id"))
+      .write.parquet(splitDir)
+    val seedsPath = s"$work/quantizer"
+    SimilarityOps.ivfSeedCentroids(all).coalesce(1).write.parquet(seedsPath)
+    val store = s"$work/index"
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val session = spark.newSession()
+    val q = session.readStream
+      .schema(session.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        processBatch(batch, batchId, seedsPath, store)
+        buf += (System.nanoTime() - t0) / 1e9
+        ()
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    buf.toSeq
+  }
+
   // ---- s15: multi-probe against the streamed store ------------------
 
   /** Query-side cell fan-out for the store-served probe (s15); 2 is the

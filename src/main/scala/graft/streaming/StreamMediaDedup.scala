@@ -201,8 +201,19 @@ object StreamMediaDedup {
     val work = Files.createTempDirectory("graft_mediaconsensus_").toString
     val consStore = s"$work/consensus"
     val consLed = s"$work/cons_ledger"
+    val times = new java.util.concurrent.ConcurrentLinkedQueue[ConsensusTimes]()
     val n = StreamSketch.runWaveReplay(spark, docs, splitKey, work, consStore) {
-      (batch, batchId) => consensusStep(batch, batchId, work)
+      (batch, batchId) => consensusStep(batch, batchId, work, times.add(_))
+    }
+    // the §4.2b decomposition record: summed per-chain vs step wall —
+    // excess of Σ step over Σ (max(img, aud) + cons) is the residual
+    // the chains' overlap does NOT recover on one local JVM
+    locally {
+      import scala.jdk.CollectionConverters._
+      val ts = times.asScala.toSeq
+      if (ts.nonEmpty) System.err.println(
+        f"[m20] chains img=${ts.map(_.img).sum}%.2f aud=${ts.map(_.aud).sum}%.2f " +
+          f"cons=${ts.map(_.cons).sum}%.2f ideal=${ts.map(t => math.max(t.img, t.aud) + t.cons).sum}%.2f s")
     }
     val result = spark.read.parquet(consStore)
       .filter(col("batch_id") === (n - 1).toLong)
@@ -390,16 +401,45 @@ object StreamMediaDedup {
     * claim as a number, where the r15 per-batch re-derivation read
     * last ≈ B × first. */
   private[graft] def m15BatchTimes(spark: SparkSession, dir: String,
+      waves: Int): Seq[Double] =
+    chainBatchTimes(spark, docsOf(spark, dir), ImageFp, readLedger = false, waves)
+
+  /** m16's batches-axis row: m15's replay body PLUS the change-feed
+    * consumer's per-batch read of the just-committed ledger partition
+    * (one fixed-width row) — the part of m16's gate that runs per
+    * batch; the final full-ledger read is a one-time serve. */
+  private[graft] def m16BatchTimes(spark: SparkSession, dir: String,
+      waves: Int): Seq[Double] =
+    chainBatchTimes(spark, docsOf(spark, dir), ImageFp, readLedger = true, waves)
+
+  /** m18's batches-axis row: the identical replay body through the
+    * AUDIO codec chain (the RIFF chunk walk) — the quantizer-seam move
+    * on the instrument itself. */
+  private[graft] def m18BatchTimes(spark: SparkSession, dir: String,
+      waves: Int): Seq[Double] =
+    chainBatchTimes(spark,
+      Sources.table(spark, dir, "documents").select("doc_id", "lang", "text"),
+      d => MultimodalOps.whashBandsFrom(d), readLedger = false, waves)
+
+  /** The shared single-chain instrument body: replay [[processBatch]]
+    * over `waves` micro-batches at FIXED data, returning each batch's
+    * body wall seconds in batch order; `readLedger` adds the per-batch
+    * ledger-partition read the change-feed gates' consumers pay. */
+  private def chainBatchTimes(spark: SparkSession, docs: DataFrame,
+      fpFrom: DataFrame => DataFrame, readLedger: Boolean,
       waves: Int): Seq[Double] = {
     val work = Files.createTempDirectory("graft_mediadedup_ax_").toString
     val fpStore = s"$work/fp"
     val curStore = s"$work/cur"
     val ledgerStore = s"$work/ledger"
     val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
-    StreamSketch.runWaveReplay(spark, docsOf(spark, dir), "doc_id", work,
+    StreamSketch.runWaveReplay(spark, docs, "doc_id", work,
       ledgerStore, waves) { (batch, batchId) =>
       val t0 = System.nanoTime()
-      processBatch(batch, batchId, fpStore, curStore, ledgerStore, ImageFp)
+      processBatch(batch, batchId, fpStore, curStore, ledgerStore, fpFrom)
+      if (readLedger)
+        batch.sparkSession.read.parquet(s"$ledgerStore/batch_id=$batchId")
+          .write.format("noop").mode("overwrite").save()
       buf += (System.nanoTime() - t0) / 1e9
     }
     buf.toSeq
@@ -410,23 +450,52 @@ object StreamMediaDedup {
     * FIXED data — inherits m15's incremental claim twice over plus the
     * output-sized consensus join, so last ≈ first is the design law. */
   private[graft] def m20BatchTimes(spark: SparkSession, dir: String,
-      waves: Int): Seq[Double] = {
+      waves: Int): Seq[Double] =
+    consensusBatchTimes(spark, dir, readLedger = false, waves)
+
+  /** m21's batches-axis row: m20's body plus the per-channel change
+    * feed consumer's read of the just-committed ledger partition
+    * (≤ 3 fixed-width rows per batch). */
+  private[graft] def m21BatchTimes(spark: SparkSession, dir: String,
+      waves: Int): Seq[Double] =
+    consensusBatchTimes(spark, dir, readLedger = true, waves)
+
+  private def consensusBatchTimes(spark: SparkSession, dir: String,
+      readLedger: Boolean, waves: Int): Seq[Double] = {
     val work = Files.createTempDirectory("graft_mediaconsensus_ax_").toString
     val docs = Sources.table(spark, dir, "documents")
       .select("doc_id", "lang", "text")
     val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val dec = scala.collection.mutable.ArrayBuffer.empty[ConsensusTimes]
     StreamSketch.runWaveReplay(spark, docs, "doc_id", work,
       s"$work/consensus", waves) { (batch, batchId) =>
       val t0 = System.nanoTime()
-      consensusStep(batch, batchId, work)
+      consensusStep(batch, batchId, work, t => dec.synchronized { dec += t; () })
+      if (readLedger)
+        batch.sparkSession.read.parquet(s"$work/cons_ledger/batch_id=$batchId")
+          .write.format("noop").mode("overwrite").save()
       buf += (System.nanoTime() - t0) / 1e9
     }
+    // per-batch chain decomposition for the §4.2b record
+    System.err.println("[m20ax] img/aud/cons per batch: " + dec.map(t =>
+      f"${t.img}%.2f/${t.aud}%.2f/${t.cons}%.2f").mkString(", "))
     buf.toSeq
   }
 
+  /** Per-chain wall decomposition of one [[consensusStep]] call — the
+    * §4.2b instrument for the concurrency residual: `img`/`aud` are the
+    * two chains' own wall seconds (each measured on its executing
+    * thread, so contention INFLATES them rather than hiding between
+    * them), `cons` the consensus join + ledger after both commits. If
+    * the chains overlapped perfectly the step's wall would be
+    * max(img, aud) + cons; the measured excess over that is scheduler/
+    * driver contention on the one local JVM. */
+  private[graft] final case class ConsensusTimes(img: Double, aud: Double, cons: Double)
+
   /** One full consensus micro-batch under `work`: both per-codec
     * incremental chains, then the committed-set full-outer + ledger —
-    * shared by [[runConsensusReplay]] and the batches-axis seam.
+    * shared by [[runConsensusReplay]], the batches-axis seam, and
+    * (driven directly) the torn-write redo spec.
     *
     * The two chains touch DISJOINT stores and only read the shared
     * batch, so they run CONCURRENTLY (the audio chain on a future, the
@@ -434,18 +503,42 @@ object StreamMediaDedup {
     * latency-bound at micro-batch sizes, so overlapping them puts the
     * per-batch cost near max(image, audio) instead of their sum — and
     * on a real cluster the two job DAGs interleave across executors
-    * the same way. The consensus join waits on both commits. */
-  private def consensusStep(batch: DataFrame, batchId: Long, work: String): Unit = {
+    * the same way. The consensus join waits on both commits.
+    *
+    * Failure fencing: if the image chain throws, the audio future is
+    * AWAITED (ready, not result — a secondary audio failure must not
+    * mask the primary exception) before the exception propagates, so
+    * no write ever outlives the batch attempt — otherwise an orphaned
+    * audio job could keep writing the aud-side `batch_id=N` directories
+    * while the failed micro-batch's RETRY overwrites those same
+    * directories, racing the documented retried-batch idempotence. */
+  private[graft] def consensusStep(batch: DataFrame, batchId: Long, work: String,
+      onTimes: ConsensusTimes => Unit = _ => ()): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    val aud = Future(processBatch(batch, batchId, s"$work/aud_fp",
-      s"$work/aud_cur", s"$work/aud_ledger",
-      d => MultimodalOps.whashBandsFrom(d)))(scala.concurrent.ExecutionContext.global)
-    processBatch(batch, batchId, s"$work/img_fp", s"$work/img_cur",
-      s"$work/img_ledger", ImageFp)
-    Await.result(aud, Duration.Inf)
+    @volatile var audSec = 0.0
+    val aud = Future {
+      val t0 = System.nanoTime()
+      processBatch(batch, batchId, s"$work/aud_fp",
+        s"$work/aud_cur", s"$work/aud_ledger",
+        d => MultimodalOps.whashBandsFrom(d))
+      audSec = (System.nanoTime() - t0) / 1e9
+    }(scala.concurrent.ExecutionContext.global)
+    val tI0 = System.nanoTime()
+    var imgSec = 0.0
+    try {
+      processBatch(batch, batchId, s"$work/img_fp", s"$work/img_cur",
+        s"$work/img_ledger", ImageFp)
+      imgSec = (System.nanoTime() - tI0) / 1e9
+    } finally {
+      Await.ready(aud, Duration.Inf)
+      ()
+    }
+    Await.result(aud, Duration.Inf) // propagate an audio-chain failure
+    val tC0 = System.nanoTime()
     consensusBatch(batch.sparkSession, batchId, s"$work/img_cur",
       s"$work/aud_cur", s"$work/consensus", s"$work/cons_ledger")
+    onTimes(ConsensusTimes(imgSec, audSec, (System.nanoTime() - tC0) / 1e9))
   }
 
   /** `private[graft]` so the torn-write/redo spec can drive batches

@@ -96,6 +96,42 @@ object StreamSketch {
     (result, nBatches)
   }
 
+  /** Batches-axis instrument seam (ScaleCheck `x8_batches_axis`):
+    * replay the sketch-append [[processBatch]] over `waves`
+    * micro-batches at FIXED data, returning each batch's body wall
+    * seconds in batch order — the mergeable-summary design point says
+    * per-batch work is one map-side-combinable aggregation with a
+    * types × ≤1.5 KB output plus one append, independent of every
+    * prior batch, so last ≈ first is the claim as a number. */
+  private[graft] def x8BatchTimes(spark: SparkSession, dir: String,
+      waves: Int): Seq[Double] = {
+    val work = Files.createTempDirectory("graft_sketchstream_ax_").toString
+    val splitDir = s"$work/in"
+    Sources.table(spark, dir, "events")
+      .select("event_id", "event_type", "user_id")
+      .repartitionByRange(waves, col("event_id"))
+      .write.parquet(splitDir)
+    val store = s"$work/sketches"
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val session = spark.newSession()
+    val q = session.readStream
+      .schema(session.read.parquet(splitDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        processBatch(batch, batchId, store)
+        buf += (System.nanoTime() - t0) / 1e9
+        ()
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    buf.toSeq
+  }
+
   /** The batch twin: one sketch built over the whole table in a single
     * aggregation — StreamEquivSpec asserts the merged stream estimate
     * equals this exactly (register maxima are merge-invariant). */

@@ -76,43 +76,63 @@ class ContinuousSpec extends AnyFunSuite {
     // the documented behavioral delta of the TTLConfig port vs the
     // legacy timeout counter above: past the TTL the value simply reads
     // as absent (the store evicts, no callback), so the key's next
-    // arrival counts 1 — and a 0-count tombstone must NEVER appear
+    // arrival counts 1 — and a 0-count tombstone must NEVER appear.
+    // The two halves run on SEPARATE queries with TTLs matched to what
+    // each asserts (the r17 ADVICE de-flake): the carry half under a
+    // 60 s TTL, so a loaded host pausing between micro-batches cannot
+    // silently evict the carry key and fail an assertion unrelated to
+    // the behavior under test; the eviction half under a 10 s TTL with
+    // an explicit 12 s idle — stalling LONGER only makes eviction more
+    // certain, so neither half races wall-clock pacing.
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[Long]
-    val events = input.toDF.withColumnRenamed("value", "user_id")
-    val q = StatefulOps.twsUserCountsTtl(events, ttlMs = 10000L)
-      .toDF()
-      .writeStream.format("memory").queryName("tws_ttl_counts").outputMode("update")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_twsttl_ckpt_").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
-      .start()
-    def countsOf(key: Long): Seq[Long] =
-      spark.table("tws_ttl_counts").filter(s"user_id = $key")
-        .collect().map(_.getLong(1)).toSeq
-    def awaitRow(key: Long, cnt: Long, what: String): Unit = {
-      val deadline = System.currentTimeMillis + 60000
-      while (!countsOf(key).contains(cnt) && System.currentTimeMillis < deadline)
-        Thread.sleep(200)
-      assert(countsOf(key).contains(cnt),
-        s"$what: never saw cnt=$cnt for key $key (got ${countsOf(key)})")
+    def runQuery(name: String, ttlMs: Long)(drive: (MemoryStream[Long],
+        (Long, Long, String) => Unit) => Unit): Unit = {
+      val input = MemoryStream[Long]
+      val events = input.toDF.withColumnRenamed("value", "user_id")
+      val q = StatefulOps.twsUserCountsTtl(events, ttlMs = ttlMs)
+        .toDF()
+        .writeStream.format("memory").queryName(name).outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft_${name}_ckpt_").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+        .start()
+      def countsOf(key: Long): Seq[Long] =
+        spark.table(name).filter(s"user_id = $key")
+          .collect().map(_.getLong(1)).toSeq
+      def awaitRow(key: Long, cnt: Long, what: String): Unit = {
+        val deadline = System.currentTimeMillis + 60000
+        while (!countsOf(key).contains(cnt) && System.currentTimeMillis < deadline)
+          Thread.sleep(200)
+        assert(countsOf(key).contains(cnt),
+          s"$what: never saw cnt=$cnt for key $key (got ${countsOf(key)})")
+      }
+      try drive(input, awaitRow) finally q.stop()
     }
-    try {
-      input.addData(7L, 7L, 8L)
-      awaitRow(7L, 2L, "initial count")  // key 7 → 2, key 8 → 1; 10s TTL
-      // a second batch well inside the TTL: state CARRIES (the port
-      // counts across micro-batches, it doesn't restart per batch)
+    // carry half: state COUNTS ACROSS micro-batches (the port doesn't
+    // restart per batch) — TTL far above any plausible batch gap
+    runQuery("tws_ttl_carry", ttlMs = 60000L) { (input, awaitRow) =>
+      input.addData(8L)
+      awaitRow(8L, 1L, "initial count")
       input.addData(8L)
       awaitRow(8L, 2L, "cross-batch carry")
-      Thread.sleep(12000) // idle past the TTL: key 7's value expires IN PLACE
+    }
+    assert(spark.table("tws_ttl_carry").filter("user_id = 8")
+      .collect().map(_.getLong(1)).toSet == Set(1L, 2L),
+      "expected cross-batch carry {1,2} for key 8")
+    // eviction half: both arrivals of the initial count share ONE
+    // micro-batch (a single addData call), so the only cross-batch gap
+    // is the deliberate idle past the TTL
+    runQuery("tws_ttl_evict", ttlMs = 10000L) { (input, awaitRow) =>
+      input.addData(7L, 7L)
+      awaitRow(7L, 2L, "initial count") // 10s TTL armed
+      Thread.sleep(12000) // idle past the TTL: the value expires IN PLACE
       input.addData(7L)
       awaitRow(7L, 1L, "re-count from one") // fresh state: 1, not 3
-    } finally q.stop()
-    assert(countsOf(7L).toSet == Set(2L, 1L),
-      s"expected silent eviction {2,1} for key 7 — no 0 tombstone — got ${countsOf(7L)}")
-    assert(countsOf(8L).toSet == Set(1L, 2L),
-      s"expected cross-batch carry {1,2} for key 8, got ${countsOf(8L)}")
+    }
+    assert(spark.table("tws_ttl_evict").filter("user_id = 7")
+      .collect().map(_.getLong(1)).toSet == Set(2L, 1L),
+      "expected silent eviction {2,1} for key 7 — no 0 tombstone")
   }
 
   test("TTL variant still matches groupBy counts in batch mode (timeouts never fire)") {

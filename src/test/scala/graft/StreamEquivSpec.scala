@@ -1117,6 +1117,73 @@ class StreamEquivSpec extends AnyFunSuite {
     }
   }
 
+  test("m20/m21 torn-write redo: a re-run consensus batch re-diffs against the COMMITTED previous set") {
+    // m15's redo law lifted to the consensus + cons_ledger stores: the
+    // per-channel ledger adds a SECOND one-batch-back read (the diff
+    // against the committed N−1 consensus) on top of the chains' own
+    // redo law, so a redone batch must overwrite torn consensus/ledger
+    // output AND re-diff against committed N−1, never its own poison.
+    // Batches are driven directly through consensusStep — the
+    // foreachBatch contract is exactly "re-invoke with the same id".
+    import org.apache.spark.sql.functions._
+    val md = graft.streaming.StreamMediaDedup
+    val m = graft.streaming.StreamSketch.SplitFiles
+    val docs = Sources.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+    def wave(b: Int) = docs.filter(pmod(col("doc_id"), lit(m.toLong)) === b)
+    val work = java.nio.file.Files.createTempDirectory("graft_consredo_").toString
+    md.consensusStep(wave(0), 0L, work)
+    md.consensusStep(wave(1), 1L, work)
+    // torn batch 2: poison consensus pairs, a poison per-channel ledger
+    // row, and a torn image-chain materialized set all got down before
+    // the crash — the redo must leave no trace of any of them
+    spark.range(1).select(lit(-7L).as("a_id"), lit(-3L).as("b_id"),
+        lit("both").as("channel"), lit(0L).as("img_hamming"),
+        lit(0L).as("aud_hamming"))
+      .write.mode("overwrite").parquet(s"$work/consensus/batch_id=2")
+    spark.range(1).select(lit("image").as("channel"), lit(999L).as("n_pairs"),
+        lit(999L).as("n_added"), lit(999L).as("n_retracted"))
+      .write.mode("overwrite").parquet(s"$work/cons_ledger/batch_id=2")
+    spark.range(1).select(lit(-7L).as("a_id"), lit(-3L).as("b_id"),
+        lit(0L).as("hamming"))
+      .write.mode("overwrite").parquet(s"$work/img_cur/batch_id=2")
+    md.consensusStep(wave(2), 2L, work) // the redo
+    (3 until m).foreach(b => md.consensusStep(wave(b), b.toLong, work))
+    def readLedger() = spark.read.parquet(s"$work/cons_ledger")
+      .select(col("batch_id").cast("long").as("batch_id"), col("channel"),
+        col("n_pairs"), col("n_added"), col("n_retracted"))
+      .orderBy("batch_id", "channel").collect().toSeq
+    // retry of a COMMITTED batch: ledger byte-identical after (the
+    // chains re-derive from the store pruned to batch_id <= 2, the
+    // consensus re-diffs against committed batch 1)
+    val ledgerBefore = readLedger()
+    md.consensusStep(wave(2), 2L, work)
+    val ledgerAfter = readLedger()
+    assert(ledgerAfter == ledgerBefore,
+      "retrying a committed consensus batch changed the ledger")
+    // no poison anywhere; final set ≡ batch m17; conservation per channel
+    assert(spark.read.parquet(s"$work/consensus").filter(col("a_id") < 0)
+      .count() == 0, "torn consensus rows survived the redo")
+    val batchFinal = rows(graft.ops.MultimodalOps.m17ConsensusNearDup(spark, sf))
+    val streamFinal = rows(spark.read.parquet(s"$work/consensus/batch_id=${m - 1}")
+      .select("a_id", "b_id", "channel", "img_hamming", "aud_hamming")
+      .orderBy("a_id", "b_id"))
+    assert(streamFinal == batchFinal,
+      "redone consensus stream diverged from batch m17")
+    ledgerAfter.foreach { r =>
+      assert(r.getLong(2) != 999L && r.getLong(3) != 999L,
+        "the poison ledger row survived the redo")
+    }
+    val pairsAt = ledgerAfter
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    ledgerAfter.foreach { r =>
+      val prev = pairsAt.getOrElse((r.getLong(0) - 1, r.getString(1)), 0L)
+      assert(r.getLong(2) == prev + r.getLong(3) - r.getLong(4),
+        s"per-channel conservation broke at batch ${r.getLong(0)}/" +
+          s"${r.getString(1)} after the redo")
+    }
+  }
+
   test("p14 sample delta: conservation per source, batch 0 all-additions, both directions occur, final blend ≡ p9") {
     val (df, nBatches) = graft.streaming.StreamSampler.p14WithBatchCount(spark, sf)
     assert(nBatches == graft.streaming.StreamSketch.SplitFiles,
