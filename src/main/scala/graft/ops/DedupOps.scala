@@ -290,14 +290,28 @@ object DedupOps {
     * similar only to its neighbours) no longer threaten the iteration
     * cap the way they did under min-label propagation. */
   def d10DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dupClusterLabels(spark, dir)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** d10's cluster-label map WITHOUT the size attach or the output
+    * sort — the shape the funnel gates (p1/p4/p5/p10/p15 via
+    * [[PipelineOps.stagedEligible]]) actually consume: they only ask
+    * "is this doc a non-representative cluster member"
+    * (cluster_id ≠ doc_id), so joining the full d10 gate output made
+    * every funnel pay a cluster-size aggregation + join + global sort
+    * whose columns the very next projection discarded (guide §1.2:
+    * don't compute what you throw away). d10's own gate output is
+    * unchanged — it layers the size/sort on top of this map. */
+  private[graft] def dupClusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(Sources.table(spark, dir, "documents"))
     val pairs = jaccard(lshCandidates(sh), sh)
       .filter(col("jac") >= 0.7).select("a_id", "b_id")
-    val labels = connectedComponents(pairs)
-    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
-      .orderBy("doc_id")
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   /** d7 edit-distance near-dup: the fuzzy-dedup modality Jaccard misses
@@ -347,6 +361,24 @@ object DedupOps {
         countDistinct(col("eval_id")).as("n_eval_docs"),
         countDistinct(col("g")).as("n_shared_grams"))
       .orderBy("doc_id")
+  }
+
+  /** d8's contaminated-doc ID SET — the membership shape the funnel
+    * gates consume ([[PipelineOps.stagedEligible]] only asks "is this
+    * doc contaminated"), so the per-doc eval-doc/gram count-distincts
+    * (a two-column Expand that doubles the joined gram stream through
+    * the aggregation) and d8's output sort are skipped, and the
+    * broadcast ships DISTINCT grams instead of (eval_id, gram) pairs.
+    * Same membership by construction: a doc is contaminated iff it
+    * shares ≥ 1 five-gram with the eval side. d8's own gate output is
+    * unchanged. */
+  private[graft] def contaminatedIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.table(spark, dir, "documents")
+    val evalG = TextOps.gram5(docs.filter(col("doc_id") % EvalMod === 0), col("doc_id"))
+      .select("g").distinct()
+    TextOps.gram5(docs.filter(col("doc_id") % EvalMod =!= 0), col("doc_id"))
+      .join(broadcast(evalG), "g")
+      .select("doc_id").distinct()
   }
 
   /** d14's prefilter false-positive rate. Verification is exact, so fpp

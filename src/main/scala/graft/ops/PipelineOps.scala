@@ -68,8 +68,13 @@ object PipelineOps {
     val elig = flagged.filter(!col("is_eval") && col("q"))
     val keepExact =
       col("doc_id") === min("doc_id").over(Window.partitionBy("norm_key"))
-    val clusters = DedupOps.d10DupClusters(spark, dir).select("doc_id", "cluster_id")
-    val contam = DedupOps.d8Decontamination(spark, dir)
+    // labels-only cluster map + membership-only contamination set: the
+    // funnel consumes neither cluster_size nor the per-doc overlap
+    // counts, so the d10/d8 gate outputs' size join, Expand'd
+    // count-distincts and global sorts are not re-paid here (the
+    // verdicts are identical — see the two helpers' docs)
+    val clusters = DedupOps.dupClusterLabels(spark, dir)
+    val contam = DedupOps.contaminatedIds(spark, dir)
       .select(col("doc_id"), lit(true).as("ct"))
     elig
       .withColumn("keep_exact", keepExact)

@@ -609,9 +609,30 @@ object SimilarityOps {
   def s4AnnRecall(spark: SparkSession, dir: String): DataFrame =
     recallRows(normed(spark, dir))
 
-  private def recallRows(all: DataFrame): DataFrame = {
+  private def recallRows(all0: DataFrame): DataFrame = {
+    // The battery compares 11 plans over ONE corpus frame; unshared,
+    // Catalyst re-plans the scan + norm (s4) or the clustered/
+    // structured transform (s7/s10) inside every reference — ~17 per
+    // branch. One disk-backed materialization (guide §5: cache what is
+    // reused and expensive to recompute — 11 methods is the textbook
+    // case) feeds every branch; derived inside the query, never a
+    // cross-run cache.
+    val all = all0.localCheckpoint()
+    // The exact top-3 is referenced by all 10 method branches (once in
+    // each recall join, once more in each branch's query universe), and
+    // Catalyst plans every reference as its OWN brute-force scan +
+    // window subtree — the s4 physical plan held 184 parquet scans and
+    // zero ReusedExchange before this. localCheckpoint materializes
+    // the (3 × query-count)-row frame ONCE, eagerly, so every branch
+    // reads the tiny checkpointed relation instead of re-running exact
+    // knn ~20×. Output-sized memory at any corpus scale (rows = 3 ×
+    // queries), the same lineage-truncation tool the CC loop uses —
+    // NOT a cache of a base table: the frame is derived inside the
+    // query and dies with it. Measured: s4 6.1→(see OPTIMIZATION_r18)
+    // at identical output hashes.
     val exact = q22From(all).filter(col("rnk") <= 3)
       .select(col("q_id"), col("n_id"))
+      .localCheckpoint()
     val qs = exact.select("q_id").distinct()
     def recallOf(approx: DataFrame, method: String): DataFrame = {
       val hits = approx.select(col("q_id"), col("n_id"))

@@ -281,14 +281,33 @@ object FullFunnel {
             .when(coalesce(col("is_ct"), lit(false)), "contam")
             .otherwise("kept"))
         .select("doc_id", "lang", "source", "stage", "wc")
-      labeled.write.mode("overwrite").parquet(s"${st.labels}/batch_id=$batchId")
-      // appends: digests stay a SET (anti-join — see StreamFunnel); band
-      // and shingle rows are static per doc and each doc arrives once
-      elig.select("norm_key").distinct()
-        .join(priorKeys, Seq("norm_key"), "left_anti")
-        .write.mode("overwrite").parquet(s"${st.keys}/batch_id=$batchId")
-      bands.write.mode("overwrite").parquet(s"${st.bands}/batch_id=$batchId")
-      sh.write.mode("overwrite").parquet(s"${st.shingles}/batch_id=$batchId")
+      // the four per-batch writes are mutually independent (disjoint
+      // target dirs; all four read only the shared persisted frames and
+      // committed < batchId store state), so they run CONCURRENTLY
+      // (guide §2.6: overlap independent jobs — each write is a short
+      // stage wave that leaves most executors idle at its tail; on a
+      // cluster the four job DAGs interleave the same way). Retry
+      // safety is unchanged: every write is an idempotent batch_id=N
+      // overwrite and reads prune to `< batchId`, so ANY crash-subset
+      // of completed writes is overwritten by the redone batch — the
+      // sequential order never carried semantics.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Future { labeled.write.mode("overwrite")
+          .parquet(s"${st.labels}/batch_id=$batchId") },
+        Future { elig.select("norm_key").distinct()
+          .join(priorKeys, Seq("norm_key"), "left_anti")
+          .write.mode("overwrite").parquet(s"${st.keys}/batch_id=$batchId") },
+        Future { bands.write.mode("overwrite")
+          .parquet(s"${st.bands}/batch_id=$batchId") },
+        Future { sh.write.mode("overwrite")
+          .parquet(s"${st.shingles}/batch_id=$batchId") })
+      // ready-all before result-all: a failed write must not leave a
+      // sibling job running into the batch retry (the m20 fence rule)
+      writes.foreach(w => Await.ready(w, Duration.Inf))
+      writes.foreach(w => Await.result(w, Duration.Inf))
     } finally { flagged.unpersist(); sh.unpersist(); () }
   }
 

@@ -160,9 +160,25 @@ object IncrementalDedup {
       val verified = DedupOps.jaccard(cand, priorSh.unionByName(sh))
         .filter(col("jac") >= 0.7)
         .select(col("a_id"), col("b_id"), r4(col("jac")).as("jaccard"))
-      verified.write.mode("overwrite").parquet(s"$pairStore/batch_id=$batchId")
-      bands.write.mode("overwrite").parquet(s"$bandStore/batch_id=$batchId")
-      sh.write.mode("overwrite").parquet(s"$shingleStore/batch_id=$batchId")
+      // three mutually independent writes (disjoint dirs, all reading
+      // only the persisted batch frames + committed < batchId store
+      // state) overlap per guide §2.6 — the FullFunnel rule; retry
+      // safety unchanged (idempotent batch_id=N overwrites, reads prune
+      // to < batchId, so any crash-subset is rewritten by the redo)
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val writes = Seq(
+          Future { verified.write.mode("overwrite")
+            .parquet(s"$pairStore/batch_id=$batchId") },
+          Future { bands.write.mode("overwrite")
+            .parquet(s"$bandStore/batch_id=$batchId") },
+          Future { sh.write.mode("overwrite")
+            .parquet(s"$shingleStore/batch_id=$batchId") })
+        writes.foreach(w => Await.ready(w, Duration.Inf))
+        writes.foreach(w => Await.result(w, Duration.Inf))
+      }
     } finally { sh.unpersist(); () }
   }
 

@@ -367,13 +367,15 @@ object StreamAnnIngest {
     * anti-join keys on (cell, vec_id) — tombstones carry their cell —
     * and at 100 TB rides the same cell-bucketed layout as the index
     * with zero exchanges (LayoutSpec's s12 case). */
-  private[graft] def s12WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int, Array[Long]) = {
+  private[graft] def s12WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int, () => Array[Long]) = {
     val (_, store, tombs, nBatches) = runDeleteStream(spark, dir)
     val live = liveRows(spark, store, tombs)
-    // test seam: tombstones registered per drain batch, in batch order —
-    // >1 non-empty batch proves requests stayed pending until their
-    // vector arrived (the out-of-order case)
-    val drainCounts = spark.read.parquet(tombs)
+    // test seam, LAZY (guide §1.2 — the gate's declared output is the
+    // probe; this diagnostic ran one extra job inside every timed gate
+    // invocation before): tombstones registered per drain batch, in
+    // batch order — >1 non-empty batch proves requests stayed pending
+    // until their vector arrived (the out-of-order case)
+    val drainCounts = () => spark.read.parquet(tombs)
       .groupBy("batch_id").count().orderBy("batch_id")
       .collect().map(_.getLong(1))
     (SimilarityOps.probeAssigned(live), nBatches, drainCounts)
@@ -453,15 +455,17 @@ object StreamAnnIngest {
     * `bucketBy(cell)` — LayoutSpec's s13 case proves on that written
     * layout that the post-compaction probe is exchange-free AND
     * anti-join-free. */
-  private[graft] def s13WithStoreInfo(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
+  private[graft] def s13WithStoreInfo(spark: SparkSession, dir: String): (DataFrame, () => Long, () => Long) = {
     val (work, store, tombs, _) = runDeleteStream(spark, dir)
     val compacted = s"$work/compacted"
     liveRows(spark, store, tombs)
       .repartition(col("cell"))
       .write.partitionBy("cell").parquet(compacted)
-    val nDropped = spark.read.parquet(tombs).count()
     val comp = spark.read.parquet(compacted)
-    (SimilarityOps.probeAssigned(comp), comp.count(), nDropped)
+    // store/tombstone counts are spec-only diagnostics — lazy, so the
+    // gate's timed path pays the rewrite + probe and nothing else
+    (SimilarityOps.probeAssigned(comp), () => comp.count(),
+      () => spark.read.parquet(tombs).count())
   }
 
   // ---- s16: streaming upserts (update = tombstone old + insert new) --
@@ -525,7 +529,7 @@ object StreamAnnIngest {
     * (cell, vec_id, batch_id) group — trailing keys change no
     * exchange structure). */
   private[graft] def s16WithInfo(spark: SparkSession, dir: String)
-      : (DataFrame, Int, Long, Long, Long) = {
+      : (DataFrame, Int, () => Long, () => Long, () => Long) = {
     val (store, tombs, nBatches) = runUpsertStream(spark, dir)
     upsertProbeInfo(spark, store, tombs, nBatches)
   }
@@ -537,16 +541,18 @@ object StreamAnnIngest {
     * new cell is read from the SURVIVING entry — the live view itself. */
   private def upsertProbeInfo(spark: SparkSession, store: String,
                               tombs: String, nBatches: Int)
-      : (DataFrame, Int, Long, Long, Long) = {
+      : (DataFrame, Int, () => Long, () => Long, () => Long) = {
     val live = s16LiveRows(spark, store, tombs)
     val tombRows = spark.read.parquet(tombs)
       .select(col("vec_id"), col("cell").as("old_cell"))
     val newCells = live.select(col("vec_id"), col("cell").as("new_cell"))
     val moved = tombRows.join(newCells, Seq("vec_id"))
-    val nSame = moved.filter(col("old_cell") === col("new_cell")).count()
-    val nMoved = moved.filter(col("old_cell") =!= col("new_cell")).count()
+    // same-cell / cross-cell replacement evidence is spec-only — lazy,
+    // so the timed gate path no longer runs the moved-join + 3 counts
     (SimilarityOps.probeAssigned(live.drop("batch_id")), nBatches,
-      tombRows.count(), nSame, nMoved)
+      () => tombRows.count(),
+      () => moved.filter(col("old_cell") === col("new_cell")).count(),
+      () => moved.filter(col("old_cell") =!= col("new_cell")).count())
   }
 
   // ---- s27: upserts PROVEN on the hier-built store --------------------
@@ -575,7 +581,7 @@ object StreamAnnIngest {
     * tombstones, key-pruned drains, the 3-key merge on the same
     * cell-bucketed layout — with per-batch assignment at 2√k dots. */
   private[graft] def s27WithInfo(spark: SparkSession, dir: String)
-      : (DataFrame, Int, Long, Long, Long) = {
+      : (DataFrame, Int, () => Long, () => Long, () => Long) = {
     val (store, tombs, nBatches) = runHierUpsertStream(spark, dir)
     upsertProbeInfo(spark, store, tombs, nBatches)
   }
@@ -759,7 +765,7 @@ object StreamAnnIngest {
     * layouts). Serving capacity during maintenance is therefore the
     * same as before it — the whole point of compacting incrementally. */
   private[graft] def s14WithBranches(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, Long, Long) = {
+      : (DataFrame, DataFrame, DataFrame, () => Long, () => Long) = {
     val (_, comp, uncomp, nRetired, nPending) = partialCompactState(spark, dir)
     val compProbe = SimilarityOps.probeAssigned(comp)
     val uncompProbe = SimilarityOps.probeAssigned(uncomp)
@@ -771,7 +777,7 @@ object StreamAnnIngest {
     * multiprobe composition seam: (work root, compacted branch,
     * uncompacted-merged branch, tombstones retired, tombstones pending). */
   private def partialCompactState(spark: SparkSession, dir: String)
-      : (String, DataFrame, DataFrame, Long, Long) = {
+      : (String, DataFrame, DataFrame, () => Long, () => Long) = {
     val (work, store, tombs, _) = runDeleteStream(spark, dir)
     partialCompactStateFrom(spark, work, store, tombs)
   }
@@ -782,7 +788,7 @@ object StreamAnnIngest {
     * stream composes in directly (the StreamEquivSpec s14 × s25 pin). */
   private[graft] def partialCompactStateFrom(spark: SparkSession, work: String,
                                              store: String, tombs: String)
-      : (String, DataFrame, DataFrame, Long, Long) = {
+      : (String, DataFrame, DataFrame, () => Long, () => Long) = {
     val compacted = s"$work/compacted_subset"
     // the partial rewrite: ONLY the subset's cells, survivors only —
     // cell-local, the uncompacted cells' files are never read
@@ -797,13 +803,13 @@ object StreamAnnIngest {
     val uncompTombs = spark.read.parquet(tombs).drop("batch_id")
       .filter(!inCompactedSubset(col("cell"))).select("cell", "vec_id")
     val uncomp = uncompRows.join(uncompTombs, Seq("cell", "vec_id"), "left_anti")
-    // test seams: tombstones retired by the partial rewrite vs still
-    // merged at query time — both must be nonzero for a genuinely
-    // mixed-state run
+    // test seams, LAZY: tombstones retired by the partial rewrite vs
+    // still merged at query time — both must be nonzero for a genuinely
+    // mixed-state run; the timed gate path never runs these counts
     val tombsByCell = spark.read.parquet(tombs)
-    val nRetired = tombsByCell.filter(inCompactedSubset(col("cell"))).count()
-    val nPending = tombsByCell.filter(!inCompactedSubset(col("cell"))).count()
-    (work, comp, uncomp, nRetired, nPending)
+    (work, comp, uncomp,
+      () => tombsByCell.filter(inCompactedSubset(col("cell"))).count(),
+      () => tombsByCell.filter(!inCompactedSubset(col("cell"))).count())
   }
 
   /** s15 × s14: MULTIPROBE over the MIXED store — the composition of
@@ -821,7 +827,7 @@ object StreamAnnIngest {
     * compaction progress must be invisible to the multiprobe read
     * exactly as it is to the nprobe=1 read. */
   private[graft] def s14MultiprobeMixed(spark: SparkSession, dir: String)
-      : (DataFrame, Long, Long) = {
+      : (DataFrame, () => Long, () => Long) = {
     val (work, comp, uncomp, nRetired, nPending) = partialCompactState(spark, dir)
     val cols = Seq("vec_id", "v", "nrm", "label", "cell").map(col)
     val mixed = comp.select(cols: _*).unionByName(uncomp.select(cols: _*))
@@ -894,19 +900,21 @@ object StreamAnnIngest {
     * only the per-batch assignment cost (k → G + sub ≈ 2√k dots per
     * vector, s23's saving, now carried through the whole lifecycle). */
   private[graft] def s25WithInfo(spark: SparkSession, dir: String)
-      : (DataFrame, Int, Array[Long], Long, Long) = {
+      : (DataFrame, Int, () => Array[Long], () => Long, () => Long) = {
     val (work, store, tombs, nBatches) = runHierDeleteStream(spark, dir)
-    // test seam: tombstones registered per drain batch, in batch order
-    val drains = spark.read.parquet(tombs)
-      .groupBy("batch_id").count().orderBy("batch_id")
-      .collect().map(_.getLong(1))
     val compacted = s"$work/compacted"
     liveRows(spark, store, tombs)
       .repartition(col("cell"))
       .write.partitionBy("cell").parquet(compacted)
-    val nDropped = spark.read.parquet(tombs).count()
     val comp = spark.read.parquet(compacted)
-    (SimilarityOps.probeAssigned(comp), nBatches, drains, comp.count(), nDropped)
+    // drain/count diagnostics are spec-only — lazy (guide §1.2), so the
+    // timed gate path pays the rewrite + probe and nothing else
+    (SimilarityOps.probeAssigned(comp), nBatches,
+      () => spark.read.parquet(tombs)
+        .groupBy("batch_id").count().orderBy("batch_id")
+        .collect().map(_.getLong(1)),
+      () => comp.count(),
+      () => spark.read.parquet(tombs).count())
   }
 
   /** The s14 × s25 composition seam: the mixed partial-compaction state
@@ -918,7 +926,7 @@ object StreamAnnIngest {
     * claim (delete s25, compact s25, partial-compact here, multiprobe
     * s24, upsert s27, retrain s26). */
   private[graft] def hierPartialCompactState(spark: SparkSession, dir: String)
-      : (String, DataFrame, DataFrame, Long, Long) = {
+      : (String, DataFrame, DataFrame, () => Long, () => Long) = {
     val (work, store, tombs, _) = runHierDeleteStream(spark, dir)
     partialCompactStateFrom(spark, work, store, tombs)
   }
@@ -1003,7 +1011,7 @@ object StreamAnnIngest {
     * No ordering precondition: each arrival is checked independently
     * against the static watchlist, so the alert SET is replay-order
     * invariant (same class as s11's set-union index). */
-  private[graft] def s20WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int, Array[Long]) =
+  private[graft] def s20WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int, () => Array[Long]) =
     runRadiusAlertStream(spark, dir,
       (all, path) =>
         SimilarityOps.ivfSeedCentroids(all).coalesce(1).write.parquet(path),
@@ -1025,7 +1033,7 @@ object StreamAnnIngest {
     * verb). The union of alert batches must equal batch s29, so the
     * oracle is s29's SQL string verbatim (the shared-string move s20
     * makes with s19, lifted to the hier chain). */
-  private[graft] def s30WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int, Array[Long]) =
+  private[graft] def s30WithBatchCount(spark: SparkSession, dir: String): (DataFrame, Int, () => Array[Long]) =
     runRadiusAlertStream(spark, dir,
       (all, path) => {
         val seeds = all.filter(col("vec_id") < SimilarityOps.IvfCells)
@@ -1044,7 +1052,7 @@ object StreamAnnIngest {
     * sides can never assign under different quantizers. */
   private def runRadiusAlertStream(spark: SparkSession, dir: String,
       writeQuantizer: (DataFrame, String) => Unit,
-      assign: (DataFrame, DataFrame) => DataFrame): (DataFrame, Int, Array[Long]) = {
+      assign: (DataFrame, DataFrame) => DataFrame): (DataFrame, Int, () => Array[Long]) = {
     val work = Files.createTempDirectory("graft_annstream_radius_").toString
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
@@ -1075,8 +1083,8 @@ object StreamAnnIngest {
     val nBatches = Option(new java.io.File(alerts).listFiles())
       .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
     val ledger = spark.read.parquet(alerts)
-    // test seam: alerts raised per arrival batch, in batch order
-    val perBatch = ledger.groupBy("batch_id").count().orderBy("batch_id")
+    // test seam, LAZY: alerts raised per arrival batch, in batch order
+    val perBatch = () => ledger.groupBy("batch_id").count().orderBy("batch_id")
       .collect().map(_.getLong(1))
     val result = ledger
       .select(col("q_id"), col("n_id"), graft.out.Canonical.r4(col("c")).as("cos_sim"))

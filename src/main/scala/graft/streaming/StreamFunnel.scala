@@ -136,14 +136,27 @@ object StreamFunnel {
             .when(!col("q"), "quality")
             .otherwise(col("st")))
         .select("doc_id", "lang", "source", "stage", "wc")
-      labeled.write.mode("overwrite").parquet(s"$labelStore/batch_id=$batchId")
       // the store must stay a SET: append only keys not already registered
       // by a prior batch, else a digest seen in >=2 prior batches would
       // fan out the left join above on its third arrival (duplicating
-      // that doc's label rows and inflating n_docs / n_exact_dup)
-      elig.select("norm_key").distinct()
-        .join(prior, Seq("norm_key"), "left_anti")
-        .write.mode("overwrite").parquet(s"$keyStore/batch_id=$batchId")
+      // that doc's label rows and inflating n_docs / n_exact_dup).
+      // The two writes are independent (disjoint dirs, both reading the
+      // shared persisted frame + committed < batchId state) and overlap
+      // per guide §2.6 (the FullFunnel rule); retry safety unchanged —
+      // idempotent batch_id=N overwrites, reads prune to < batchId.
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val writes = Seq(
+          Future { labeled.write.mode("overwrite")
+            .parquet(s"$labelStore/batch_id=$batchId") },
+          Future { elig.select("norm_key").distinct()
+            .join(prior, Seq("norm_key"), "left_anti")
+            .write.mode("overwrite").parquet(s"$keyStore/batch_id=$batchId") })
+        writes.foreach(w => Await.ready(w, Duration.Inf))
+        writes.foreach(w => Await.result(w, Duration.Inf))
+      }
     } finally { flagged.unpersist(); () }
   }
 

@@ -146,19 +146,17 @@ object StreamSampler {
 
   /** The kept rows (doc_id, source, u, bucket) of the blend over the
     * arrived corpus through batch `upTo`, plus the cached stats handle
-    * to drop after use; None when `upTo` precedes the stream. */
+    * to drop after use. */
   private def keptAt(session: SparkSession, stats: String, upTo: Long)
-      : Option[(DataFrame, DataFrame)] =
-    if (upTo < 0) None
-    else {
-      val arrived = session.read.parquet(stats)
-        .filter(col("batch_id") <= upTo)
-        .select("doc_id", "source", "n_tok")
-      val (cum, cached) = PipelineOps.sampleKeepFrameCached(
-        arrived, TextOps.sourceWeight(col("source")))
-      Some((cum.filter(col("keep")).select("doc_id", "source", "u", "bucket"),
-        cached))
-    }
+      : (DataFrame, DataFrame) = {
+    val arrived = session.read.parquet(stats)
+      .filter(col("batch_id") <= upTo)
+      .select("doc_id", "source", "n_tok")
+    val (cum, cached) = PipelineOps.sampleKeepFrameCached(
+      arrived, TextOps.sourceWeight(col("source")))
+    (cum.filter(col("keep")).select("doc_id", "source", "u", "bucket"),
+      cached)
+  }
 
   private def deltaBatch(batch: DataFrame, batchId: Long,
                          stats: String, ledger: String): Unit = {
@@ -169,14 +167,32 @@ object StreamSampler {
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
       .write.mode("overwrite").parquet(s"$stats/batch_id=$batchId")
-    val nowPair = keptAt(session, stats, batchId).get
-    val prevPair = keptAt(session, stats, batchId - 1)
+    // kept(b) is derived ONCE per batch and committed to a per-batch
+    // kept store; the diff's prev side reads the COMMITTED kept(b−1)
+    // instead of re-deriving it from the stats store — the previous
+    // batch already computed exactly that frame (guide §1.1/§1.2:
+    // don't recompute what you already have; kept(b−1) is a pure
+    // function of committed stats ≤ b−1, so the committed copy is
+    // byte-equivalent to the re-derivation, and the oracle's
+    // closed-form replay is unchanged). Halves the dominant per-batch
+    // term: one prefix-sum derivation instead of two. Retry-safe: a
+    // redone batch overwrites batch_id=b and reads committed b−1.
+    // Only partitions b and b−1 are ever read, so older kept
+    // partitions are vacuumable in production (x18's window rule) —
+    // the store adds no corpus-lifetime growth beyond the stats store
+    // it sits next to.
+    val keptStore = s"${stats}_kept"
+    val nowPair = keptAt(session, stats, batchId)
     try {
-      val now = nowPair._1.select(col("doc_id"), col("source").as("n_src"),
+      nowPair._1.write.mode("overwrite").parquet(s"$keptStore/batch_id=$batchId")
+    } finally { nowPair._2.unpersist(); () }
+    val committed = session.read.parquet(s"$keptStore/batch_id=$batchId")
+    locally {
+      val now = committed.select(col("doc_id"), col("source").as("n_src"),
         col("u").as("n_u"), col("bucket").as("n_b"))
-      val prev = prevPair.map(_._1).getOrElse(
-          session.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            nowPair._1.schema))
+      val prev = (if (batchId == 0)
+          committed.filter(lit(false))
+        else session.read.parquet(s"$keptStore/batch_id=${batchId - 1}"))
         .select(col("doc_id"), col("source").as("p_src"),
           col("u").as("p_u"), col("bucket").as("p_b"))
       // a doc's (source, u, bucket) are functions of doc_id, invariant
@@ -218,9 +234,6 @@ object StreamSampler {
                 struct(col("bucket"), col("ev_sub"))))),
               x => x.getField("ev_sub"))))).as("evicted_md5"))
         .write.mode("overwrite").parquet(s"$ledger/batch_id=$batchId")
-    } finally {
-      nowPair._2.unpersist()
-      prevPair.foreach(_._2.unpersist()): Unit
     }
   }
 

@@ -90,7 +90,7 @@ object StreamSemDedup {
     * prove the consolidated partition feeds the candidate join
     * unchanged. */
   private[graft] def d21WithStoreInfo(spark: SparkSession, dir: String)
-      : (DataFrame, Int, Int, Int, Long) = {
+      : (DataFrame, Int, Int, Int, () => Long) = {
     val half = StreamAnnIngest.SplitFiles / 2
     val work = Files.createTempDirectory("graft_semcompact_").toString
     val (splitAll, cbPath) = prepare(spark, dir, work, col("vec_id"))
@@ -124,7 +124,9 @@ object StreamSemDedup {
     // consolidated ids.
     val phaseA = spark.read.parquet(store)
       .filter(col("batch_id") === -1).select(col("vec_id").as("a_id"))
-    val crossPhase = spark.read.parquet(pairStore)
+    // LAZY (guide §1.2, the m19 rule): spec-only cross-phase evidence,
+    // out of the timed gate path
+    val crossPhase = () => spark.read.parquet(pairStore)
       .filter(col("batch_id") >= half)
       .join(phaseA, Seq("a_id"), "left_semi").count()
     (readPairs(spark, pairStore), partsBefore, partsAfter, partsEnd, crossPhase)
@@ -228,7 +230,7 @@ object StreamSemDedup {
         col("nrm").as("an"), col("ccos").as("acc"))
       val b = seen.select(col("vec_id").as("b_id"), col("v").as("bv"),
         col("nrm").as("bn"), col("ccos").as("bcc"))
-      cand.join(a, "a_id").join(b, "b_id")
+      val pairsOut = cand.join(a, "a_id").join(b, "b_id")
         .withColumn("cs", SimilarityOps.dot(col("av"), col("bv")) / (col("an") * col("bn")))
         .filter(col("cs") >= SimilarityOps.SemThreshold)
         .withColumn("victim",
@@ -236,13 +238,26 @@ object StreamSemDedup {
             .when(col("acc") < col("bcc"), col("b_id"))
             .otherwise(greatest(col("a_id"), col("b_id"))))
         .select(col("a_id"), col("b_id"), r4(col("cs")).as("cos_sim"), col("victim"))
-        .write.mode("overwrite").parquet(s"$pairStore/batch_id=$batchId")
-      // a crash between the two writes leaves a pair dir whose store
-      // dir is absent — safe ONLY because foreachBatch re-invokes the
-      // batch with the same id and BOTH writes are idempotent batch_id
-      // overwrites; any "skip if the pair dir exists" retry shortcut
-      // would break that contract (the torn pair set would be trusted)
-      asn.write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+      // the two writes are independent (disjoint dirs, both derived
+      // from the persisted assignment + committed < batchId state) and
+      // run CONCURRENTLY (guide §2.6, the FullFunnel rule). A crash
+      // leaving EITHER dir without the other is safe ONLY because
+      // foreachBatch re-invokes the batch with the same id and both
+      // writes are idempotent batch_id overwrites; any "skip if the
+      // pair dir exists" retry shortcut would break that contract (the
+      // torn pair set would be trusted)
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val writes = Seq(
+          Future { pairsOut.write.mode("overwrite")
+            .parquet(s"$pairStore/batch_id=$batchId") },
+          Future { asn.write.mode("overwrite")
+            .parquet(s"$store/batch_id=$batchId") })
+        writes.foreach(w => Await.ready(w, Duration.Inf))
+        writes.foreach(w => Await.result(w, Duration.Inf))
+      }
     } finally { asn.unpersist(); () }
   }
 }

@@ -380,18 +380,8 @@ object StreamSketch {
     // the first checkpoint)
     if (!dealComplete(work)) {
       dirs.foreach(clearDir)
-      (0 until SplitFiles).foreach { b =>
-        val tgt = dirs(if (b < splitAt) 0 else 1)
-        val prior = Option(new java.io.File(tgt).listFiles())
-          .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
-        src.filter(pmod(col(splitKey), lit(SplitFiles)) === b)
-          .coalesce(1).write.mode("append").parquet(tgt)
-        new java.io.File(tgt).listFiles()
-          .filter(f => f.getName.startsWith("part-") && !prior(f.getName))
-          .foreach(f =>
-            require(f.setLastModified(1000000000000L + b * 60000L),
-              s"cannot set mtime on $f; file-replay order would be undefined"))
-      }
+      dealWaves(src, splitKey, SplitFiles, s"$work/in_staged",
+        b => dirs(if (b < splitAt) 0 else 1))
       markDealt(work)
     }
     def phase(inDir: String, ckpt: String, offset: Long): Unit = {
@@ -474,6 +464,54 @@ object StreamSketch {
     Option(new java.io.File(store).listFiles())
       .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
 
+  /** One-pass wave deal shared by [[runWaveReplay]] and
+    * [[runWaveReplayPhased]]. The previous deal scanned `src` once PER
+    * WAVE (`waves` full passes, each funneled through a single-task
+    * coalesce(1) write) — `waves` scan+write jobs for one fixture. This
+    * is ONE job: every row is tagged `__wave = splitKey mod waves`, a
+    * hash repartition on the wave id places each wave's rows in exactly
+    * one task (explicit numPartitions, so AQE never re-splits it), and
+    * the dynamic-partitioned write therefore emits exactly one `part-`
+    * file per non-empty wave. The files are then promoted into their
+    * target directory (`destOf` routes a wave to its phase dir for the
+    * phased runner) with the SAME ascending-mtime stamps as before.
+    * Wave membership (the mod rule — the gates' oracle-expressible
+    * DATA contract) and one-file-per-wave are unchanged; an EMPTY wave
+    * (impossible for the gate fixtures, conceivable for an adversarial
+    * spec frame) falls back to a schema-only single-file write so the
+    * wave→batch-id numbering is preserved. */
+  private def dealWaves(src: DataFrame, splitKey: String, waves: Int,
+      staged: String, destOf: Int => String): Unit = {
+    src.withColumn("__wave", pmod(col(splitKey), lit(waves)))
+      .repartition(waves, col("__wave"))
+      .write.partitionBy("__wave").parquet(staged)
+    (0 until waves).foreach { b =>
+      val dest = new java.io.File(destOf(b))
+      dest.mkdirs()
+      val wdir = new java.io.File(staged, s"__wave=$b")
+      val parts = Option(wdir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("part-"))
+      val files: Array[java.io.File] =
+        if (parts.nonEmpty) parts.map { f =>
+          val tgt = new java.io.File(dest,
+            f"part-w$b%04d-" + f.getName.stripPrefix("part-"))
+          java.nio.file.Files.move(f.toPath, tgt.toPath)
+          tgt
+        }
+        else {
+          val prior = Option(dest.listFiles()).map(_.map(_.getName).toSet)
+            .getOrElse(Set.empty[String])
+          src.limit(0).coalesce(1).write.mode("append").parquet(dest.getPath)
+          dest.listFiles().filter(f =>
+            f.getName.startsWith("part-") && !prior(f.getName))
+        }
+      files.foreach(f =>
+        require(f.setLastModified(1000000000000L + b * 60000L),
+          s"cannot set mtime on $f; file-replay order would be undefined"))
+    }
+    clearDir(staged)
+  }
+
   /** The deal-completion marker both replay scaffolds trust: created
     * AFTER the last wave's mtime is stamped, so its presence means the
     * full wave set is on disk. One metadata create — the s17 commit-
@@ -512,17 +550,7 @@ object StreamSketch {
     // the marker precedes the first checkpoint).
     if (!dealComplete(work)) {
       clearDir(splitDir)
-      var seen = Set.empty[String]
-      (0 until splitFiles).foreach { b =>
-        src.filter(pmod(col(splitKey), lit(splitFiles)) === b)
-          .coalesce(1).write.mode("append").parquet(splitDir)
-        val wave = new java.io.File(splitDir).listFiles()
-          .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
-        wave.foreach(f =>
-          require(f.setLastModified(1000000000000L + b * 60000L),
-            s"cannot set mtime on $f; file-replay order would be undefined"))
-        seen ++= wave.map(_.getName)
-      }
+      dealWaves(src, splitKey, splitFiles, s"$work/in_staged", _ => splitDir)
       markDealt(work)
     }
     val session = spark.newSession()

@@ -348,8 +348,9 @@ class StreamEquivSpec extends AnyFunSuite {
 
   test("s20 streaming radius alerts: per-arrival alert union ≡ batch s19, raised incrementally") {
     val batch = rows(graft.ops.SimilarityOps.s19AnnRadius(spark, sf))
-    val (streamDf, nBatches, perBatch) =
+    val (streamDf, nBatches, perBatchF) =
       graft.streaming.StreamAnnIngest.s20WithBatchCount(spark, sf)
+    val perBatch = perBatchF()
     assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles,
       s"replay ran $nBatches micro-batches — not incremental")
     assert(batch.nonEmpty)
@@ -372,8 +373,9 @@ class StreamEquivSpec extends AnyFunSuite {
     // cells must genuinely differ from the flat ones somewhere (else
     // the quantizer seam is vacuous on this fixture)
     val batch = rows(graft.ops.SimilarityOps.s29HierRadius(spark, sf))
-    val (streamDf, nBatches, perBatch) =
+    val (streamDf, nBatches, perBatchF) =
       graft.streaming.StreamAnnIngest.s30WithBatchCount(spark, sf)
+    val perBatch = perBatchF()
     assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles,
       s"replay ran $nBatches micro-batches — not incremental")
     assert(batch.nonEmpty)
@@ -422,8 +424,9 @@ class StreamEquivSpec extends AnyFunSuite {
     val survivors = graft.streaming.StreamAnnIngest.survivorFilter(
       all.select("vec_id", "v", "nrm", "label"))
     val batch = rows(ops.probeAssigned(ops.assignCells(survivors, seeds)))
-    val (streamDf, nBatches, drains) =
+    val (streamDf, nBatches, drainsF) =
       graft.streaming.StreamAnnIngest.s12WithBatchCount(spark, sf)
+    val drains = drainsF()
     assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles,
       s"replay ran $nBatches micro-batches — not incremental")
     // the ledger drains per batch: requests for not-yet-arrived vectors
@@ -444,8 +447,9 @@ class StreamEquivSpec extends AnyFunSuite {
     val survivors = graft.streaming.StreamAnnIngest.survivorFilter(
       all.select("vec_id", "v", "nrm", "label"))
     val batch = rows(ops.probeAssigned(ops.assignCells(survivors, seeds)))
-    val (compDf, nLive, nDropped) =
+    val (compDf, nLiveF, nDroppedF) =
       graft.streaming.StreamAnnIngest.s13WithStoreInfo(spark, sf)
+    val (nLive, nDropped) = (nLiveF(), nDroppedF())
     // compaction actually dropped the tombstoned rows from the store
     assert(nDropped > 0, "no tombstones were registered — vacuous compaction")
     assert(nLive == survivors.count(),
@@ -474,8 +478,9 @@ class StreamEquivSpec extends AnyFunSuite {
       all.select("vec_id", "v", "nrm", "label"))
     val batch = rows(ops.probeAssigned(
       ops.hierAssignCells(survivors, ops.ivfSeedCentroids(all), ops.HierSub)))
-    val (compDf, nBatches, drains, nLive, nDropped) =
+    val (compDf, nBatches, drainsF, nLiveF, nDroppedF) =
       graft.streaming.StreamAnnIngest.s25WithInfo(spark, sf)
+    val (drains, nLive, nDropped) = (drainsF(), nLiveF(), nDroppedF())
     assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles,
       s"replay ran $nBatches micro-batches — not incremental")
     // the ledger drains across batches (the out-of-order pending path)
@@ -513,8 +518,9 @@ class StreamEquivSpec extends AnyFunSuite {
           .otherwise(col("v")))
       .withColumn("nrm", sqrt(ops.dot(col("v"), col("v"))))
     val batch = rows(ops.probeAssigned(ops.assignCells(updated, seeds)))
-    val (streamDf, nBatches, nTombs, nSame, nMoved) =
+    val (streamDf, nBatches, nTombsF, nSameF, nMovedF) =
       graft.streaming.StreamAnnIngest.s16WithInfo(spark, sf)
+    val (nTombs, nSame, nMoved) = (nTombsF(), nSameF(), nMovedF())
     // 4 corpus batches + the update wave
     assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles + 1,
       s"replay ran $nBatches micro-batches — expected corpus batches + update wave")
@@ -548,8 +554,9 @@ class StreamEquivSpec extends AnyFunSuite {
       .withColumn("nrm", sqrt(ops.dot(col("v"), col("v"))))
     val batch = rows(ops.probeAssigned(
       ops.hierAssignCells(updated, ops.ivfSeedCentroids(all), ops.HierSub)))
-    val (streamDf, nBatches, nTombs, nSame, nMoved) =
+    val (streamDf, nBatches, nTombsF, nSameF, nMovedF) =
       graft.streaming.StreamAnnIngest.s27WithInfo(spark, sf)
+    val (nTombs, nSame, nMoved) = (nTombsF(), nSameF(), nMovedF())
     assert(nBatches == graft.streaming.StreamAnnIngest.SplitFiles + 1,
       s"replay ran $nBatches micro-batches — expected corpus batches + update wave")
     assert(nTombs > 0, "no prior entries were tombstoned — vacuous upsert run")
@@ -773,8 +780,9 @@ class StreamEquivSpec extends AnyFunSuite {
     // genuinely consolidate (half the waves → 1) and stay bounded at
     // 1 + batches-since after
     val half = graft.streaming.StreamAnnIngest.SplitFiles / 2
-    val (result, before, after, end, crossPhase) =
+    val (result, before, after, end, crossPhaseF) =
       graft.streaming.StreamSemDedup.d21WithStoreInfo(spark, sf)
+    val crossPhase = crossPhaseF()
     assert(before == half, s"phase A shipped $before store partitions, expected $half")
     assert(after == 1, s"compaction left $after partitions, expected 1")
     assert(end == 1 + half, s"post-phase listing $end, expected ${1 + half}")
@@ -931,8 +939,9 @@ class StreamEquivSpec extends AnyFunSuite {
     // must genuinely consolidate (half the waves → 1) and stay bounded
     // at 1 + batches-since after
     val half = graft.streaming.StreamSketch.SplitFiles / 2
-    val (result, before, after, end, crossPhase) =
+    val (result, before, after, end, crossPhaseF) =
       graft.streaming.StreamMediaDedup.m19WithStoreInfo(spark, sf)
+    val crossPhase = crossPhaseF()
     assert(before == half, s"phase A shipped $before store partitions, expected $half")
     assert(after == 1, s"compaction left $after partitions, expected 1")
     assert(end == 1 + half, s"post-phase listing $end, expected ${1 + half}")
@@ -1294,8 +1303,9 @@ class StreamEquivSpec extends AnyFunSuite {
     val survivors = graft.streaming.StreamAnnIngest.survivorFilter(
       all.select("vec_id", "v", "nrm", "label"))
     val batch = rows(ops.probeAssigned(ops.assignCells(survivors, seeds)))
-    val (served, compProbe, uncompProbe, nRetired, nPending) =
+    val (served, compProbe, uncompProbe, nRetiredF, nPendingF) =
       graft.streaming.StreamAnnIngest.s14WithBranches(spark, sf)
+    val (nRetired, nPending) = (nRetiredF(), nPendingF())
     // genuinely mixed state: tombstones were retired by the partial
     // rewrite AND are still being merged at query time on the remainder
     assert(nRetired > 0, "no tombstones in the compacted subset — vacuous partial compaction")
@@ -1338,8 +1348,9 @@ class StreamEquivSpec extends AnyFunSuite {
       all.select("vec_id", "v", "nrm", "label"))
     val batch = rows(ops.probeAssigned(
       ops.hierAssignCells(survivors, ops.ivfSeedCentroids(all), ops.HierSub)))
-    val (_, comp, uncomp, nRetired, nPending) =
+    val (_, comp, uncomp, nRetiredF, nPendingF) =
       graft.streaming.StreamAnnIngest.hierPartialCompactState(spark, sf)
+    val (nRetired, nPending) = (nRetiredF(), nPendingF())
     assert(nRetired > 0, "no tombstones in the compacted subset — vacuous partial compaction")
     assert(nPending > 0, "no tombstones left uncompacted — this is s25's endpoint, not a partial state")
     val compProbe = ops.probeAssigned(comp)
@@ -1376,8 +1387,9 @@ class StreamEquivSpec extends AnyFunSuite {
     val batch = rows(ops.probeAssignedMulti(
       ops.assignCells(survivors, seeds), seeds, np))
     assert(batch.nonEmpty)
-    val (served, nRetired, nPending) =
+    val (served, nRetiredF, nPendingF) =
       graft.streaming.StreamAnnIngest.s14MultiprobeMixed(spark, sf)
+    val (nRetired, nPending) = (nRetiredF(), nPendingF())
     // genuinely mixed state, as in the s14 case
     assert(nRetired > 0 && nPending > 0,
       s"not a mixed state (retired=$nRetired, pending=$nPending)")
