@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Throwaway measurement harness for the optimization round (not part of
-  * the declared surface; deleted before round end). Times decomposed
-  * phases of the expensive gates so optimization targets the measured
-  * term, not a guess. */
+/** Measurement harness for the optimization rounds (not part of the
+  * declared query surface): decomposed phase timers, 3-pass noop-sink
+  * A/B timing (`benchonly`), full-result md5 identity proofs (`hash`),
+  * plan dumps (`explain`), and a noise-immune Spark job/task counter
+  * (`jobs`). Kept committed so the second optimization round A/Bs
+  * against the same instruments. */
 object Scratch {
   def t[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime()
