@@ -117,6 +117,111 @@ object Scratch {
             java.nio.file.Paths.get(s"$outDir/$name.txt"), plan)
           System.err.println(s"[scratch] wrote $outDir/$name.txt")
         }
+      case "ledgerplan" =>
+        // before/after physical plans of the m16/m21 per-batch ledger
+        // folds over parquet-backed pair-set fixtures (the frames the
+        // product code builds inside foreachBatch — not dumpable from
+        // the gate-level explain). "after" explains the PRODUCT
+        // functions; "before" reconstructs the pre-r19 full-outer
+        // formulation verbatim (same expressions the old inline code
+        // held — see LedgerFoldSpec, which pins value-equivalence).
+        val outDir = args(1)
+        new java.io.File(outDir).mkdirs()
+        val work = java.nio.file.Files.createTempDirectory("graft_ledgerplan_").toString
+        val docs = graft.io.Sources.table(spark, sfDir, "documents").select("doc_id")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("a_id"), (col("doc_id") + 1).as("b_id"),
+            lit(3L).as("hamming"))
+          .write.parquet(s"$work/cur")
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("a_id"), (col("doc_id") + 1).as("b_id"),
+            lit(3L).as("hamming"))
+          .write.parquet(s"$work/prev")
+        val cur = spark.read.parquet(s"$work/cur")
+        val prev = spark.read.parquet(s"$work/prev")
+        def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/$name.txt"),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          System.err.println(s"[scratch] wrote $outDir/$name.txt")
+        }
+        dump("m16_ledger_after", graft.streaming.StreamMediaDedup.ledgerFrame(cur, prev))
+        locally { // pre-r19 m16 shape: full-outer + the same digest fold
+          val fo = cur.select(col("a_id"), col("b_id"), lit(true).as("now_in"))
+            .join(prev.select(col("a_id"), col("b_id"), lit(true).as("was_in")),
+              Seq("a_id", "b_id"), "full_outer")
+            .select(col("a_id"), col("b_id"),
+              coalesce(col("now_in"), lit(false)).as("now_in"),
+              coalesce(col("was_in"), lit(false)).as("was_in"))
+          val addedF = col("now_in") && !col("was_in")
+          val retractedF = !col("now_in") && col("was_in")
+          dump("m16_ledger_before", fo
+            .withColumn("sb", pmod(col("a_id"),
+              lit(graft.streaming.StreamMediaDedup.DigestBuckets)))
+            .groupBy("sb").agg(
+              sum(when(col("now_in"), 1L).otherwise(0L)).as("b_pairs"),
+              sum(when(addedF, 1L).otherwise(0L)).as("b_added"),
+              sum(when(retractedF, 1L).otherwise(0L)).as("b_retracted"))
+            .agg(coalesce(sum("b_pairs"), lit(0L)).as("n_pairs"),
+              coalesce(sum("b_added"), lit(0L)).as("n_added"),
+              coalesce(sum("b_retracted"), lit(0L)).as("n_retracted")))
+        }
+        val curC = cur.select(col("a_id"), col("b_id"), lit("both").as("now_ch"))
+        val prevC = prev.select(col("a_id"), col("b_id"), lit("image").as("was_ch"))
+        dump("m21_consensus_ledger_after",
+          graft.streaming.StreamMediaDedup.consensusLedgerFrame(curC, prevC))
+        locally { // pre-r19 m21 shape: full-outer + entering/leaving union
+          val fo = curC.join(prevC, Seq("a_id", "b_id"), "full_outer")
+          val entering = fo.filter(col("now_ch").isNotNull)
+            .select(col("now_ch").as("channel"), lit(1L).as("p"),
+              when(col("was_ch").isNull || col("was_ch") =!= col("now_ch"), 1L)
+                .otherwise(0L).as("a"), lit(0L).as("r"))
+          val leaving = fo.filter(col("was_ch").isNotNull &&
+              (col("now_ch").isNull || col("now_ch") =!= col("was_ch")))
+            .select(col("was_ch").as("channel"), lit(0L).as("p"),
+              lit(0L).as("a"), lit(1L).as("r"))
+          dump("m21_consensus_ledger_before", entering.unionByName(leaving)
+            .groupBy("channel")
+            .agg(sum("p").as("n_pairs"), sum("a").as("n_added"),
+              sum("r").as("n_retracted")))
+        }
+      case "blendplan" =>
+        // before/after physical plans of the p11/p12 per-batch blend
+        // ledger over a parquet-backed stats fixture (built inside
+        // foreachBatch — not dumpable from the gate-level explain).
+        // "after" explains the PRODUCT function; "before" reconstructs
+        // the pre-r19 persist + orderBy/limit(1) + broadcast crossJoin
+        // verbatim.
+        val outDir = args(1)
+        new java.io.File(outDir).mkdirs()
+        val work = java.nio.file.Files.createTempDirectory("graft_blendplan_").toString
+        graft.io.Sources.table(spark, sfDir, "documents")
+          .select(col("source"), (length(col("text")) / 4).cast("long").as("btok"))
+          .write.parquet(s"$work/stats")
+        val arrived = spark.read.parquet(s"$work/stats")
+        def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/$name.txt"),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          System.err.println(s"[scratch] wrote $outDir/$name.txt")
+        }
+        dump("p11_blend_ledger_after",
+          graft.streaming.BlendMonitor.blendLedgerFrame(arrived))
+        locally { // pre-r19 shape (persist dropped from the dump only —
+          // it marks the plan InMemoryRelation; the job split it caused
+          // is the jobs-counter evidence)
+          val tot = arrived
+            .groupBy("source").agg(sum("btok").as("tot"))
+            .withColumn("w", graft.ops.TextOps.sourceWeight(col("source")))
+          val m = tot
+            .orderBy((col("tot").cast("double") / col("w")).asc, col("source").asc)
+            .limit(1).select(col("tot").as("tot_m"), col("w").as("w_m"))
+          dump("p11_blend_ledger_before", tot.crossJoin(broadcast(m))
+            .withColumn("budget", expr("(w * tot_m) div w_m"))
+            .select("source", "w", "tot", "budget"))
+        }
       case "jobs" =>
         // noise-immune measurement: Spark jobs + tasks launched per gate
         // (one run each) — structural evidence that an optimization

@@ -28,6 +28,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_topk takes exactly 2 arguments")
         TopK(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_pq_encode takes exactly 2 arguments")
+        PqEncode(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[AdcSum].getName, "graft_adc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_adc takes exactly 2 arguments")
+        AdcSum(children.head, children(1))
+      }))
     // Spark ships BloomFilterAggregate/BloomFilterMightContain as INTERNAL
     // expressions (the machinery behind AQE's runtime bloom-join
     // injection) without registering them as callable functions. Surface

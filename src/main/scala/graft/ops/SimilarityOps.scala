@@ -643,20 +643,137 @@ object SimilarityOps {
           coalesce(col("h"), lit(0L)).as("hits"),
           r4(coalesce(col("h"), lit(0L)) / 3.0).as("recall"))
     }
+    // ---- shared corpus-side artifacts (r19) -------------------------
+    // Before r19 every method branch re-planned its OWN corpus
+    // assignment/encode over the checkpointed frame: 3 ivf branches ×
+    // rankedCells, 3 PQ branches × (assign + encode + rnrm), 2 hier
+    // branches × the two-level fold — six full-corpus assignment/encode
+    // subtrees in one plan (the s4 dump). Each artifact below is
+    // derived ONCE and checkpointed (assign-once/encode-once — the
+    // shape the ingest stores persist at 100 TB), and the query-side
+    // fan-outs are PREFIXES of one ranked list, so every branch slices
+    // the same tiny query frame. Branch SCORING is expression-identical
+    // to the standalone gates', so recall rows are bit-identical
+    // (hash-proven; the sf0.01 oracle re-checks per branch).
+    val cents = ivfSeedCentroids(all)
+      .select(struct(col("c_id"), col("cv"), col("cn")).as("cent"))
+      .agg(array_sort(collect_list(col("cent"))).as("cents"))
+      .localCheckpoint()
+    val cb = pqCodebook(all).localCheckpoint()
+    // one flat-IVF corpus assignment (top-1 is nprobe-free) feeds the
+    // ivf probes, the PQ encode, and the residual branch's base
+    val ivfAssigned = all.crossJoin(broadcast(cents))
+      .withColumn("cell",
+        element_at(rankedCells(col("cents"), col("v"), col("nrm"), 1), 1))
+      .drop("cents") // never materialize the 16-centroid array per row
+      .localCheckpoint()
+    // query-side ranked cells at the battery's max fan-out (4); each
+    // nprobe branch explodes a PREFIX slice of the same array
+    val qCells = all.filter(col("label") === 1).crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        rankedCells(col("cents"), col("v"), col("nrm"), 4).as("cells4"))
+      .localCheckpoint()
+    def ivfBranch(nprobe: Int): DataFrame = {
+      val q = qCells.select(col("q_id"), col("qv"), col("qn"),
+        explode(slice(col("cells4"), 1, nprobe)).as("cell"))
+      val pairs = ivfAssigned.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+    }
+    // one PQ encode of the corpus (codes + reconstructed norm, cell
+    // riding along) feeds the pq, ivfpq, and ivfpq_rr branches; the
+    // checkpoint holds codes, never floats
+    val pqEnc = ivfAssigned.crossJoin(broadcast(cb))
+      .withColumn("codes", pqCodes(col("cbs"), col("v")))
+      .withColumn("rnrm", rnrmCol(col("cbn"), col("codes")))
+      .select("vec_id", "label", "nrm", "cell", "codes", "rnrm")
+      .localCheckpoint()
+    val qPq = qCells.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("qn"), element_at(col("cells4"), 1).as("cell"),
+        lutCol(col("cbs"), col("qv")).as("lut"))
+      .localCheckpoint()
+    val pqBranch = {
+      val pairs = pqEnc.join(broadcast(qPq.drop("cell")),
+          col("vec_id") =!= col("q_id"))
+        .withColumn("c",
+          adcCol(col("lut"), col("codes")) / (col("qn") * col("rnrm")))
+      val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+    }
+    // ONE ADC ranking serves both ivfpq (rnk ≤ 3 is a prefix of
+    // rnk ≤ RerankR) and the re-rank shortlist — the output-sized
+    // Q × RerankR frame is the only thing checkpointed
+    val ranked = {
+      val pairs = pqEnc.select("vec_id", "cell", "codes", "rnrm")
+        .join(broadcast(qPq), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("c",
+          adcCol(col("lut"), col("codes")) / (col("qn") * col("rnrm")))
+      val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= RerankR)
+        .select("q_id", "vec_id", "rnk")
+        .localCheckpoint()
+    }
+    val ivfpqBranch = ranked.filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val rrBranch = {
+      val short = ranked
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      val qv = all.filter(col("label") === 1)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val corpus = all.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"))
+      val ex = short.join(corpus, Seq("n_id")).join(broadcast(qv), Seq("q_id"))
+        .withColumn("c", ipFold(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("n_id"))
+      ex.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id"))
+    }
+    // residual branch: reuses the shared corpus assignment; the
+    // residual encode itself stays branch-local (its codes differ)
+    val resBranch = s8ScanCont(ivfAssigned.crossJoin(broadcast(cents)),
+      res => pqCodebook(res, lo = IvfCells))
+    // hier: one two-level assignment + one query group-ranking at the
+    // max fan-out (2), sliced per branch
+    val harr = hierCentArr(ivfSeedCentroids(all), HierSub).localCheckpoint()
+    val hAssigned = hierAssignWithCodebook(all, harr).localCheckpoint()
+    val hQueries = all.filter(col("label") === 1).crossJoin(broadcast(harr))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        hierQueryCells(col("groups"), col("v"), col("nrm"), 2).as("hcells2"))
+      .localCheckpoint()
+    def hierBranch(gprobe: Int): DataFrame = {
+      val q = hQueries.select(col("q_id"), col("qv"), col("qn"),
+        explode(slice(col("hcells2"), 1, gprobe)).as("cell"))
+      val pairs = hAssigned.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+    }
     recallOf(s2From(all), "bucket")
-      .unionByName(recallOf(s3ProbeFrom(all, nprobe = 1), "ivf"))
-      .unionByName(recallOf(s3ProbeFrom(all, nprobe = 2), "ivf_np2"))
-      .unionByName(recallOf(s3ProbeFrom(all, nprobe = 4), "ivf_np4"))
-      .unionByName(recallOf(s5From(all), "pq"))
-      .unionByName(recallOf(s6From(all), "ivfpq"))
-      .unionByName(recallOf(s8From(all), "ivfpq_res"))
-      .unionByName(recallOf(s9From(all), "ivfpq_rr"))
+      .unionByName(recallOf(ivfBranch(1), "ivf"))
+      .unionByName(recallOf(ivfBranch(2), "ivf_np2"))
+      .unionByName(recallOf(ivfBranch(4), "ivf_np4"))
+      .unionByName(recallOf(pqBranch, "pq"))
+      .unionByName(recallOf(ivfpqBranch, "ivfpq"))
+      .unionByName(recallOf(resBranch, "ivfpq_res"))
+      .unionByName(recallOf(rrBranch, "ivfpq_rr"))
       // the hierarchical quantizer's recall trade, measured in the same
       // battery that prices every other path: hier (gprobe=1, s22's
       // probe) shows the 2√k assignment's cost; hier_np2 (top-2 GROUPS)
       // measures the documented recovery lever against flat ivf/ivf_np2
-      .unionByName(recallOf(hierProbeFrom(all, 1), "hier"))
-      .unionByName(recallOf(hierProbeFrom(all, 2), "hier_np2"))
+      .unionByName(recallOf(hierBranch(1), "hier"))
+      .unionByName(recallOf(hierBranch(2), "hier_np2"))
       .orderBy("q_id", "method")
   }
 
@@ -726,9 +843,6 @@ object SimilarityOps {
   private def ipFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def l2Fold(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
-
   /** The codebook as one single-row frame: `cbs[m][k]` = the k-th
     * sub-centroid of subspace m (nested array literal, KBs — attached to
     * every row by a 1-row broadcast, the ivfProbe centroid pattern). */
@@ -741,15 +855,43 @@ object SimilarityOps {
       // after the k-sort, strip to the nested [m][k] layout: outer = m
       .select(transform(sequence(lit(0), lit(PqM - 1)),
         m => transform(col("e"), e => element_at(e.getField("subs"), m + 1))).as("cbs"))
+      .withColumn("cbn", codebookNorms(col("cbs")))
+
+  /** Per-entry squared norms of a codebook — cbn[m][k] = ‖c_{m,k}‖²,
+    * computed ONCE in the one-row codebook frame so the per-corpus-row
+    * reconstructed norm is a [[rnrmCol]] table lookup instead of M
+    * re-folded inner products per row. Entry values are the identical
+    * ipFold the per-row form computed, so norms are bit-unchanged. */
+  private def codebookNorms(cbs: Column): Column =
+    transform(cbs, cbm => transform(cbm, c => ipFold(c, c)))
 
   /** PQ-encode: per subspace, the L2-argmin code against the codebook —
-    * `list_position(dists, min(dists))` picks the lowest-k tie
-    * deterministically in both engines. Pure narrow map. */
+    * lowest-k tie, deterministic in both engines. Pure narrow map,
+    * compiled by [[graft.functions.PqEncode]] into the generated stage
+    * (the HOF formulation it replaces — `array_position(dists,
+    * array_min(dists)) - 1` over a transform/aggregate distance chain —
+    * was CodegenFallback end to end; bit-identical by PqEncodeSpec). */
   private def pqCodes(cbs: Column, v: Column): Column =
-    transform(sequence(lit(0), lit(PqM - 1)), m => {
-      val dists = transform(element_at(cbs, m + 1), c => l2Fold(subVec(v, m), c))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
+    call_function("graft_pq_encode", cbs, v)
+
+  /** The per-query ADC lookup table against a codebook: lut[m][k] =
+    * ⟨q_m, c_{m,k}⟩ — computed once per query row, never per pair. */
+  private def lutCol(cbs: Column, v: Column): Column =
+    transform(cbs, (cbm, m) => transform(cbm, c => ipFold(subVec(v, m), c)))
+
+  /** ADC score of one coded corpus row against a per-query lookup
+    * table: Σ_m lut[m][code_m], the left fold the oracle replays —
+    * the per-PAIR kernel, compiled by [[graft.functions.AdcSum]]. */
+  private def adcCol(lut: Column, codes: Column): Column =
+    call_function("graft_adc", lut, codes)
+
+  /** Reconstructed norm from (norms table, codes) alone:
+    * sqrt(Σ_m cbn[m][code_m]) = sqrt(Σ_m ‖c_{m,code_m}‖²) — the same
+    * left fold as the ADC itself, against the per-codebook ‖c‖² table
+    * ([[codebookNorms]], computed once in the one-row codebook frame)
+    * instead of re-folding M inner products per corpus row. */
+  private def rnrmCol(cbn: Column, codes: Column): Column =
+    sqrt(call_function("graft_adc", cbn, codes))
 
   /** s5 PQ-ANN: asymmetric-distance (ADC) top-3 (product quantization —
     * Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
@@ -788,22 +930,14 @@ object SimilarityOps {
     val coded = all.crossJoin(broadcast(codebook))
       .withColumn("codes", pqCodes(col("cbs"), col("v")))
       // reconstructed norm: sqrt(Σ_m ||c_{m,code_m}||²) — codes-only
-      .withColumn("rnrm", sqrt(aggregate(
-        transform(col("codes"), (cd, m) => {
-          val c = element_at(element_at(col("cbs"), m + 1), cd + 1)
-          ipFold(c, c)
-        }), lit(0.0), (acc, x) => acc + x)))
-      .drop("cbs")
+      .withColumn("rnrm", rnrmCol(col("cbn"), col("codes")))
+      .drop("cbs", "cbn")
     val q = all.crossJoin(broadcast(codebook))
       .filter(col("label") === 1)
       .select(col("vec_id").as("q_id"), col("nrm").as("qn"),
-        transform(col("cbs"), (cbm, m) =>
-          transform(cbm, c => ipFold(subVec(col("v"), m), c))).as("lut"))
+        lutCol(col("cbs"), col("v")).as("lut"))
     val pairs = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("adc", aggregate(
-        transform(col("codes"), (cd, m) =>
-          element_at(element_at(col("lut"), m + 1), cd + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", adcCol(col("lut"), col("codes")))
       .withColumn("c", col("adc") / (col("qn") * col("rnrm")))
     val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
     pairs.withColumn("rnk", row_number().over(w).cast("long"))
@@ -859,6 +993,7 @@ object SimilarityOps {
       val cbs: Seq[Seq[Seq[Double]]] =
         Await.result(Future.sequence(fits), Duration(10, "min"))
       all.sparkSession.range(1).select(typedLit(cbs).as("cbs"))
+        .withColumn("cbn", codebookNorms(col("cbs")))
     } finally subs.unpersist(blocking = false)
   }
 
@@ -898,24 +1033,16 @@ object SimilarityOps {
       .crossJoin(broadcast(centArr)).crossJoin(broadcast(pqCodebook(all)))
       .withColumn("cell", element_at(rankedCells(col("cents"), col("v"), col("nrm"), 1), 1))
       .withColumn("codes", pqCodes(col("cbs"), col("v")))
-      .withColumn("rnrm", sqrt(aggregate(
-        transform(col("codes"), (cd, m) => {
-          val c = element_at(element_at(col("cbs"), m + 1), cd + 1)
-          ipFold(c, c)
-        }), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("rnrm", rnrmCol(col("cbn"), col("codes")))
     // s5's per-query ADC lookup table: lut[m][k] = <q_m, c_{m,k}>,
     // computed once per query — corpus rows are scored by lookups only
     val q = coded.filter(col("label") === 1)
       .select(col("vec_id").as("q_id"), col("nrm").as("qn"), col("cell"),
-        transform(col("cbs"), (cbm, m) =>
-          transform(cbm, c => ipFold(subVec(col("v"), m), c))).as("lut"))
+        lutCol(col("cbs"), col("v")).as("lut"))
     val pairs = coded.select("vec_id", "cell", "codes", "rnrm")
       .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc", aggregate(
-        transform(col("codes"), (cd, m) =>
-          element_at(element_at(col("lut"), m + 1), cd + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", adcCol(col("lut"), col("codes")))
       .withColumn("c", col("adc") / (col("qn") * col("rnrm")))
     val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
     pairs.withColumn("rnk", row_number().over(w).cast("long"))
@@ -1014,11 +1141,21 @@ object SimilarityOps {
     val centArr = seeds
       .select(struct(col("c_id"), col("cv"), col("cn")).as("cent"))
       .agg(array_sort(collect_list(col("cent"))).as("cents"))
+    s8ScanCont(all.crossJoin(broadcast(centArr))
+      .withColumn("cell", element_at(rankedCells(col("cents"), col("v"), col("nrm"), 1), 1)),
+      cbOf)
+  }
+
+  /** The residual scan CONTINUATION from an already cell-assigned frame
+    * that still carries the `cents` column — the seam the s4/s7/s10
+    * battery uses to feed the SHARED corpus assignment into the
+    * residual branch (standalone s8/x7 arrive here through [[s8Scan]]
+    * with the identical single-crossJoin plan as before r19). */
+  private def s8ScanCont(withCents: DataFrame, cbOf: DataFrame => DataFrame): DataFrame = {
     // assign, then subtract the own-cell centroid: the residual map.
     // cells are the seed vec_ids 0..IvfCells-1 and cents is c_id-sorted,
     // so cell n's centroid is cents[n]
-    val base = all.crossJoin(broadcast(centArr))
-      .withColumn("cell", element_at(rankedCells(col("cents"), col("v"), col("nrm"), 1), 1))
+    val base = withCents
       .withColumn("cv",
         element_at(col("cents"), col("cell").cast("int") + 1).getField("cv"))
       .withColumn("r", zip_with(col("v"), col("cv"), (a, b) => a - b))
@@ -1042,15 +1179,11 @@ object SimilarityOps {
     val q = coded.filter(col("label") === 1)
       .select(col("vec_id").as("q_id"), col("nrm").as("qn"), col("cell"),
         ipFold(col("v"), col("cv")).as("qc"),
-        transform(col("cbs"), (cbm, m) =>
-          transform(cbm, e => ipFold(subVec(col("v"), m), e))).as("lut"))
+        lutCol(col("cbs"), col("v")).as("lut"))
     val pairs = coded.select("vec_id", "cell", "codes", "encnorm")
       .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc", col("qc") + aggregate(
-        transform(col("codes"), (cd, m) =>
-          element_at(element_at(col("lut"), m + 1), cd + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", col("qc") + adcCol(col("lut"), col("codes")))
       .withColumn("c", col("adc") / (col("qn") * col("encnorm")))
     val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
     pairs.withColumn("rnk", row_number().over(w).cast("long"))

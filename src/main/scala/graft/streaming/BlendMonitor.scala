@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources
@@ -172,21 +173,40 @@ object BlendMonitor {
       .write.mode("overwrite").parquet(s"$stats/batch_id=$batchId")
     // arrived totals THROUGH this batch (<= includes the partial just
     // written — overwrite makes the retry read the same rows), then
-    // p9's blend rule over the sources-sized frame: binding source by
-    // (tot/w, source), integer budgets, one ledger row per source
-    val tot = session.read.parquet(stats)
-      .filter(col("batch_id") <= batchId).drop("batch_id")
+    // p9's blend rule over the sources-sized frame
+    blendLedgerFrame(
+      session.read.parquet(stats)
+        .filter(col("batch_id") <= batchId).drop("batch_id"))
+      .write.mode("overwrite").parquet(s"$ledger/batch_id=$batchId")
+  }
+
+  /** One batch's blend-ledger rows from the arrived stats partials:
+    * per-source arrived totals, then p9's blend rule — binding source
+    * by (tot/w, source), integer budgets, one ledger row per source.
+    * Extracted so the r19 plan dumps exercise exactly the product code.
+    *
+    * Shape (r19): the binding source is found by ONE windowed min over
+    * the sources-sized frame (struct ordering ≡ the
+    * orderBy (tot/w asc, source asc) + limit(1) it replaces — source
+    * is unique after the groupBy, so the tiebreak never reaches the
+    * trailing fields), so the ledger write is a single job — the
+    * previous persist + orderBy/limit(1) + broadcast crossJoin shape
+    * paid a cache materialization and a separate broadcast-build job
+    * per batch for the same sources-sized result (§1.2). The single-
+    * partition window is exact-by-construction: the frame is one row
+    * per arrived source, never corpus-sized. */
+  private[graft] def blendLedgerFrame(arrivedStats: DataFrame): DataFrame = {
+    val mm = min(struct(
+        (col("tot").cast("double") / col("w")).as("rk"), col("source").as("ms"),
+        col("tot").as("tot_m"), col("w").as("w_m")))
+      .over(Window.partitionBy())
+    arrivedStats
       .groupBy("source").agg(sum("btok").as("tot"))
       .withColumn("w", TextOps.sourceWeight(col("source")))
-      .persist()
-    try {
-      val m = tot
-        .orderBy((col("tot").cast("double") / col("w")).asc, col("source").asc)
-        .limit(1).select(col("tot").as("tot_m"), col("w").as("w_m"))
-      tot.crossJoin(broadcast(m))
-        .withColumn("budget", expr("(w * tot_m) div w_m"))
-        .select("source", "w", "tot", "budget")
-        .write.mode("overwrite").parquet(s"$ledger/batch_id=$batchId")
-    } finally { tot.unpersist(); () }
+      .withColumn("m", mm)
+      .withColumn("tot_m", col("m").getField("tot_m"))
+      .withColumn("w_m", col("m").getField("w_m"))
+      .withColumn("budget", expr("(w * tot_m) div w_m"))
+      .select("source", "w", "tot", "budget")
   }
 }

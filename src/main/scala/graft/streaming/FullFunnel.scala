@@ -294,6 +294,12 @@ object FullFunnel {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
+      // NO eager primer here (unlike d12/d20): A/B'd in r19 — priming
+      // flagged+sh cost +7 jobs, priming sh alone +1 job and +9 % wall
+      // (min-of-3, same host). p3's four writes stagger naturally: the
+      // keys write materializes `flagged` and the bands write `sh`
+      // while the labels write is still deep in its candidate subplans,
+      // so the cache race d12 measured never bites here.
       val writes = Seq(
         Future { labeled.write.mode("overwrite")
           .parquet(s"${st.labels}/batch_id=$batchId") },

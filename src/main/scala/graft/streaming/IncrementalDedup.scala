@@ -169,6 +169,11 @@ object IncrementalDedup {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
+        // materialize the shared persisted frame BEFORE forking: the
+        // three writes all read `sh`, and racing its first
+        // materialization duplicates partition computes under the cache
+        // lock (r18 measured d12 jobs 95→99 from exactly this)
+        sh.count(): Unit
         val writes = Seq(
           Future { verified.write.mode("overwrite")
             .parquet(s"$pairStore/batch_id=$batchId") },

@@ -72,12 +72,25 @@ object StreamAnnIngest {
     val work = Files.createTempDirectory("graft_annstream_").toString
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
-    all.select("vec_id", "v", "nrm", "label")
-      .repartitionByRange(SplitFiles, orderExpr)
-      .write.parquet(splitDir)
-    // the offline quantizer artifact: written once, read by every batch
+    // the two setup writes are independent (disjoint paths, both read
+    // only the source table) — overlap them (§2.6) so the quantizer
+    // build back-fills the split write's task tail; ready-all-before-
+    // result-all so a failed write can't leak a sibling into a retry
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Future { all.select("vec_id", "v", "nrm", "label")
+          .repartitionByRange(SplitFiles, orderExpr)
+          .write.parquet(splitDir) },
+        // the offline quantizer artifact: written once, read by every batch
+        Future { SimilarityOps.ivfSeedCentroids(all).coalesce(1)
+          .write.parquet(s"$work/quantizer") })
+      writes.foreach(Await.ready(_, Duration.Inf))
+      writes.foreach(Await.result(_, Duration.Inf))
+    }
     val seedsPath = s"$work/quantizer"
-    SimilarityOps.ivfSeedCentroids(all).coalesce(1).write.parquet(seedsPath)
     val store = s"$work/index"
     val session = spark.newSession()
     val q = session.readStream
@@ -259,12 +272,22 @@ object StreamAnnIngest {
     val work = Files.createTempDirectory("graft_hierannstream_").toString
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
-    all.select("vec_id", "v", "nrm", "label")
-      .repartitionByRange(SplitFiles, orderExpr)
-      .write.parquet(splitDir)
-    // the offline artifact: the TWO-LEVEL codebook, one nested row
     val cbPath = s"$work/codebook"
-    writeCodebook(all, cbPath)
+    // independent setup writes (disjoint paths, source-table reads
+    // only): overlap them (§2.6), ready-all fence before result-all
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Future { all.select("vec_id", "v", "nrm", "label")
+          .repartitionByRange(SplitFiles, orderExpr)
+          .write.parquet(splitDir) },
+        // the offline artifact: the TWO-LEVEL codebook, one nested row
+        Future { writeCodebook(all, cbPath) })
+      writes.foreach(Await.ready(_, Duration.Inf))
+      writes.foreach(Await.result(_, Duration.Inf))
+    }
     val store = s"$work/index"
     val session = spark.newSession()
     val q = session.readStream
@@ -387,14 +410,25 @@ object StreamAnnIngest {
     val work = Files.createTempDirectory("graft_annstream_del_").toString
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
-    all.select("vec_id", "v", "nrm", "label")
-      .repartitionByRange(SplitFiles, col("vec_id"))
-      .write.parquet(splitDir)
     val seedsPath = s"$work/quantizer"
-    SimilarityOps.ivfSeedCentroids(all).coalesce(1).write.parquet(seedsPath)
-    // the standing request ledger, written once like a queue snapshot
     val reqPath = s"$work/delete_requests"
-    deleteRequests(all).coalesce(1).write.parquet(reqPath)
+    // three independent setup writes (disjoint paths, source-table
+    // reads only): overlap them (§2.6), ready-all fence first
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Future { all.select("vec_id", "v", "nrm", "label")
+          .repartitionByRange(SplitFiles, col("vec_id"))
+          .write.parquet(splitDir) },
+        Future { SimilarityOps.ivfSeedCentroids(all).coalesce(1)
+          .write.parquet(seedsPath) },
+        // the standing request ledger, written once like a queue snapshot
+        Future { deleteRequests(all).coalesce(1).write.parquet(reqPath) })
+      writes.foreach(Await.ready(_, Duration.Inf))
+      writes.foreach(Await.result(_, Duration.Inf))
+    }
     val store = s"$work/index"
     val tombs = s"$work/tombstones"
     val session = spark.newSession()
@@ -660,23 +694,38 @@ object StreamAnnIngest {
     val work = Files.createTempDirectory("graft_annstream_ups_").toString
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
-    all.select("vec_id", "v", "nrm", "label")
-      .repartitionByRange(SplitFiles, col("vec_id"))
-      .write.parquet(splitDir)
-    val origFiles = new java.io.File(splitDir).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    // the update wave: new versions of already-streamed vectors, landing
-    // as the LAST arrival (mtime-stamped — see the ordering precondition)
-    updatedVersions(all).coalesce(1)
-      .write.mode("append").parquet(splitDir)
-    val updFiles = new java.io.File(splitDir).listFiles()
-      .filter(f => f.getName.startsWith("part-") && !origFiles.contains(f))
-    (origFiles ++ updFiles).zipWithIndex.foreach { case (f, i) =>
-      require(f.setLastModified(1000000000000L + i * 60000L),
-        s"cannot set mtime on $f; file-replay order would be undefined")
-    }
     val seedsPath = s"$work/quantizer"
-    writeArtifact(all, seedsPath)
+    // the quantizer build is independent of the whole split-dir
+    // sequence (disjoint paths, source-table reads only): overlap it
+    // with the split write + update-wave append + mtime stamping
+    // (§2.6); ready-all fence before result-all
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Future {
+          all.select("vec_id", "v", "nrm", "label")
+            .repartitionByRange(SplitFiles, col("vec_id"))
+            .write.parquet(splitDir)
+          val origFiles = new java.io.File(splitDir).listFiles()
+            .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          // the update wave: new versions of already-streamed vectors,
+          // landing as the LAST arrival (mtime-stamped — see the
+          // ordering precondition)
+          updatedVersions(all).coalesce(1)
+            .write.mode("append").parquet(splitDir)
+          val updFiles = new java.io.File(splitDir).listFiles()
+            .filter(f => f.getName.startsWith("part-") && !origFiles.contains(f))
+          (origFiles ++ updFiles).zipWithIndex.foreach { case (f, i) =>
+            require(f.setLastModified(1000000000000L + i * 60000L),
+              s"cannot set mtime on $f; file-replay order would be undefined")
+          }
+        },
+        Future { writeArtifact(all, seedsPath) })
+      writes.foreach(Await.ready(_, Duration.Inf))
+      writes.foreach(Await.result(_, Duration.Inf))
+    }
     val store = s"$work/index"
     val tombs = s"$work/tombstones"
     val session = spark.newSession()
@@ -942,16 +991,26 @@ object StreamAnnIngest {
     val work = Files.createTempDirectory("graft_hierannstream_del_").toString
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
-    all.select("vec_id", "v", "nrm", "label")
-      .repartitionByRange(SplitFiles, col("vec_id"))
-      .write.parquet(splitDir)
     val cbPath = s"$work/codebook"
-    val seeds = all.filter(col("vec_id") < SimilarityOps.IvfCells)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    SimilarityOps.hierCentArr(seeds, SimilarityOps.HierSub)
-      .coalesce(1).write.parquet(cbPath)
     val reqPath = s"$work/delete_requests"
-    deleteRequests(all).coalesce(1).write.parquet(reqPath)
+    // three independent setup writes (disjoint paths, source-table
+    // reads only): overlap them (§2.6), ready-all fence first
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val seeds = all.filter(col("vec_id") < SimilarityOps.IvfCells)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val writes = Seq(
+        Future { all.select("vec_id", "v", "nrm", "label")
+          .repartitionByRange(SplitFiles, col("vec_id"))
+          .write.parquet(splitDir) },
+        Future { SimilarityOps.hierCentArr(seeds, SimilarityOps.HierSub)
+          .coalesce(1).write.parquet(cbPath) },
+        Future { deleteRequests(all).coalesce(1).write.parquet(reqPath) })
+      writes.foreach(Await.ready(_, Duration.Inf))
+      writes.foreach(Await.result(_, Duration.Inf))
+    }
     val store = s"$work/index"
     val tombs = s"$work/tombstones"
     val session = spark.newSession()
@@ -1056,17 +1115,30 @@ object StreamAnnIngest {
     val work = Files.createTempDirectory("graft_annstream_radius_").toString
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
-    all.select("vec_id", "v", "nrm", "label")
-      .repartitionByRange(SplitFiles, col("vec_id"))
-      .write.parquet(splitDir)
     val artPath = s"$work/quantizer"
-    writeQuantizer(all, artPath)
-    // the offline watchlist artifact: queries with their cells, once
     val watchPath = s"$work/watchlist"
-    assign(all.filter(col("label") === 1), spark.read.parquet(artPath))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cell"))
-      .coalesce(1).write.parquet(watchPath)
+    // two independent setup CHAINS (the watchlist must follow the
+    // quantizer it assigns under; the split write needs neither):
+    // overlap them (§2.6), ready-all fence first
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Future { all.select("vec_id", "v", "nrm", "label")
+          .repartitionByRange(SplitFiles, col("vec_id"))
+          .write.parquet(splitDir) },
+        Future {
+          writeQuantizer(all, artPath)
+          // the offline watchlist artifact: queries with their cells, once
+          assign(all.filter(col("label") === 1), spark.read.parquet(artPath))
+            .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("nrm").as("qn"), col("cell"))
+            .coalesce(1).write.parquet(watchPath)
+        })
+      writes.foreach(Await.ready(_, Duration.Inf))
+      writes.foreach(Await.result(_, Duration.Inf))
+    }
     val alerts = s"$work/alerts"
     val session = spark.newSession()
     val q = session.readStream

@@ -148,6 +148,9 @@ object StreamFunnel {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
+        // no eager primer (the d12 rule doesn't bite here — A/B'd in
+        // r19: jobs and wall both unchanged with one; the keys write
+        // materializes `flagged` before the labels write needs it)
         val writes = Seq(
           Future { labeled.write.mode("overwrite")
             .parquet(s"$labelStore/batch_id=$batchId") },

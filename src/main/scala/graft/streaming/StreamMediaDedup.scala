@@ -248,8 +248,19 @@ object StreamMediaDedup {
     def curOf(path: String, ham: String): DataFrame =
       session.read.parquet(s"$path/batch_id=$batchId")
         .select(col("a_id"), col("b_id"), col("hamming").as(ham))
+    // channel-tagged merge of the two pair SETS as union + one
+    // aggregation instead of a full-outer join (the m16 ledger move:
+    // full outer cannot broadcast — 2 Exchanges + 2 Sorts + SMJ become
+    // one hash exchange; each side holds ≤ 1 row per pair, so the
+    // max-fold reconstructs exactly the joined (img, aud) hamming pair,
+    // nulls where a side is absent)
     curOf(imgCur, "img_hamming")
-      .join(curOf(audCur, "aud_hamming"), Seq("a_id", "b_id"), "full_outer")
+      .withColumn("aud_hamming", lit(null).cast("long"))
+      .unionByName(curOf(audCur, "aud_hamming")
+        .withColumn("img_hamming", lit(null).cast("long")))
+      .groupBy("a_id", "b_id")
+      .agg(max("img_hamming").as("img_hamming"),
+        max("aud_hamming").as("aud_hamming"))
       .select(col("a_id"), col("b_id"),
         when(col("img_hamming").isNotNull && col("aud_hamming").isNotNull, "both")
           .when(col("img_hamming").isNotNull, "image")
@@ -265,28 +276,53 @@ object StreamMediaDedup {
           col("now_ch").as("was_ch"))
       else session.read.parquet(s"$consStore/batch_id=${batchId - 1}")
         .select(col("a_id"), col("b_id"), col("channel").as("was_ch"))
-    val fo = cur.join(prev, Seq("a_id", "b_id"), "full_outer")
-    // PER-CHANNEL deltas: n_added counts pairs ENTERING channel c this
-    // batch (new pair, or a flip landing in c), n_retracted pairs
-    // LEAVING c (gone, or flipped away) — so a flip is visible as a
-    // paired leave+enter across two channels in one batch, and
-    // membership conserves per channel:
-    // n_pairs(b, c) = n_pairs(b−1, c) + n_added − n_retracted.
-    // One union of two channel-keyed contributions, aggregated on a
-    // ≤ 3-value key — output-sized, like the diff itself.
-    val entering = fo.filter(col("now_ch").isNotNull)
-      .select(col("now_ch").as("channel"), lit(1L).as("p"),
-        when(col("was_ch").isNull || col("was_ch") =!= col("now_ch"), 1L)
-          .otherwise(0L).as("a"), lit(0L).as("r"))
-    val leaving = fo.filter(col("was_ch").isNotNull &&
-        (col("now_ch").isNull || col("now_ch") =!= col("was_ch")))
-      .select(col("was_ch").as("channel"), lit(0L).as("p"),
-        lit(0L).as("a"), lit(1L).as("r"))
-    entering.unionByName(leaving)
+    consensusLedgerFrame(cur, prev)
+      .write.mode("overwrite").parquet(s"$consLed/batch_id=$batchId")
+  }
+
+  /** The per-channel delta ledger row set for one consensus batch:
+    * `cur` = (a_id, b_id, now_ch), `prev` = (a_id, b_id, was_ch) — the
+    * two COMMITTED channel-tagged sets. Extracted so the r19 plan dumps
+    * and the fold-equivalence spec exercise exactly the product code.
+    *
+    * Shape (r19): the (now_ch, was_ch) diff is union + ONE max-fold
+    * aggregation, and ONE pass over it emits both channel-keyed
+    * contributions per pair (enter into now_ch, leave out of was_ch —
+    * ≤ 2 rows via one explode). The previous entering/leaving union
+    * over a shared full-outer re-planned the diff JOIN twice (Catalyst
+    * pushes each branch's isNotNull into its copy, degrading them to a
+    * left- and a right-outer — both committed sets were scanned and
+    * joined twice per batch; plans/r19/m21_consensus_ledger_*.txt).
+    *
+    * PER-CHANNEL deltas: n_added counts pairs ENTERING channel c this
+    * batch (new pair, or a flip landing in c), n_retracted pairs
+    * LEAVING c (gone, or flipped away) — so a flip is visible as a
+    * paired leave+enter across two channels in one batch, and
+    * membership conserves per channel:
+    * n_pairs(b, c) = n_pairs(b−1, c) + n_added − n_retracted.
+    * Aggregated on a ≤ 3-value key — output-sized, like the diff. */
+  private[graft] def consensusLedgerFrame(cur: DataFrame, prev: DataFrame)
+      : DataFrame = {
+    val fo = cur.withColumn("was_ch", lit(null).cast("string"))
+      .unionByName(prev.withColumn("now_ch", lit(null).cast("string")))
+      .groupBy("a_id", "b_id")
+      .agg(max("now_ch").as("now_ch"), max("was_ch").as("was_ch"))
+    val contrib = fo.select(explode(array(
+        when(col("now_ch").isNotNull,
+          struct(col("now_ch").as("channel"), lit(1L).as("p"),
+            when(col("was_ch").isNull || col("was_ch") =!= col("now_ch"), 1L)
+              .otherwise(0L).as("a"), lit(0L).as("r"))),
+        when(col("was_ch").isNotNull &&
+            (col("now_ch").isNull || col("now_ch") =!= col("was_ch")),
+          struct(col("was_ch").as("channel"), lit(0L).as("p"),
+            lit(0L).as("a"), lit(1L).as("r"))))).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.channel").as("channel"), col("e.p").as("p"),
+        col("e.a").as("a"), col("e.r").as("r"))
+    contrib
       .groupBy("channel")
       .agg(sum("p").as("n_pairs"), sum("a").as("n_added"),
         sum("r").as("n_retracted"))
-      .write.mode("overwrite").parquet(s"$consLed/batch_id=$batchId")
   }
 
   /** m19: mid-stream compaction for m15's full-history store — the
@@ -687,12 +723,27 @@ object StreamMediaDedup {
     if (!writeLedger) return
     val cur = session.read.parquet(s"$curStore/batch_id=$batchId")
       .select("a_id", "b_id", "hamming")
-    val fo = cur.select(col("a_id"), col("b_id"), lit(true).as("now_in"))
-      .join(prev.select(col("a_id"), col("b_id"), lit(true).as("was_in")),
-        Seq("a_id", "b_id"), "full_outer")
-      .select(col("a_id"), col("b_id"),
-        coalesce(col("now_in"), lit(false)).as("now_in"),
-        coalesce(col("was_in"), lit(false)).as("was_in"))
+    ledgerFrame(cur, prev)
+      .write.mode("overwrite").parquet(s"$ledgerStore/batch_id=$batchId")
+  }
+
+  /** The change-feed ledger row for one batch: diff of the two
+    * COMMITTED materialized pair sets `cur` (a_id, b_id, …) and `prev`
+    * (a_id, b_id, …). Extracted so the r19 plan dumps and the
+    * fold-equivalence spec exercise exactly the product code.
+    *
+    * Diff shape (r19): set diff as union + ONE aggregation instead of
+    * a full-outer join — a full outer can never broadcast (both pair
+    * sets exchange + sort into an SMJ: 2 Exchanges + 2 Sorts per
+    * batch); tagging each side and max-folding per pair computes the
+    * identical (now_in, was_in) truth table with one hash exchange and
+    * no sorts (guide §2.4 — both sides are sets, so each contributes
+    * ≤ 1 row per pair and the max-fold is exact). */
+  private[graft] def ledgerFrame(cur: DataFrame, prev: DataFrame): DataFrame = {
+    val fo = cur.select(col("a_id"), col("b_id"), lit(1L).as("n"), lit(0L).as("w"))
+      .unionByName(prev.select(col("a_id"), col("b_id"), lit(0L).as("n"), lit(1L).as("w")))
+      .groupBy("a_id", "b_id")
+      .agg((max("n") === 1L).as("now_in"), (max("w") === 1L).as("was_in"))
     val addedF = col("now_in") && !col("was_in")
     val retractedF = !col("now_in") && col("was_in")
     val pairStr = (x: org.apache.spark.sql.Column) => concat(
@@ -728,7 +779,6 @@ object StreamMediaDedup {
             array_sort(collect_list(when(col("b_retracted") > 0,
               struct(col("sb"), col("rm_sub"))))),
             x => x.getField("rm_sub"))))).as("rm_md5"))
-      .write.mode("overwrite").parquet(s"$ledgerStore/batch_id=$batchId")
   }
 
   /** The per-batch frames derived from the tagged store read, shared by

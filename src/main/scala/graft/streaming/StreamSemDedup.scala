@@ -140,14 +140,24 @@ object StreamSemDedup {
                       waves: Int = StreamAnnIngest.SplitFiles): (String, String) = {
     val splitDir = s"$work/in"
     val all = SimilarityOps.normed(spark, dir)
-    all.select("vec_id", "v", "nrm", "label")
-      .repartitionByRange(waves, orderExpr)
-      .write.parquet(splitDir)
     val cbPath = s"$work/codebook"
-    val seeds = all.filter(col("vec_id") < SimilarityOps.IvfCells)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    SimilarityOps.hierCentArr(seeds, SimilarityOps.HierSub)
-      .coalesce(1).write.parquet(cbPath)
+    // two independent setup writes (disjoint paths, source-table reads
+    // only): overlap them (§2.6), ready-all fence first
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val seeds = all.filter(col("vec_id") < SimilarityOps.IvfCells)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val writes = Seq(
+        Future { all.select("vec_id", "v", "nrm", "label")
+          .repartitionByRange(waves, orderExpr)
+          .write.parquet(splitDir) },
+        Future { SimilarityOps.hierCentArr(seeds, SimilarityOps.HierSub)
+          .coalesce(1).write.parquet(cbPath) })
+      writes.foreach(Await.ready(_, Duration.Inf))
+      writes.foreach(Await.result(_, Duration.Inf))
+    }
     (splitDir, cbPath)
   }
 
@@ -250,6 +260,10 @@ object StreamSemDedup {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
+        // materialize the shared persisted frame BEFORE forking (the
+        // d12 rule: racing its first materialization duplicates
+        // partition computes under the cache lock)
+        asn.count(): Unit
         val writes = Seq(
           Future { pairsOut.write.mode("overwrite")
             .parquet(s"$pairStore/batch_id=$batchId") },
